@@ -1,0 +1,587 @@
+"""DataFrame-native property graph — the engine core.
+
+A ``Graph`` is a pair of DataFrames:
+
+* ``vertices`` — one row per vertex: ``id`` plus any value columns
+  (canonically a single ``value`` column).
+* ``edges`` — one row per directed edge: ``src``, ``dst`` plus any value
+  columns (canonically ``value``). Directed multigraph; undirectedness is
+  simulated by symmetrizing (``get_undirected``), exactly like the
+  reference.
+
+Reference parity: andralungu/flink-graph
+``src/main/java/flink/graphs/Graph.java`` (the ~900-LoC god class wrapping
+two Flink DataSets; see SURVEY.md §1.1/§2). This is NOT a port — every
+operator here is a declarative Spark DataFrame expression so Catalyst
+plans it (predicate pushdown, broadcast/SMJ selection, AQE skew handling,
+whole-stage codegen). No RDDs, no collect() in any operator path.
+
+Scale notes (100 TB posture):
+* All joins are equi-joins on stable BIGINT keys → AQE picks
+  broadcast/shuffled-hash/sort-merge; callers can pass pre-partitioned /
+  persisted frames and the class never forces a repartition behind the
+  caller's back.
+* Degree/neighborhood ops aggregate BEFORE joining back to vertices
+  (partial aggregation halves shuffle traffic automatically).
+* ``aggregate_messages`` is the single join+agg primitive every
+  neighborhood op and the Pregel loop compile to.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EdgeDirection(Enum):
+    """Which incident edges a neighborhood op groups over.
+
+    Reference: flink.graphs.EdgeDirection (IN/OUT/ALL), ~15 LoC.
+    """
+
+    IN = "in"
+    OUT = "out"
+    ALL = "all"
+
+
+class InvalidGraphError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class GraphSchema:
+    vertex_value_cols: tuple[str, ...]
+    edge_value_cols: tuple[str, ...]
+
+
+class Graph:
+    """Property graph over two DataFrames.
+
+    Reference: flink.graphs.Graph (Graph.java ~L40-70 fields/ctor).
+    """
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        vcols = vertices.columns
+        ecols = edges.columns
+        if "id" not in vcols:
+            raise InvalidGraphError(f"vertices must have an 'id' column, got {vcols}")
+        if "src" not in ecols or "dst" not in ecols:
+            raise InvalidGraphError(f"edges must have 'src' and 'dst' columns, got {ecols}")
+        self._vertices = vertices
+        self._edges = edges
+        self._schema = GraphSchema(
+            vertex_value_cols=tuple(c for c in vcols if c != "id"),
+            edge_value_cols=tuple(c for c in ecols if c not in ("src", "dst")),
+        )
+
+    # ------------------------------------------------------------------
+    # §2.1 construction / accessors
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(vertices: DataFrame, edges: DataFrame) -> "Graph":
+        """Wrap pre-built DataFrames (Graph.create, Graph.java ~L80-100)."""
+        return Graph(vertices, edges)
+
+    @staticmethod
+    def from_edges(edges: DataFrame, vertex_value: Column | None = None) -> "Graph":
+        """Derive the vertex set as the distinct edge endpoints.
+
+        Reference: Graph.create(DataSet<Edge>, env), Graph.java ~L100-130.
+        Vertex value defaults to the id itself (the reference uses
+        NullValue; a typed value keeps downstream ops oracle-able).
+        """
+        ids = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        value = vertex_value if vertex_value is not None else F.col("id")
+        return Graph(ids.select("id", value.alias("value")), edges)
+
+    @staticmethod
+    def from_collection(
+        spark: SparkSession,
+        vertices: Iterable[tuple],
+        edges: Iterable[tuple],
+        vertex_schema: str = "id long, value long",
+        edge_schema: str = "src long, dst long, value long",
+    ) -> "Graph":
+        """Local collections → graph (Graph.fromCollection, ~L650-690)."""
+        return Graph(
+            spark.createDataFrame(list(vertices), schema=vertex_schema),
+            spark.createDataFrame(list(edges), schema=edge_schema),
+        )
+
+    @property
+    def vertices(self) -> DataFrame:
+        """getVertices(), Graph.java ~L72-78."""
+        return self._vertices
+
+    @property
+    def edges(self) -> DataFrame:
+        """getEdges(), Graph.java ~L72-78."""
+        return self._edges
+
+    def vertex_ids(self) -> DataFrame:
+        """getVertexIds(), Graph.java ~L540-560 — pure projection."""
+        return self._vertices.select("id")
+
+    def edge_ids(self) -> DataFrame:
+        """getEdgeIds() — (src, dst) projection."""
+        return self._edges.select("src", "dst")
+
+    def num_vertices(self) -> DataFrame:
+        """numberOfVertices() as a 1-row frame (GraphUtils.count ~L20-45)."""
+        return self._vertices.agg(F.count("*").alias("n_vertices"))
+
+    def num_edges(self) -> DataFrame:
+        return self._edges.agg(F.count("*").alias("n_edges"))
+
+    # ------------------------------------------------------------------
+    # §2.2 per-element transforms
+    # ------------------------------------------------------------------
+
+    def map_vertices(self, expr: Column, out_col: str = "value") -> "Graph":
+        """Rewrite every vertex value, id preserved (mapVertices ~L140-170).
+
+        ``expr`` is a Column over the vertex row (may reference ``id`` and
+        any value column) — stays in whole-stage codegen.
+        """
+        return Graph(self._vertices.select("id", expr.alias(out_col)), self._edges)
+
+    def map_edges(self, expr: Column, out_col: str = "value") -> "Graph":
+        """Rewrite every edge value, endpoints preserved (mapEdges ~L175-205)."""
+        return Graph(self._vertices, self._edges.select("src", "dst", expr.alias(out_col)))
+
+    def reverse(self) -> "Graph":
+        """Swap src/dst of every edge (reverse ~L380-400)."""
+        others = [c for c in self._edges.columns if c not in ("src", "dst")]
+        return Graph(
+            self._vertices,
+            self._edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+            ),
+        )
+
+    def get_undirected(self) -> "Graph":
+        """Edges ∪ reversed edges, duplicates kept (getUndirected ~L360-378)."""
+        return Graph(self._vertices, self._edges.unionByName(self.reverse().edges))
+
+    # ------------------------------------------------------------------
+    # §2.3 filters / subgraph
+    # ------------------------------------------------------------------
+
+    def subgraph(self, vertex_pred: Column, edge_pred: Column) -> "Graph":
+        """Keep vertices passing vertex_pred and edges passing edge_pred
+        whose BOTH endpoints survive (subgraph, Graph.java ~L210-260).
+
+        Two LEFT SEMI joins + filter — the reference's
+        filter→join-on-src→join-on-dst shape, Catalyst-planned.
+        """
+        v2 = self._vertices.filter(vertex_pred)
+        ids = v2.select("id")
+        e2 = (
+            self._edges.join(ids, self._edges["src"] == ids["id"], "left_semi")
+            .join(ids, F.col("dst") == ids["id"], "left_semi")
+            .filter(edge_pred)
+        )
+        return Graph(v2, e2)
+
+    def filter_on_vertices(self, vertex_pred: Column) -> "Graph":
+        """subgraph with edge-pred = true (filterOnVertices ~L265-300)."""
+        return self.subgraph(vertex_pred, F.lit(True))
+
+    def filter_on_edges(self, edge_pred: Column) -> "Graph":
+        """Filter edges only; vertex set unchanged (filterOnEdges ~L305-330)."""
+        return Graph(self._vertices, self._edges.filter(edge_pred))
+
+    # ------------------------------------------------------------------
+    # §2.4 joins with external datasets (left-outer, merge on match)
+    # ------------------------------------------------------------------
+
+    def join_with_vertices(
+        self,
+        other: DataFrame,
+        merge: Callable[[Column, Column], Column],
+        value_col: str = "value",
+    ) -> "Graph":
+        """vertices ⟕ other(id, <t>) — on match value' = merge(value, t),
+        else keep old value (joinWithVertices ~L405-445).
+
+        ``other`` must have exactly (id, one value column). Broadcast-able
+        small side is left to AQE / caller's F.broadcast.
+        """
+        tcol = [c for c in other.columns if c != "id"][0]
+        o = other.select(
+            F.col("id").alias("__jid"),
+            F.col(tcol).alias("__t"),
+            F.lit(True).alias("__matched"),
+        )
+        keep = [c for c in self._vertices.columns if c not in ("id", value_col)]
+        merged = (
+            self._vertices.join(o, self._vertices["id"] == o["__jid"], "left")
+            .select(
+                "id",
+                *keep,
+                F.when(F.col("__matched").isNotNull(), merge(F.col(value_col), F.col("__t")))
+                .otherwise(F.col(value_col))
+                .alias(value_col),
+            )
+        )
+        return Graph(merged.select(*self._vertices.columns), self._edges)
+
+    def _join_with_edges_on(
+        self,
+        other: DataFrame,
+        keys_graph: Sequence[str],
+        keys_other: Sequence[str],
+        merge: Callable[[Column, Column], Column],
+        value_col: str = "value",
+    ) -> "Graph":
+        tcol = [c for c in other.columns if c not in keys_other][0]
+        sel = [F.col(k).alias(f"__k{i}") for i, k in enumerate(keys_other)]
+        o = other.select(
+            *sel, F.col(tcol).alias("__t"), F.lit(True).alias("__matched")
+        )
+        cond = None
+        for i, k in enumerate(keys_graph):
+            c = self._edges[k] == o[f"__k{i}"]
+            cond = c if cond is None else (cond & c)
+        keep = [c for c in self._edges.columns if c not in ("src", "dst", value_col)]
+        merged = self._edges.join(o, cond, "left").select(
+            "src",
+            "dst",
+            *keep,
+            F.when(F.col("__matched").isNotNull(), merge(F.col(value_col), F.col("__t")))
+            .otherwise(F.col(value_col))
+            .alias(value_col),
+        )
+        return Graph(self._vertices, merged.select(*self._edges.columns))
+
+    def join_with_edges(
+        self, other: DataFrame, merge: Callable[[Column, Column], Column]
+    ) -> "Graph":
+        """edges ⟕ other(src, dst, t) on (src,dst) (joinWithEdges ~L450-490)."""
+        return self._join_with_edges_on(other, ["src", "dst"], ["src", "dst"], merge)
+
+    def join_with_edges_on_source(
+        self, other: DataFrame, merge: Callable[[Column, Column], Column]
+    ) -> "Graph":
+        """edges ⟕ other(id, t) on src (joinWithEdgesOnSource ~L495-515)."""
+        return self._join_with_edges_on(other, ["src"], ["id"], merge)
+
+    def join_with_edges_on_target(
+        self, other: DataFrame, merge: Callable[[Column, Column], Column]
+    ) -> "Graph":
+        """edges ⟕ other(id, t) on dst (joinWithEdgesOnTarget ~L517-537)."""
+        return self._join_with_edges_on(other, ["dst"], ["id"], merge)
+
+    # ------------------------------------------------------------------
+    # §2.5 degrees & neighborhood aggregations
+    # ------------------------------------------------------------------
+
+    def out_degrees(self) -> DataFrame:
+        """Per-vertex out-degree, 0 for sinks (outDegrees ~L335-358).
+
+        Hash agg on edges (partial+final, map-side combine automatic)
+        then LEFT join back to vertices — never the other way round, so
+        the big edge table is aggregated before any join.
+        """
+        counts = self._edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("__d")
+        )
+        return (
+            self._vertices.select("id")
+            .join(counts, "id", "left")
+            .select("id", F.coalesce("__d", F.lit(0)).cast("long").alias("degree"))
+        )
+
+    def in_degrees(self) -> DataFrame:
+        """inDegrees ~L352-356 (reverse().outDegrees() in the reference)."""
+        counts = self._edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("__d")
+        )
+        return (
+            self._vertices.select("id")
+            .join(counts, "id", "left")
+            .select("id", F.coalesce("__d", F.lit(0)).cast("long").alias("degree"))
+        )
+
+    def degrees(self) -> DataFrame:
+        """in+out degree (getDegrees ~L346-350): single pass — explode each
+        edge into (src),(dst) and hash-aggregate, instead of the
+        reference's union-of-two-aggregations (one shuffle, not three).
+        """
+        endpoints = self._edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("id")
+        )
+        counts = endpoints.groupBy("id").agg(F.count("*").alias("__d"))
+        return (
+            self._vertices.select("id")
+            .join(counts, "id", "left")
+            .select("id", F.coalesce("__d", F.lit(0)).cast("long").alias("degree"))
+        )
+
+    def _edges_keyed(self, direction: EdgeDirection) -> DataFrame:
+        """Incident edges keyed by owning vertex id.
+
+        Returns columns: id (owner), src, dst, + edge values.
+        ALL = one explode, not a self-union (single scan of edges).
+        """
+        e = self._edges
+        if direction == EdgeDirection.OUT:
+            return e.select(F.col("src").alias("id"), "*")
+        if direction == EdgeDirection.IN:
+            return e.select(F.col("dst").alias("id"), "*")
+        return e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("id"), "*"
+        )
+
+    def reduce_on_edges(
+        self, aggs: Sequence[Column], direction: EdgeDirection = EdgeDirection.OUT
+    ) -> DataFrame:
+        """Group incident edges per vertex and aggregate
+        (reduceOnEdges, Graph.java ~L560-600).
+
+        ``aggs`` are native aggregate Columns over the edge row
+        (``src``, ``dst``, edge value cols) — JVM-side hash aggregate.
+        Vertices with no incident edges are absent (reference emits
+        nothing for empty groups in groupReduce).
+        """
+        return self._edges_keyed(direction).groupBy("id").agg(*aggs)
+
+    def reduce_on_neighbors(
+        self,
+        aggs: Sequence[Column],
+        direction: EdgeDirection = EdgeDirection.OUT,
+        neighbor_prefix: str = "nbr_",
+    ) -> DataFrame:
+        """Group (edge, neighbor-vertex) pairs per vertex and aggregate
+        (reduceOnNeighbors ~L560-640) — edges ⋈ vertices then hash agg.
+
+        Neighbor vertex value columns are exposed as ``nbr_<col>`` to the
+        agg expressions. OUT: owner=src, neighbor=dst; IN: owner=dst,
+        neighbor=src; ALL: both (single explode pass).
+        """
+        nbr = self._vertices.select(
+            F.col("id").alias("__nid"),
+            *[
+                F.col(c).alias(f"{neighbor_prefix}{c}")
+                for c in self._schema.vertex_value_cols
+            ],
+        )
+        e = self._edges
+        if direction == EdgeDirection.OUT:
+            pairs = e.select(F.col("src").alias("id"), F.col("dst").alias("__nid"), *self._schema.edge_value_cols)
+        elif direction == EdgeDirection.IN:
+            pairs = e.select(F.col("dst").alias("id"), F.col("src").alias("__nid"), *self._schema.edge_value_cols)
+        else:
+            pairs = e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("id"), F.col("dst").alias("__nid")),
+                        F.struct(F.col("dst").alias("id"), F.col("src").alias("__nid")),
+                    )
+                ).alias("__p"),
+                *self._schema.edge_value_cols,
+            ).select("__p.id", "__p.__nid", *self._schema.edge_value_cols)
+        return (
+            pairs.join(nbr, "__nid")
+            .groupBy("id")
+            .agg(*aggs)
+        )
+
+    def aggregate_messages(
+        self,
+        agg: Sequence[Column],
+        msg_to_dst: Column | None = None,
+        msg_to_src: Column | None = None,
+        vertices: DataFrame | None = None,
+    ) -> DataFrame:
+        """The engine's core primitive (GraphX/GraphFrames
+        ``aggregateMessages``; the reference builds every neighborhood op
+        and the Spargel loop from this same join+agg shape).
+
+        Message expressions see the triplet columns: ``src``, ``dst``,
+        edge value cols, ``src_<c>`` / ``dst_<c>`` for vertex value cols.
+        Result: one row per vertex id that received ≥1 message, with
+        ``agg`` applied over its inbox.
+
+        ``vertices`` overrides the vertex frame joined in (used by the
+        Pregel loop to pass the current state without rebuilding a Graph).
+        """
+        if msg_to_dst is None and msg_to_src is None:
+            raise ValueError("need msg_to_dst and/or msg_to_src")
+        v = vertices if vertices is not None else self._vertices
+        vcols = [c for c in v.columns if c != "id"]
+        trip = self._edges
+        if msg_to_dst is not None or msg_to_src is not None:
+            sv = v.select(
+                F.col("id").alias("__sid"),
+                *[F.col(c).alias(f"src_{c}") for c in vcols],
+            )
+            dv = v.select(
+                F.col("id").alias("__did"),
+                *[F.col(c).alias(f"dst_{c}") for c in vcols],
+            )
+            trip = trip.join(sv, trip["src"] == sv["__sid"]).join(
+                dv, F.col("dst") == dv["__did"]
+            )
+        msgs = []
+        if msg_to_dst is not None:
+            msgs.append(
+                trip.select(F.col("dst").alias("id"), msg_to_dst.alias("__msg"))
+            )
+        if msg_to_src is not None:
+            msgs.append(
+                trip.select(F.col("src").alias("id"), msg_to_src.alias("__msg"))
+            )
+        inbox = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
+        return inbox.groupBy("id").agg(*agg)
+
+    def triplets(self) -> DataFrame:
+        """edge ⋈ both endpoint values (the workhorse two-hash-join
+        pattern, Graph.java ~L560-640; first-class getTriplets() landed
+        only in later Gelly — exposed here anyway per SURVEY §2.4).
+
+        Columns: src, dst, <edge values>, src_<c>, dst_<c>.
+        """
+        vcols = self._schema.vertex_value_cols
+        sv = self._vertices.select(
+            F.col("id").alias("__sid"), *[F.col(c).alias(f"src_{c}") for c in vcols]
+        )
+        dv = self._vertices.select(
+            F.col("id").alias("__did"), *[F.col(c).alias(f"dst_{c}") for c in vcols]
+        )
+        e = self._edges
+        return (
+            e.join(sv, e["src"] == sv["__sid"])
+            .join(dv, F.col("dst") == dv["__did"])
+            .drop("__sid", "__did")
+        )
+
+    # ------------------------------------------------------------------
+    # §2.6 mutations / set ops
+    # ------------------------------------------------------------------
+
+    def union(self, other: "Graph") -> "Graph":
+        """Vertices: union distinct on id; edges: union-all
+        (union, Graph.java ~L545-560).
+        """
+        v = self._vertices.unionByName(other._vertices).dropDuplicates(["id"])
+        e = self._edges.unionByName(other._edges)
+        return Graph(v, e)
+
+    def add_vertex(self, vertex_row: tuple, edges_rows: Sequence[tuple] = ()) -> "Graph":
+        """Append a vertex (+ its edges); duplicate ids deduped
+        (addVertex ~L740-790).
+        """
+        spark = self._vertices.sparkSession
+        v_new = spark.createDataFrame([vertex_row], schema=self._vertices.schema)
+        v = self._vertices.unionByName(v_new).dropDuplicates(["id"])
+        e = self._edges
+        if edges_rows:
+            e = e.unionByName(
+                spark.createDataFrame(list(edges_rows), schema=self._edges.schema)
+            )
+        return Graph(v, e)
+
+    def add_edge(self, src_vertex: tuple, dst_vertex: tuple, edge_row: tuple) -> "Graph":
+        """Append one edge and its endpoints (addEdge ~L795-820)."""
+        spark = self._edges.sparkSession
+        v_new = spark.createDataFrame(
+            [src_vertex, dst_vertex], schema=self._vertices.schema
+        )
+        v = self._vertices.unionByName(v_new).dropDuplicates(["id"])
+        e = self._edges.unionByName(
+            spark.createDataFrame([edge_row], schema=self._edges.schema)
+        )
+        return Graph(v, e)
+
+    def remove_vertex(self, vertex_id) -> "Graph":
+        """Drop a vertex and all incident edges (removeVertex ~L825-860)."""
+        return Graph(
+            self._vertices.filter(F.col("id") != F.lit(vertex_id)),
+            self._edges.filter(
+                (F.col("src") != F.lit(vertex_id)) & (F.col("dst") != F.lit(vertex_id))
+            ),
+        )
+
+    def remove_vertices(self, ids: DataFrame) -> "Graph":
+        """Set-removal via ANTI joins (scale path for bulk deletes)."""
+        ids = ids.select("id")
+        v = self._vertices.join(ids, "id", "left_anti")
+        e = (
+            self._edges.join(ids, self._edges["src"] == ids["id"], "left_anti")
+            .join(ids, F.col("dst") == ids["id"], "left_anti")
+        )
+        return Graph(v, e)
+
+    def remove_edge(self, src, dst, value=None, value_col: str = "value") -> "Graph":
+        """Drop matching (src,dst[,value]) edges (removeEdge ~L865-890)."""
+        cond = (F.col("src") == F.lit(src)) & (F.col("dst") == F.lit(dst))
+        if value is not None:
+            cond = cond & (F.col(value_col) == F.lit(value))
+        return Graph(self._vertices, self._edges.filter(~cond))
+
+    # ------------------------------------------------------------------
+    # §2.8 validation + algorithm packaging
+    # ------------------------------------------------------------------
+
+    def invalid_edge_endpoints(self) -> DataFrame:
+        """Edge endpoint ids missing from the vertex set — ANTI join
+        (InvalidVertexIdsValidator ~L1-60).
+        """
+        ids = self._vertices.select("id")
+        endpoints = (
+            self._edges.select(F.col("src").alias("id"))
+            .unionByName(self._edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return endpoints.join(ids, "id", "left_anti")
+
+    def validate(self) -> bool:
+        """True iff every edge endpoint exists in the vertex set."""
+        return self.invalid_edge_endpoints().isEmpty()
+
+    def run(self, algorithm: "GraphAlgorithm") -> "Graph":
+        """Graph.run(GraphAlgorithm), Graph.java ~L935-940."""
+        return algorithm.run(self)
+
+    # ------------------------------------------------------------------
+    # physical-layout helpers (§4.2)
+    # ------------------------------------------------------------------
+
+    def partition_by_src(self, num_partitions: int | None = None) -> "Graph":
+        """Pre-partition edges by src and persist — reused across Pregel
+        supersteps so the per-iteration join shuffles only the (small)
+        message side.
+        """
+        e = (
+            self._edges.repartition(num_partitions, "src")
+            if num_partitions
+            else self._edges.repartition("src")
+        )
+        return Graph(self._vertices, e.persist())
+
+    def persist(self) -> "Graph":
+        return Graph(self._vertices.persist(), self._edges.persist())
+
+    def unpersist(self) -> "Graph":
+        self._vertices.unpersist()
+        self._edges.unpersist()
+        return self
+
+
+class GraphAlgorithm:
+    """Packaging interface for library algorithms
+    (flink.graphs.GraphAlgorithm, ~10 LoC).
+    """
+
+    def run(self, graph: Graph) -> Graph:  # pragma: no cover - interface
+        raise NotImplementedError

@@ -1,0 +1,86 @@
+"""Label propagation — reference: flink.graphs.library.LabelPropagation
+(~100 LoC): each superstep a vertex sends its label to its out-neighbors
+and adopts the most frequent incoming label (ties → max label), keeping
+its own label when its inbox is empty.
+
+The mode aggregation needs a two-level plan (count per (vertex,label)
+then rank) so it doesn't fit the single-agg pregel kernel — it gets its
+own synchronous loop with the same lineage-checkpoint policy. Integer
+counts + deterministic (count DESC, label DESC) tie-break → exact
+oracle parity at fixed iteration counts.
+
+For undirected behavior (the common use), pass ``graph.get_undirected()``
+— mirroring the reference, which expects a symmetrized input graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph, GraphAlgorithm
+
+
+def label_propagation(
+    graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 5
+) -> DataFrame:
+    """Returns (id, label). Initial label = vertex value."""
+    edges = graph.edges.select("src", "dst").persist()
+    labels = graph.vertices.select(
+        "id", F.col(label_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.desc("label"))
+    for it in range(1, max_iter + 1):
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        counts = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        picked = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(picked, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+        if it % checkpoint_every == 0 or it == max_iter:
+            labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels
+
+
+def oracle_ctes(
+    edges_cte: str, vertices_cte: str, max_iter: int = 10, label_expr: str = "value"
+) -> tuple[str, str]:
+    ctes = [f"l0 AS MATERIALIZED (SELECT id, {label_expr} AS label FROM {vertices_cte})"]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(p.label, o.label) AS label
+  FROM {vertices_cte} v
+  JOIN l{i - 1} o ON v.id = o.id
+  LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT id, label,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
+      FROM (
+        SELECT e.dst AS id, s.label, COUNT(*) AS cnt
+        FROM l{i - 1} s JOIN {edges_cte} e ON s.id = e.src
+        GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+  ) p ON v.id = p.id
+)"""
+        )
+    final = f"SELECT id, label FROM l{max_iter}"
+    return ",\n".join(ctes), final
+
+
+class LabelPropagation(GraphAlgorithm):
+    def __init__(self, max_iter: int = 10):
+        self.max_iter = max_iter
+
+    def run(self, graph: Graph) -> Graph:
+        labels = label_propagation(graph, self.max_iter)
+        return Graph(labels.withColumnRenamed("label", "value"), graph.edges)

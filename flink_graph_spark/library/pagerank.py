@@ -1,0 +1,99 @@
+"""PageRank — reference: flink.graphs.library.PageRank (~110 LoC,
+VertexRankUpdater ~L40-65, RankMessenger ~L70-95).
+
+Semantics mirrored exactly: rank init 1/n; each superstep every vertex
+sends ``rank / out_degree`` along each out-edge (the reference
+pre-normalizes edge values to 1/outDegree — uniform transition); update
+``rank = (1-beta)/n + beta * sum(msgs)``. Dangling vertices leak rank,
+as in the reference. Fixed iteration count → DuckDB-oracle-able via
+unrolled CTEs (``oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph, GraphAlgorithm
+from ..operators.pregel import pregel
+
+
+def page_rank(
+    graph: Graph, beta: float = 0.85, max_iter: int = 10, round_to: int | None = 6
+) -> DataFrame:
+    """Returns (id, rank). Scale: the rank/outdeg normalization is joined
+    into the edge frame ONCE before the loop (loop-invariant, persisted);
+    per superstep only the message agg + vertex update shuffle.
+    """
+    n = graph.vertices.count()
+    teleport = (1.0 - beta) / n
+
+    outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    norm_edges = (
+        graph.edges.select("src", "dst")
+        .join(outdeg, F.col("src") == outdeg["id"])
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("p"))
+    )
+    g = Graph(graph.vertices, norm_edges)
+
+    res = pregel(
+        g,
+        initial=F.lit(1.0 / n),
+        msg_to_dst=F.col("src_rank") * F.col("p"),
+        agg=F.sum("__msg").alias("__agg"),
+        update=F.lit(teleport) + F.lit(beta) * F.coalesce(F.col("__agg"), F.lit(0.0)),
+        max_iter=max_iter,
+        state_col="rank",
+    )
+    out = res.vertices
+    if round_to is not None:
+        out = out.select("id", F.round("rank", round_to).alias("rank"))
+    return out
+
+
+def oracle_ctes(
+    edges_cte: str,
+    vertices_cte: str,
+    beta: float = 0.85,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(extra CTE text, final SELECT) for composition by the caller."""
+    ctes = [
+        f"pr_deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg"
+        f" FROM {edges_cte} GROUP BY 1)",
+        f"pr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {vertices_cte})",
+        f"r0 AS MATERIALIZED (SELECT v.id, 1.0/(SELECT n FROM pr_n) AS rank FROM {vertices_cte} v)",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {beta!r})/(SELECT n FROM pr_n)
+           + {beta!r} * COALESCE(m.s, 0.0) AS rank
+  FROM {vertices_cte} v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS s
+    FROM r{i - 1} r
+    JOIN {edges_cte} e ON r.id = e.src
+    JOIN pr_deg d ON d.id = e.src
+    GROUP BY 1
+  ) m ON v.id = m.id
+)"""
+        )
+    final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM r{max_iter}"
+    return ",\n".join(ctes), final
+
+
+class PageRank(GraphAlgorithm):
+    """GraphAlgorithm packaging (reference PageRank.java ctor (beta, maxIter))."""
+
+    def __init__(self, beta: float = 0.85, max_iter: int = 10):
+        self.beta = beta
+        self.max_iter = max_iter
+
+    def run(self, graph: Graph) -> Graph:
+        ranks = page_rank(graph, self.beta, self.max_iter, round_to=None)
+        return Graph(ranks.withColumnRenamed("rank", "value"), graph.edges)

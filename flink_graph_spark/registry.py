@@ -1,0 +1,744 @@
+"""Query registry — every operator from SURVEY.md §2 as a
+(PySpark callable, DuckDB oracle SQL) pair, consumed by
+``__spark_entry__.py``.
+
+Conventions (driver contract):
+* Each Spark callable takes (spark, sf_dir) and returns a DataFrame.
+* Column names and types match the oracle exactly (aggregates cast to
+  BIGINT, ratios ROUND(x, 6) on BOTH sides).
+* Anything order-dependent (top-k) carries a full deterministic ORDER BY
+  with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import EdgeDirection, Graph
+from .library import connected_components as cc_mod
+from .library import jaccard as jaccard_mod
+from .library import label_propagation as lpa_mod
+from .library import pagerank as pr_mod
+from .library import sssp as sssp_mod
+from .plans.session import tune_session
+from .sources.graphs import (
+    CS_EDGES_SQL,
+    CS_VERTICES_SQL,
+    GOLDEN_SQL,
+    PC_EDGES_SQL,
+    UU_EDGES_SQL,
+    customer_supplier_graph,
+    golden_graph,
+    part_copurchase_graph,
+    user_cooccurrence_graph,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _with(*ctes: str) -> str:
+    body = ",\n".join(c.strip() for c in ctes[:-1])
+    return f"WITH {body}\n{ctes[-1].strip()}"
+
+
+def _cs(spark: SparkSession, sf_dir: str) -> Graph:
+    tune_session(spark)
+    return customer_supplier_graph(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# §2.1 construction + §2.5 degrees
+# ----------------------------------------------------------------------
+
+@_register(
+    "degrees_out",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS degree
+FROM cs_vertices v
+LEFT JOIN (SELECT src AS id, COUNT(*) AS cnt FROM cs_edges GROUP BY 1) d
+  ON v.id = d.id""",
+    ),
+)
+def degrees_out(spark, sf_dir):
+    return _cs(spark, sf_dir).out_degrees()
+
+
+@_register(
+    "degrees_in",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS degree
+FROM cs_vertices v
+LEFT JOIN (SELECT dst AS id, COUNT(*) AS cnt FROM cs_edges GROUP BY 1) d
+  ON v.id = d.id""",
+    ),
+)
+def degrees_in(spark, sf_dir):
+    return _cs(spark, sf_dir).in_degrees()
+
+
+@_register(
+    "degrees_total",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS degree
+FROM cs_vertices v
+LEFT JOIN (
+  SELECT id, COUNT(*) AS cnt FROM (
+    SELECT src AS id FROM cs_edges
+    UNION ALL
+    SELECT dst AS id FROM cs_edges
+  ) GROUP BY 1
+) d ON v.id = d.id""",
+    ),
+)
+def degrees_total(spark, sf_dir):
+    return _cs(spark, sf_dir).degrees()
+
+
+@_register(
+    "top_degree_vertices",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT id, degree FROM (
+  SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS degree
+  FROM cs_vertices v
+  LEFT JOIN (
+    SELECT id, COUNT(*) AS cnt FROM (
+      SELECT src AS id FROM cs_edges
+      UNION ALL
+      SELECT dst AS id FROM cs_edges
+    ) GROUP BY 1
+  ) d ON v.id = d.id
+) ORDER BY degree DESC, id ASC LIMIT 20""",
+    ),
+)
+def top_degree_vertices(spark, sf_dir):
+    return (
+        _cs(spark, sf_dir)
+        .degrees()
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "graph_metrics",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """deg AS (
+  SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS degree
+  FROM cs_vertices v
+  LEFT JOIN (
+    SELECT id, COUNT(*) AS cnt FROM (
+      SELECT src AS id FROM cs_edges
+      UNION ALL
+      SELECT dst AS id FROM cs_edges
+    ) GROUP BY 1
+  ) d ON v.id = d.id
+)""",
+        """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cs_vertices) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cs_edges) AS n_edges,
+       ROUND(AVG(degree), 6) AS avg_degree,
+       MAX(degree) AS max_degree
+FROM deg""",
+    ),
+)
+def graph_metrics(spark, sf_dir):
+    """Reference example GraphMetrics.java: counts + avg/max degree."""
+    g = _cs(spark, sf_dir)
+    deg = g.degrees()
+    m1 = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+    m2 = g.edges.agg(F.count("*").alias("n_edges"))
+    return m1.crossJoin(m2).select(
+        "n_vertices", "n_edges", "avg_degree", "max_degree"
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.2 transforms
+# ----------------------------------------------------------------------
+
+@_register(
+    "map_vertices",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        "SELECT id, value * 2 AS value FROM cs_vertices",
+    ),
+)
+def map_vertices(spark, sf_dir):
+    return _cs(spark, sf_dir).map_vertices(F.col("value") * 2).vertices
+
+
+@_register(
+    "map_edges",
+    _with(
+        CS_EDGES_SQL,
+        "SELECT src, dst, value * 10 AS value FROM cs_edges",
+    ),
+)
+def map_edges(spark, sf_dir):
+    return _cs(spark, sf_dir).map_edges(F.col("value") * 10).edges
+
+
+@_register(
+    "reverse_edges",
+    _with(
+        CS_EDGES_SQL,
+        "SELECT dst AS src, src AS dst, value FROM cs_edges",
+    ),
+)
+def reverse_edges(spark, sf_dir):
+    return _cs(spark, sf_dir).reverse().edges
+
+
+@_register(
+    "undirected_edges",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT src, dst, value FROM cs_edges
+UNION ALL
+SELECT dst AS src, src AS dst, value FROM cs_edges""",
+    ),
+)
+def undirected_edges(spark, sf_dir):
+    return _cs(spark, sf_dir).get_undirected().edges
+
+
+# ----------------------------------------------------------------------
+# §2.3 subgraph / filters
+# ----------------------------------------------------------------------
+
+@_register(
+    "subgraph_edges",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        "sg_v AS (SELECT * FROM cs_vertices WHERE value % 2 = 0)",
+        """SELECT e.src, e.dst, e.value
+FROM cs_edges e
+JOIN sg_v a ON e.src = a.id
+JOIN sg_v b ON e.dst = b.id
+WHERE e.value >= 2""",
+    ),
+)
+def subgraph_edges(spark, sf_dir):
+    g = _cs(spark, sf_dir).subgraph(
+        F.col("value") % 2 == 0, F.col("value") >= 2
+    )
+    return g.edges
+
+
+@_register(
+    "subgraph_vertices",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        "SELECT id, value FROM cs_vertices WHERE value % 2 = 0",
+    ),
+)
+def subgraph_vertices(spark, sf_dir):
+    g = _cs(spark, sf_dir).subgraph(
+        F.col("value") % 2 == 0, F.col("value") >= 2
+    )
+    return g.vertices
+
+
+@_register(
+    "filter_on_edges",
+    _with(
+        CS_EDGES_SQL,
+        "SELECT src, dst, value FROM cs_edges WHERE value >= 3",
+    ),
+)
+def filter_on_edges(spark, sf_dir):
+    return _cs(spark, sf_dir).filter_on_edges(F.col("value") >= 3).edges
+
+
+@_register(
+    "filter_on_vertices_edges",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        "sg_v AS (SELECT * FROM cs_vertices WHERE value % 3 <> 0)",
+        """SELECT e.src, e.dst, e.value
+FROM cs_edges e
+JOIN sg_v a ON e.src = a.id
+JOIN sg_v b ON e.dst = b.id""",
+    ),
+)
+def filter_on_vertices_edges(spark, sf_dir):
+    return _cs(spark, sf_dir).filter_on_vertices(F.col("value") % 3 != 0).edges
+
+
+# ----------------------------------------------------------------------
+# §2.4 joins
+# ----------------------------------------------------------------------
+
+@_register(
+    "join_with_vertices",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id,
+       CASE WHEN c.c_custkey IS NOT NULL
+            THEN v.value * 100 + CAST(c.c_nationkey AS BIGINT)
+            ELSE v.value END AS value
+FROM cs_vertices v
+LEFT JOIN customer c ON v.id = c.c_custkey""",
+    ),
+)
+def join_with_vertices(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    other = customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").cast("long").alias("t")
+    )
+    return g.join_with_vertices(other, lambda v, t: v * 100 + t).vertices
+
+
+@_register(
+    "join_with_edges",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT e.src, e.dst,
+       CASE WHEN o.src IS NOT NULL THEN e.value * 1000 + o.t
+            ELSE e.value END AS value
+FROM cs_edges e
+LEFT JOIN (SELECT src, dst, value AS t FROM cs_edges WHERE value >= 2) o
+  ON e.src = o.src AND e.dst = o.dst""",
+    ),
+)
+def join_with_edges(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    other = g.edges.filter(F.col("value") >= 2).select(
+        "src", "dst", F.col("value").alias("t")
+    )
+    return g.join_with_edges(other, lambda v, t: v * 1000 + t).edges
+
+
+@_register(
+    "join_with_edges_on_source",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT e.src, e.dst,
+       CASE WHEN c.c_custkey IS NOT NULL
+            THEN e.value * 100 + CAST(c.c_nationkey AS BIGINT)
+            ELSE e.value END AS value
+FROM cs_edges e
+LEFT JOIN customer c ON e.src = c.c_custkey""",
+    ),
+)
+def join_with_edges_on_source(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    other = customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").cast("long").alias("t")
+    )
+    return g.join_with_edges_on_source(other, lambda v, t: v * 100 + t).edges
+
+
+@_register(
+    "join_with_edges_on_target",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT e.src, e.dst,
+       CASE WHEN s.s_suppkey IS NOT NULL
+            THEN e.value * 100 + CAST(s.s_nationkey AS BIGINT)
+            ELSE e.value END AS value
+FROM cs_edges e
+LEFT JOIN supplier s ON e.dst = s.s_suppkey + 1000000""",
+    ),
+)
+def join_with_edges_on_target(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    other = supplier.select(
+        (F.col("s_suppkey") + F.lit(1000000)).alias("id"),
+        F.col("s_nationkey").cast("long").alias("t"),
+    )
+    return g.join_with_edges_on_target(other, lambda v, t: v * 100 + t).edges
+
+
+@_register(
+    "triplets",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT e.src, e.dst, e.value, a.value AS src_value, b.value AS dst_value
+FROM cs_edges e
+JOIN cs_vertices a ON e.src = a.id
+JOIN cs_vertices b ON e.dst = b.id""",
+    ),
+)
+def triplets(spark, sf_dir):
+    return _cs(spark, sf_dir).triplets()
+
+
+# ----------------------------------------------------------------------
+# §2.5 neighborhood aggregations
+# ----------------------------------------------------------------------
+
+@_register(
+    "reduce_on_edges_out",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT src AS id, CAST(SUM(value) AS BIGINT) AS sum_w,
+       MAX(value) AS max_w, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM cs_edges GROUP BY 1""",
+    ),
+)
+def reduce_on_edges_out(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_edges(
+        [
+            F.sum("value").alias("sum_w"),
+            F.max("value").alias("max_w"),
+            F.count("*").alias("n_edges"),
+        ],
+        EdgeDirection.OUT,
+    )
+
+
+@_register(
+    "reduce_on_edges_in",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT dst AS id, CAST(SUM(value) AS BIGINT) AS sum_w,
+       MIN(value) AS min_w, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM cs_edges GROUP BY 1""",
+    ),
+)
+def reduce_on_edges_in(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_edges(
+        [
+            F.sum("value").alias("sum_w"),
+            F.min("value").alias("min_w"),
+            F.count("*").alias("n_edges"),
+        ],
+        EdgeDirection.IN,
+    )
+
+
+@_register(
+    "reduce_on_edges_all",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT id, CAST(SUM(value) AS BIGINT) AS sum_w,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM (
+  SELECT src AS id, value FROM cs_edges
+  UNION ALL
+  SELECT dst AS id, value FROM cs_edges
+) GROUP BY 1""",
+    ),
+)
+def reduce_on_edges_all(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_edges(
+        [F.sum("value").alias("sum_w"), F.count("*").alias("n_edges")],
+        EdgeDirection.ALL,
+    )
+
+
+@_register(
+    "reduce_on_neighbors_out",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT e.src AS id, CAST(SUM(v.value) AS BIGINT) AS sum_nbr
+FROM cs_edges e JOIN cs_vertices v ON e.dst = v.id
+GROUP BY 1""",
+    ),
+)
+def reduce_on_neighbors_out(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_neighbors(
+        [F.sum("nbr_value").alias("sum_nbr")], EdgeDirection.OUT
+    )
+
+
+@_register(
+    "reduce_on_neighbors_all",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT id, CAST(SUM(nv) AS BIGINT) AS sum_nbr,
+       CAST(COUNT(*) AS BIGINT) AS n_nbr
+FROM (
+  SELECT e.src AS id, v.value AS nv
+  FROM cs_edges e JOIN cs_vertices v ON e.dst = v.id
+  UNION ALL
+  SELECT e.dst AS id, v.value AS nv
+  FROM cs_edges e JOIN cs_vertices v ON e.src = v.id
+) GROUP BY 1""",
+    ),
+)
+def reduce_on_neighbors_all(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_neighbors(
+        [F.sum("nbr_value").alias("sum_nbr"), F.count("*").alias("n_nbr")],
+        EdgeDirection.ALL,
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.6 mutations / set ops
+# ----------------------------------------------------------------------
+
+@_register(
+    "union_graphs",
+    _with(
+        CS_EDGES_SQL,
+        "ea AS (SELECT * FROM cs_edges WHERE value >= 2)",
+        "eb AS (SELECT * FROM cs_edges WHERE src % 3 = 0)",
+        """uv AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM ea UNION SELECT dst FROM ea
+    UNION
+    SELECT src AS id FROM eb UNION SELECT dst FROM eb
+  )
+)""",
+        """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uv) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb)) AS n_edges""",
+    ),
+)
+def union_graphs(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    ga = Graph.from_edges(g.edges.filter(F.col("value") >= 2))
+    gb = Graph.from_edges(g.edges.filter(F.col("src") % 3 == 0))
+    u = ga.union(gb)
+    m1 = u.vertices.agg(F.count("*").alias("n_vertices"))
+    m2 = u.edges.agg(F.count("*").alias("n_edges"))
+    return m1.crossJoin(m2)
+
+
+@_register(
+    "golden_mutations",
+    _with(
+        GOLDEN_SQL,
+        """ge2 AS (
+  SELECT * FROM golden_edges
+  UNION ALL
+  SELECT CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(61 AS BIGINT)
+)""",
+        """SELECT src, dst, value FROM ge2
+WHERE src <> 3 AND dst <> 3 AND NOT (src = 5 AND dst = 1)""",
+    ),
+)
+def golden_mutations(spark, sf_dir):
+    g = golden_graph(spark)
+    g = g.add_vertex((6, 6), [(6, 1, 61)])
+    g = g.remove_vertex(3)
+    g = g.remove_edge(5, 1)
+    return g.edges
+
+
+# ----------------------------------------------------------------------
+# §2.8 validation
+# ----------------------------------------------------------------------
+
+@_register(
+    "validate_vertex_ids",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT ((SELECT COUNT(*) FROM (
+  (SELECT src AS id FROM cs_edges UNION SELECT dst FROM cs_edges)
+  EXCEPT
+  (SELECT id FROM cs_vertices)
+)) = 0) AS valid""",
+    ),
+)
+def validate_vertex_ids(spark, sf_dir):
+    g = _cs(spark, sf_dir)
+    return g.invalid_edge_endpoints().agg(
+        (F.count("*") == F.lit(0)).alias("valid")
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 iterative algorithms — golden fixture (exact small-graph checks)
+# ----------------------------------------------------------------------
+
+def _golden_algo_sql(algo_ctes: tuple[str, str]) -> str:
+    ctes, final = algo_ctes
+    return _with(GOLDEN_SQL, ctes, final)
+
+
+@_register(
+    "sssp_golden",
+    _golden_algo_sql(sssp_mod.oracle_ctes("golden_edges", "golden_vertices", 1, 5)),
+)
+def sssp_golden(spark, sf_dir):
+    tune_session(spark)
+    return sssp_mod.shortest_paths(golden_graph(spark), 1, max_iter=5)
+
+
+@_register(
+    "cc_golden",
+    _golden_algo_sql(cc_mod.oracle_ctes("golden_edges", "golden_vertices", 5)),
+)
+def cc_golden(spark, sf_dir):
+    tune_session(spark)
+    return cc_mod.connected_components(golden_graph(spark), max_iter=5)
+
+
+@_register(
+    "is_weakly_connected_golden",
+    _with(
+        GOLDEN_SQL,
+        cc_mod.oracle_ctes("golden_edges", "golden_vertices", 5)[0],
+        cc_mod.connected_oracle_final(5),
+    ),
+)
+def is_weakly_connected_golden(spark, sf_dir):
+    tune_session(spark)
+    return cc_mod.is_weakly_connected(golden_graph(spark), max_iter=5)
+
+
+@_register(
+    "pagerank_golden",
+    _golden_algo_sql(
+        pr_mod.oracle_ctes("golden_edges", "golden_vertices", 0.85, 10)
+    ),
+)
+def pagerank_golden(spark, sf_dir):
+    tune_session(spark)
+    return pr_mod.page_rank(golden_graph(spark), beta=0.85, max_iter=10)
+
+
+@_register(
+    "lpa_golden",
+    _with(
+        GOLDEN_SQL,
+        """golden_ue AS (
+  SELECT src, dst FROM golden_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM golden_edges
+)""",
+        *lpa_mod.oracle_ctes("golden_ue", "golden_vertices", 5),
+    ),
+)
+def lpa_golden(spark, sf_dir):
+    tune_session(spark)
+    g = golden_graph(spark).get_undirected()
+    return lpa_mod.label_propagation(g, max_iter=5)
+
+
+# ----------------------------------------------------------------------
+# §2.7 iterative algorithms — customer–supplier graph (sf-scaled)
+# ----------------------------------------------------------------------
+
+@_register(
+    "pagerank_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *pr_mod.oracle_ctes("cs_edges", "cs_vertices", 0.85, 10),
+    ),
+)
+def pagerank_cs(spark, sf_dir):
+    return pr_mod.page_rank(_cs(spark, sf_dir), beta=0.85, max_iter=10)
+
+
+@_register(
+    "sssp_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """cs_ue AS (
+  SELECT src, dst, value FROM cs_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, value FROM cs_edges
+)""",
+        *sssp_mod.oracle_ctes("cs_ue", "cs_vertices", 1, 6),
+    ),
+)
+def sssp_cs(spark, sf_dir):
+    g = _cs(spark, sf_dir).get_undirected()
+    return sssp_mod.shortest_paths(g, 1, max_iter=6)
+
+
+@_register(
+    "cc_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *cc_mod.oracle_ctes("cs_edges", "cs_vertices", 8),
+    ),
+)
+def cc_cs(spark, sf_dir):
+    return cc_mod.connected_components(_cs(spark, sf_dir), max_iter=8)
+
+
+@_register(
+    "lpa_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """cs_ue AS (
+  SELECT src, dst FROM cs_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM cs_edges
+)""",
+        *lpa_mod.oracle_ctes("cs_ue", "cs_vertices", 4),
+    ),
+)
+def lpa_cs(spark, sf_dir):
+    g = _cs(spark, sf_dir).get_undirected()
+    return lpa_mod.label_propagation(g, max_iter=4)
+
+
+# ----------------------------------------------------------------------
+# §2.9 Jaccard similarity (part co-purchase graph)
+# ----------------------------------------------------------------------
+
+@_register(
+    "jaccard_part_copurchase",
+    _with(
+        PC_EDGES_SQL,
+        *jaccard_mod.oracle_ctes("pc_edges"),
+    ),
+)
+def jaccard_part_copurchase(spark, sf_dir):
+    tune_session(spark)
+    g = part_copurchase_graph(spark, sf_dir)
+    return jaccard_mod.jaccard_similarity(g)
+
+
+# ----------------------------------------------------------------------
+# user–user co-occurrence graph (FIXTURES C.2)
+# ----------------------------------------------------------------------
+
+@_register(
+    "uu_graph_edges",
+    _with(UU_EDGES_SQL, "SELECT src, dst, value FROM uu_edges"),
+)
+def uu_graph_edges(spark, sf_dir):
+    tune_session(spark)
+    return user_cooccurrence_graph(spark, sf_dir).edges

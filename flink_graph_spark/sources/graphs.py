@@ -1,0 +1,163 @@
+"""Graph views derived from the driver tables (FIXTURES.md §C), each with
+its DuckDB-SQL twin so every downstream operator query is oracle-able.
+
+The Spark builder and the SQL CTE string are kept adjacent and MUST stay
+semantically identical — the driver hashes the results of both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from .tables import load_table
+
+SUPPLIER_OFFSET = 1_000_000
+
+# --- C.1 customer–supplier bipartite graph (flagship) -----------------
+
+CS_EDGES_SQL = f"""
+cs_edges AS MATERIALIZED (
+    SELECT o_custkey AS src,
+           l_suppkey + {SUPPLIER_OFFSET} AS dst,
+           CAST(COUNT(*) AS BIGINT) AS value
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+)"""
+
+CS_VERTICES_SQL = """
+cs_vertices AS MATERIALIZED (
+    SELECT id, id AS value FROM (
+        SELECT src AS id FROM cs_edges
+        UNION
+        SELECT dst AS id FROM cs_edges
+    )
+)"""
+
+
+def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """edges = distinct (customer, supplier) pairs from orders ⋈ lineitem,
+    weight = number of lineitems; supplier ids offset by 1e6 to disjoint
+    the id spaces. Vertex value = id.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("value"))
+    )
+    return Graph.from_edges(edges)
+
+
+# --- C.2 user–user co-occurrence graph --------------------------------
+
+UU_EDGES_SQL = """
+uu_base AS MATERIALIZED (
+    SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
+    FROM events
+),
+uu_edges AS MATERIALIZED (
+    SELECT a.user_id AS src, b.user_id AS dst,
+           CAST(COUNT(*) AS BIGINT) AS value
+    FROM uu_base a
+    JOIN uu_base b
+      ON a.event_type = b.event_type AND a.hb = b.hb
+         AND a.user_id < b.user_id
+    GROUP BY 1, 2
+)"""
+
+
+def user_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Edges between users co-occurring on the same event_type within the
+    same hour bucket; weight = number of co-occurring (type, hour) cells.
+    src < dst (undirected-canonical form).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("value"))
+    )
+    return Graph.from_edges(edges)
+
+
+# --- C.3 part co-purchase graph ---------------------------------------
+
+PC_EDGES_SQL = """
+pc_edges AS MATERIALIZED (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS value
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+
+
+def part_copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Self-join of lineitem on l_orderkey (src < dst), weight = number of
+    distinct orders sharing the part pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.countDistinct("a.l_orderkey").cast("long").alias("value"))
+    )
+    return Graph.from_edges(edges)
+
+
+# --- C.4 golden fixture graph (reference TestGraphUtils) --------------
+
+GOLDEN_VERTICES = [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+GOLDEN_EDGES = [
+    (1, 2, 12),
+    (1, 3, 13),
+    (2, 3, 23),
+    (3, 4, 34),
+    (3, 5, 35),
+    (4, 5, 45),
+    (5, 1, 51),
+]
+
+GOLDEN_SQL = """
+golden_vertices AS (
+    SELECT CAST(id AS BIGINT) AS id, CAST(value AS BIGINT) AS value
+    FROM (VALUES (1,1),(2,2),(3,3),(4,4),(5,5)) AS t(id, value)
+),
+golden_edges AS (
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(value AS BIGINT) AS value
+    FROM (VALUES (1,2,12),(1,3,13),(2,3,23),(3,4,34),(3,5,35),(4,5,45),(5,1,51))
+         AS t(src, dst, value)
+)"""
+
+
+def golden_graph(spark: SparkSession) -> Graph:
+    """The reference's canonical 5-vertex/7-edge test fixture
+    (TestGraphUtils.getLongLongVertexData/getLongLongEdgeData ~L20-60).
+    """
+    return Graph.from_collection(spark, GOLDEN_VERTICES, GOLDEN_EDGES)
