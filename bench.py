@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver) — the same posture the engine itself keeps at
+scale (no collect() in any operator path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_graph_spark.plans.session import get_spark, tune_session  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: one representative per operator family (SURVEY.md §2) —
+# degrees/aggs, subgraph, triplets/joins, iterative algorithms, Jaccard,
+# and the north-star extensions (dedup, similarity, text, events).
+HEADLINE = [
+    "degrees_total",
+    "top_degree_vertices",
+    "subgraph_edges",
+    "triplets",
+    "reduce_on_neighbors_all",
+    "pagerank_cs",
+    "cc_cs",
+    "sssp_cs",
+    "lpa_cs",
+    "jaccard_part_copurchase",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "simhash_docs",
+    "ann_topk_bruteforce",
+    "embedding_near_dup",
+    "sessionize_events",
+    "hourly_rollup",
+    "top_events_per_user",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("flink-graph-spark-bench")
+    tune_session(spark)
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

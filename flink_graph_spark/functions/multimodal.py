@@ -1,0 +1,84 @@
+"""Multimodal column handling — image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched
+``mapInPandas`` (north-star extension, SURVEY.md §2.10).
+
+The container has no image/audio codecs, so the actual decode step is a
+clearly-marked stub (``NotImplementedError``) with a deterministic fake
+used by tests — but the Spark-side plumbing is real: binary payload
+column, metadata struct, mapInPandas batch iterator with a fixed output
+schema, partition-preserving flow. Swap ``decode_image`` for a PIL/ffmpeg
+call on a real cluster and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, head_sum long"
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    Here the payload is the utf-8 encoded text (a deterministic stand-in
+    for image bytes); in production this column comes straight from the
+    lakehouse (parquet BINARY), never through the driver.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.length("text").cast("long").alias("n_chars"),
+            F.col("lang").alias("mime_hint"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """STUB: real impl would be PIL/turbojpeg. Not available in this
+    container — see module docstring."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decoder: (n_bytes, sum of first 8 byte values).
+    Stands in for (width, height)-style metadata extraction."""
+    return len(payload), int(sum(payload[:8]))
+
+
+def extract_features(docs_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each batch arrives as a pandas DataFrame; the UDF is
+    pure per-row so Spark keeps partitioning intact (no shuffle). This
+    is the pattern for decode / resize / frame-sample at scale.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda t: t[0]),
+                    "head_sum": feats.map(lambda t: t[1]),
+                }
+            )
+
+    return docs_payload.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# DuckDB twin: the fake decoder is ASCII arithmetic, so even the
+# pandas-UDF path is oracle-checked (rare for multimodal plumbing).
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(
+           list_transform(generate_series(1, least(8, length(text))),
+                          i -> ord(substr(text, i, 1))), 'sum')
+            AS BIGINT) AS head_sum
+FROM documents"""

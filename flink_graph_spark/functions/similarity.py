@@ -1,0 +1,201 @@
+"""Embedding similarity search over ``embeddings(vec_id, embedding
+array<float>, label)`` — brute-force cosine baseline (oracle-checked)
+plus an LSH-bucketed approximate path for scale (north-star extension,
+SURVEY.md §2.10).
+
+Parity design: cosine is computed with the SAME sequential left-fold in
+both engines (Spark ``aggregate(zip_with(...))``, DuckDB ``list_reduce``
+over an index loop) after an elementwise float→double cast, so the
+doubles are bit-identical — thresholds and orderings agree exactly, not
+just within rounding.
+
+Scale notes: brute-force all-pairs is quadratic — kept as the exact
+baseline and for oracle checks. The scale path is `ann_topk_lsh`:
+random-hyperplane signatures bucket the vectors (one shuffle), top-k
+only within buckets. For 100 TB, add multi-probe (hamming-1 neighbor
+buckets) to trade recall/cost; the bucketing keys are deterministic so
+the result is stable across partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+# ---- portable cosine -------------------------------------------------
+
+def _fold_sum(arr_expr: str) -> str:
+    """Spark SQL: sequential left-fold sum of a double array."""
+    return f"aggregate({arr_expr}, 0.0D, (acc, x) -> acc + x)"
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(_fold_sum(f"zip_with({a}, {b}, (x, y) -> x * y)"))
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(F.expr(_fold_sum(f"zip_with({a}, {a}, (x, y) -> x * y)")))
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, e double[], nrm) — cast once, norm once."""
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        norm_expr("transform(embedding, x -> cast(x as double))").alias("nrm"),
+    )
+
+
+EMB_NORM_SQL = f"""
+emb_norm AS MATERIALIZED (
+    SELECT vec_id,
+           embedding::DOUBLE[] AS e,
+           sqrt(list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, {DIM}),
+                   i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])),
+               (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+)"""
+
+COS_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+    f"{DIM}), i -> a.e[i] * b.e[i])), (acc, x) -> acc + x) / (a.nrm * b.nrm)"
+)
+
+
+# ---- exact all-pairs near-dup ----------------------------------------
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All pairs with cosine > threshold → (va, vb, cosine). Exact
+    baseline (quadratic) — see module docstring for the scale path.
+    """
+    n = with_norm(emb)
+    a = n.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") > F.lit(threshold))
+        .select("va", "vb", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    return f"""WITH {EMB_NORM_SQL.strip()}
+SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({COS_SQL}, 6) AS cosine
+FROM emb_norm a JOIN emb_norm b ON a.vec_id < b.vec_id
+WHERE {COS_SQL} > {threshold!r}"""
+
+
+# ---- brute-force top-k (the ANN baseline) ----------------------------
+
+def ann_topk_bruteforce(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """For each query vector (vec_id < n_queries): exact top-k neighbors
+    by cosine (self excluded), deterministic (cosine DESC, vec_id ASC).
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    n = with_norm(emb)
+    q = n.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("vec_id"))
+        .withColumn("__cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_topk_sql(n_queries: int = 5, k: int = 10) -> str:
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> q.e[i] * c.e[i])), (acc, x) -> acc + x) / (q.nrm * c.nrm)"
+    )
+    return f"""WITH {EMB_NORM_SQL.strip()}
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+  FROM emb_norm q JOIN emb_norm c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+WHERE rank <= {k}"""
+
+
+# ---- LSH-bucketed approximate top-k (scale path) ---------------------
+
+_rng = random.Random(13)
+N_PLANES = 8
+HYPERPLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _signature(e_col: str) -> Column:
+    """Random-hyperplane sign bucket (0..2^N_PLANES-1) of a double[]."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(HYPERPLANES):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        d = F.expr(_fold_sum(f"zip_with({e_col}, {arr}, (x, y) -> x * y)"))
+        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def ann_topk_lsh(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane-sign bucket. One shuffle on the bucket key; at scale the
+    per-bucket join replaces the all-pairs cross product. Recall is
+    approximate — this is the scale path; the brute-force twin is the
+    exact baseline the driver oracle-checks.
+    """
+    n = with_norm(emb).withColumn("bucket", _signature("e"))
+    q = n.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+        "bucket",
+    )
+    cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
+    scored = (
+        q.join(n, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("__cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,240 @@
+"""Text analysis over the ``documents`` table — language-ID, quality
+scoring, token counting, fingerprinting (north-star extension,
+SURVEY.md §2.10; no reference equivalent — the reference is a graph
+library).
+
+Everything is built from native Spark SQL expressions (no Python UDFs:
+whole-stage codegen + exact DuckDB parity). Tokenization is a plain
+single-space split — the synthetic corpus is single-spaced token soup;
+swap in a regex tokenizer for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import FINGERPRINT_MULT, FINGERPRINT_P
+
+# ---- tokenization (Spark + SQL twins) --------------------------------
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+DOC_TOK_SQL = """
+doc_tok AS MATERIALIZED (
+    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+)"""
+
+# 3-token shingles
+SHINGLES_EXPR = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+    "ELSE array() END"
+)
+
+DOC_SHINGLES_SQL = """
+doc_shingles AS MATERIALIZED (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3 THEN
+                   list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                   ELSE [] END) AS s
+        FROM doc_tok
+    )
+)"""
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct word-3-gram shingles per document."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
+        .distinct()
+    )
+
+
+# ---- stats / quality -------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "is")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc: char count, token counts, type-token ratio, avg token
+    length. All integer-exact except the two rounded ratios.
+    """
+    t = _tokens()
+    n_tok = F.size(t)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(t)) / n_tok, 6).alias("ttr"),
+        F.round(
+            F.expr(
+                "aggregate(transform(split(text, ' '), x -> length(x)),"
+                " 0L, (a, x) -> a + x)"
+            )
+            / n_tok,
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       ROUND(len(list_distinct(t)) / len(t), 6) AS ttr,
+       ROUND(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+             / len(t), 6) AS avg_token_len
+FROM doc_tok"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count (pieces of ≤4
+    chars per token: (len+3) div 4 — integer-exact, portable).
+    """
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> (length(x)+3) div 4),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("n_subword_pieces"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_ws_tokens,
+       CAST(list_aggregate(list_transform(t, x -> (length(x)+3) // 4), 'sum')
+            AS BIGINT) AS n_subword_pieces
+FROM doc_tok"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic doc quality: type-token ratio blended with
+    stopword-ratio distance; deterministic double arithmetic.
+    """
+    t = _tokens()
+    n_tok = F.size(t)
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x in ({_STOP_IN})))"
+    )
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    stop_ratio = n_stop / n_tok
+    return docs.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            F.lit(0.7) * ttr + F.lit(0.3) * (F.lit(1.0) - stop_ratio), 6
+        ).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       ROUND(len(list_distinct(t)) / len(t), 6) AS ttr,
+       ROUND(len(list_filter(t, x -> x IN ({_STOP_IN}))) / len(t), 6)
+           AS stop_ratio,
+       ROUND(0.7 * (len(list_distinct(t)) / len(t))
+             + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({_STOP_IN})))
+                            / len(t)), 6) AS quality
+FROM doc_tok"""
+
+
+# ---- language ID -----------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "et", "des", "un"),
+}
+
+
+def lang_id(spark, docs: DataFrame) -> DataFrame:
+    """n-gram-heuristic language ID: count marker-word hits per language,
+    argmax with (count DESC, lang ASC) tie-break, 'und' when no marker
+    matches. The marker dictionary is broadcast (tiny dim table).
+    """
+    rows = [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws]
+    dic = spark.createDataFrame(rows, "word string, lang string")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    counts = (
+        toks.join(F.broadcast(dic), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"))
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("pred", F.lit("und")).alias("pred_lang")
+    )
+
+
+def lang_id_sql() -> tuple[str, str]:
+    """(CTE text, final SELECT) for composition by the registry."""
+    values = ", ".join(
+        f"('{w}', '{lang}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    ctes = f"""
+lang_dict AS (SELECT * FROM (VALUES {values}) AS t(word, lang)),
+lang_counts AS (
+    SELECT tok.doc_id, d.lang, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS word FROM doc_tok) tok
+    JOIN lang_dict d ON tok.word = d.word
+    GROUP BY 1, 2
+),
+lang_best AS (
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, lang ASC) AS rn
+        FROM lang_counts
+    ) WHERE rn = 1
+)"""
+    final = """SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+FROM doc_tok d LEFT JOIN lang_best b ON d.doc_id = b.doc_id"""
+    return ctes, final
+
+
+# ---- fingerprinting --------------------------------------------------
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling hash over md5-derived token hashes:
+    h = (h*31 + h32(tok)) mod 1e9+7 — a left fold, bit-identical in
+    both engines (see functions/hashing.py).
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            " transform(split(text, ' '),"
+            "   x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)),"
+            f" 0L, (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})"
+        ).alias("fingerprint"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(t,
+             x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+         (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})
+       AS fingerprint
+FROM doc_tok"""

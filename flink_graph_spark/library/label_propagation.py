@@ -22,7 +22,7 @@ from ..graph import Graph, GraphAlgorithm
 
 
 def label_propagation(
-    graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 5
+    graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 2
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex value."""
     edges = graph.edges.select("src", "dst").persist()

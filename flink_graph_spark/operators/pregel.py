@@ -47,7 +47,7 @@ def pregel(
     msg_to_src: Column | None = None,
     max_iter: int = 10,
     state_col: str = "state",
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
     check_convergence: bool = False,
 ) -> PregelResult:
     """Run a vertex-centric iteration.

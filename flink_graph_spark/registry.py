@@ -742,3 +742,166 @@ def jaccard_part_copurchase(spark, sf_dir):
 def uu_graph_edges(spark, sf_dir):
     tune_session(spark)
     return user_cooccurrence_graph(spark, sf_dir).edges
+
+
+# ======================================================================
+# North-star extensions (SURVEY.md §2.10): text analysis, dedup,
+# similarity search, event analytics, multimodal plumbing
+# ======================================================================
+
+from .functions import dedup as dedup_mod  # noqa: E402
+from .functions import multimodal as mm_mod  # noqa: E402
+from .functions import sessions as sess_mod  # noqa: E402
+from .functions import similarity as sim_mod  # noqa: E402
+from .functions import text as text_mod  # noqa: E402
+from .sources.tables import load_table  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _emb(spark, sf_dir):
+    tune_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---- text analysis ----------------------------------------------------
+
+@_register("text_stats", _with(text_mod.DOC_TOK_SQL, text_mod.TEXT_STATS_SQL))
+def text_stats(spark, sf_dir):
+    return text_mod.text_stats(_docs(spark, sf_dir))
+
+
+@_register(
+    "token_counts", _with(text_mod.DOC_TOK_SQL, text_mod.TOKEN_COUNTS_SQL)
+)
+def token_counts(spark, sf_dir):
+    return text_mod.token_counts(_docs(spark, sf_dir))
+
+
+@_register(
+    "quality_score", _with(text_mod.DOC_TOK_SQL, text_mod.QUALITY_SCORE_SQL)
+)
+def quality_score(spark, sf_dir):
+    return text_mod.quality_score(_docs(spark, sf_dir))
+
+
+@_register("lang_id", _with(text_mod.DOC_TOK_SQL, *text_mod.lang_id_sql()))
+def lang_id(spark, sf_dir):
+    return text_mod.lang_id(spark, _docs(spark, sf_dir))
+
+
+@_register(
+    "doc_fingerprint",
+    _with(text_mod.DOC_TOK_SQL, text_mod.DOC_FINGERPRINT_SQL),
+)
+def doc_fingerprint(spark, sf_dir):
+    return text_mod.doc_fingerprint(_docs(spark, sf_dir))
+
+
+# ---- deduplication ----------------------------------------------------
+
+@_register("dedup_exact_stats", dedup_mod.DEDUP_EXACT_STATS_SQL)
+def dedup_exact_stats(spark, sf_dir):
+    return dedup_mod.dedup_exact_stats(_docs(spark, sf_dir))
+
+
+@_register(
+    "dedup_exact", _with(dedup_mod.DD_SQL, dedup_mod.DEDUP_EXACT_SQL)
+)
+def dedup_exact(spark, sf_dir):
+    return dedup_mod.dedup_exact(
+        dedup_mod.with_synthetic_dups(_docs(spark, sf_dir))
+    )
+
+
+@_register(
+    "dedup_ngram_topk",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.PAIR_JACCARD_SQL,
+        dedup_mod.DEDUP_NGRAM_TOPK_SQL,
+    ),
+)
+def dedup_ngram_topk(spark, sf_dir):
+    return dedup_mod.dedup_ngram_topk(_docs(spark, sf_dir))
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.PAIR_JACCARD_SQL,
+        dedup_mod.minhash_sql_parts(),
+        dedup_mod.DEDUP_MINHASH_SQL,
+    ),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup_mod.dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+@_register(
+    "simhash_docs",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        dedup_mod.SIMHASH_CTES_SQL,
+        dedup_mod.SIMHASH_FINAL_SQL,
+    ),
+)
+def simhash_docs(spark, sf_dir):
+    return dedup_mod.simhash(_docs(spark, sf_dir))
+
+
+# ---- similarity search ------------------------------------------------
+
+@_register("embedding_near_dup", sim_mod.embedding_near_dup_sql(0.4))
+def embedding_near_dup(spark, sf_dir):
+    return sim_mod.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+@_register("ann_topk_bruteforce", sim_mod.ann_topk_sql(5, 10))
+def ann_topk_bruteforce(spark, sf_dir):
+    return sim_mod.ann_topk_bruteforce(_emb(spark, sf_dir), 5, 10)
+
+
+@_register("ann_topk_lsh", None)  # approximate scale path: rows-only check
+def ann_topk_lsh(spark, sf_dir):
+    return sim_mod.ann_topk_lsh(_emb(spark, sf_dir), 5, 10)
+
+
+# ---- event analytics --------------------------------------------------
+
+@_register("sessionize_events", _with(*sess_mod.sessionize_sql()))
+def sessionize_events(spark, sf_dir):
+    return sess_mod.sessionize(_events(spark, sf_dir))
+
+
+@_register("json_k_stats", sess_mod.JSON_K_STATS_SQL)
+def json_k_stats(spark, sf_dir):
+    return sess_mod.json_k_stats(_events(spark, sf_dir))
+
+
+@_register("hourly_rollup", sess_mod.HOURLY_ROLLUP_SQL)
+def hourly_rollup(spark, sf_dir):
+    return sess_mod.hourly_rollup(_events(spark, sf_dir))
+
+
+@_register("top_events_per_user", sess_mod.top_events_per_user_sql(3))
+def top_events_per_user(spark, sf_dir):
+    return sess_mod.top_events_per_user(_events(spark, sf_dir), 3)
+
+
+# ---- multimodal plumbing ----------------------------------------------
+
+@_register("multimodal_features", mm_mod.MULTIMODAL_FEATURES_SQL)
+def multimodal_features(spark, sf_dir):
+    return mm_mod.extract_features(mm_mod.with_payload(_docs(spark, sf_dir)))

@@ -1,0 +1,146 @@
+"""Library-algorithm tests on the golden fixture with hand-computed
+answers (reference: library/*.java algorithm tests, SURVEY.md §2.7/§5).
+
+Golden graph: edges (1,2,12),(1,3,13),(2,3,23),(3,4,34),(3,5,35),
+(4,5,45),(5,1,51) — single strongly connected component via 5→1.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import rows_as_dict
+from flink_graph_spark.graph import Graph
+from flink_graph_spark.library.connected_components import (
+    ConnectedComponents,
+    connected_components,
+    is_weakly_connected,
+)
+from flink_graph_spark.library.jaccard import jaccard_similarity
+from flink_graph_spark.library.label_propagation import label_propagation
+from flink_graph_spark.library.pagerank import PageRank, page_rank
+from flink_graph_spark.library.sssp import SingleSourceShortestPaths, shortest_paths
+from flink_graph_spark.operators.pregel import pregel
+
+
+def test_sssp_exact_distances(golden):
+    # from 1: 2 via (1,2)=12; 3 via (1,3)=13; 4 via 3=47; 5 via 3=48
+    d = rows_as_dict(shortest_paths(golden, 1, max_iter=5), "id", "dist")
+    assert d == {1: 0, 2: 12, 3: 13, 4: 47, 5: 48}
+
+
+def test_sssp_unreachable_is_null(spark):
+    g = Graph.from_collection(spark, [(1, 1), (2, 2), (3, 3)], [(1, 2, 7)])
+    d = rows_as_dict(shortest_paths(g, 1, max_iter=3), "id", "dist")
+    assert d == {1: 0, 2: 7, 3: None}
+
+
+def test_sssp_algorithm_packaging(golden):
+    g = golden.run(SingleSourceShortestPaths(1, max_iter=5))
+    assert rows_as_dict(g.vertices, "id", "value")[4] == 47
+
+
+def test_connected_components_single(golden):
+    c = rows_as_dict(connected_components(golden, max_iter=6), "id", "comp")
+    assert c == {i: 1 for i in range(1, 6)}
+
+
+def test_connected_components_two_islands(spark):
+    g = Graph.from_collection(
+        spark,
+        [(i, i) for i in range(1, 7)],
+        [(1, 2, 0), (2, 3, 0), (5, 4, 0), (6, 5, 0)],
+    )
+    c = rows_as_dict(connected_components(g, max_iter=6), "id", "comp")
+    assert c == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_is_weakly_connected(golden, spark):
+    assert is_weakly_connected(golden, max_iter=6).collect()[0]["connected"] is True
+    g2 = Graph.from_collection(spark, [(1, 1), (2, 2), (3, 3)], [(1, 2, 0)])
+    assert is_weakly_connected(g2, max_iter=4).collect()[0]["connected"] is False
+
+
+def test_cc_algorithm_packaging(golden):
+    g = golden.run(ConnectedComponents(max_iter=6))
+    assert rows_as_dict(g.vertices, "id", "value") == {i: 1 for i in range(1, 6)}
+
+
+def test_pagerank_mass_conserved(golden):
+    # every golden vertex has an out-edge (no dangling) → ranks sum to 1
+    ranks = page_rank(golden, beta=0.85, max_iter=20)
+    total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    assert total == pytest.approx(1.0, abs=1e-4)
+    r = rows_as_dict(ranks, "id", "rank")
+    assert all(v > 0 for v in r.values())
+    # fixed-point (numpy twin): 5 ≻ 3 ≻ 1 ≻ 4 ≻ 2
+    assert r[5] == max(r.values())
+    assert r[5] == pytest.approx(0.2479, abs=1e-3)
+    assert r[3] == pytest.approx(0.2449, abs=1e-3)
+
+
+def test_pagerank_algorithm_packaging(golden):
+    g = golden.run(PageRank(0.85, 5))
+    assert g.vertices.count() == 5
+
+
+def test_label_propagation_converges_to_one_label(golden):
+    labels = rows_as_dict(
+        label_propagation(golden.get_undirected(), max_iter=8), "id", "label"
+    )
+    # dense single community → all adopt one label; ties break to max
+    assert len(set(labels.values())) == 1
+
+
+def test_jaccard_similarity(spark):
+    # square 1-2, 1-3, 2-4, 3-4 undirected-canonical (src<dst):
+    # N(1)={2,3} N(2)={1,4} N(3)={1,4} N(4)={2,3}
+    # J(1,2)=|{}|/|{1,2,3,4}|=0; J(2,3): N∩={1,4} N∪={1,4} → 1.0 but edge
+    # (2,3) absent → only scored for existing edges.
+    g = Graph.from_edges(
+        spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 1), (2, 4, 1), (3, 4, 1)],
+            "src long, dst long, value long",
+        )
+    )
+    j = {(r["src"], r["dst"]): r["jaccard"] for r in jaccard_similarity(g).collect()}
+    assert j == {(1, 2): 0.0, (1, 3): 0.0, (2, 4): 0.0, (3, 4): 0.0}
+    # triangle 1-2,1-3,2-3: J(2,3)-neighbors share {1}, union {1,2,3} → 1/3
+    g2 = Graph.from_edges(
+        spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 1), (2, 3, 1)], "src long, dst long, value long"
+        )
+    )
+    j2 = {(r["src"], r["dst"]): r["jaccard"] for r in jaccard_similarity(g2).collect()}
+    assert j2[(2, 3)] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_pregel_convergence_early_stop(golden):
+    # min-id propagation converges on the golden cycle in ≤5 supersteps
+    res = pregel(
+        golden.get_undirected(),
+        initial=F.col("id"),
+        msg_to_dst=F.col("src_state"),
+        agg=F.min("__msg").alias("__agg"),
+        update=F.least(F.col("state"), F.col("__agg")),
+        max_iter=30,
+        check_convergence=True,
+    )
+    assert res.converged
+    assert res.iterations < 30
+    assert rows_as_dict(res.vertices, "id", "state") == {i: 1 for i in range(1, 6)}
+
+
+def test_pregel_deep_iteration_lineage(golden):
+    # 25 fixed supersteps — exercises the localCheckpoint lineage cap
+    res = pregel(
+        golden,
+        initial=F.col("id"),
+        msg_to_dst=F.col("src_state"),
+        agg=F.min("__msg").alias("__agg"),
+        update=F.least(F.col("state"), F.col("__agg")),
+        max_iter=25,
+    )
+    assert res.iterations == 25
+    assert rows_as_dict(res.vertices, "id", "state") == {i: 1 for i in range(1, 6)}

@@ -1,0 +1,225 @@
+"""North-star extension tests (SURVEY.md §2.10): text analysis, dedup,
+similarity search, event analytics, multimodal plumbing — small
+synthetic inputs with hand-computed answers, plus sf0.001 smoke.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, rows_as_dict
+from flink_graph_spark.functions import dedup as dedup_mod
+from flink_graph_spark.functions import multimodal as mm_mod
+from flink_graph_spark.functions import sessions as sess_mod
+from flink_graph_spark.functions import similarity as sim_mod
+from flink_graph_spark.functions import text as text_mod
+from flink_graph_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 7: two sessions split by a 60-min gap (> 30-min threshold)
+        (1, at(0), 7, "click", 1.0, '{"k": 5}'),
+        (2, at(10), 7, "view", 2.0, '{"k": 7}'),
+        (3, at(70), 7, "click", 4.0, None),
+        # user 8: one session
+        (4, at(5), 8, "purchase", 10.0, '{"k": 1}'),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+# --- text analysis -----------------------------------------------------
+
+def test_text_stats_counts(docs):
+    got = {r["doc_id"]: r for r in text_mod.text_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 9
+    assert got[3]["n_tokens"] == 6
+    assert got[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in text_mod.token_counts(docs).collect()}
+    assert got[1]["n_ws_tokens"] == 9
+    # piece count (len+3)//4 per token: 1+2+2+1+2+1+1+1+1 = 12
+    assert got[1]["n_subword_pieces"] == 12
+
+
+def test_doc_fingerprint_matches_for_equal_text(docs):
+    fp = rows_as_dict(text_mod.doc_fingerprint(docs), "doc_id", "fingerprint")
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[2]
+
+
+def test_lang_id_sf(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = text_mod.lang_id(spark, docs)
+    assert {"doc_id", "pred_lang"} <= set(out.columns)
+    assert out.count() == docs.count()
+
+
+def test_quality_score_range(spark, docs):
+    got = text_mod.quality_score(docs)
+    vals = [r["quality"] for r in got.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# --- dedup --------------------------------------------------------------
+
+def test_dedup_exact(docs):
+    got = {(r["doc_id"], r["keep_id"]) for r in dedup_mod.dedup_exact(docs).collect()}
+    assert got == {(4, 1)}
+
+
+def test_dedup_exact_stats(docs):
+    row = dedup_mod.dedup_exact_stats(docs).collect()[0]
+    assert (row["n_docs"], row["n_distinct_texts"], row["n_dup_docs"]) == (4, 3, 1)
+
+
+def test_ngram_jaccard_ranks_near_dup_first(docs):
+    top = dedup_mod.dedup_ngram_topk(docs, k=3).collect()
+    assert {top[0]["da"], top[0]["db"]} == {1, 4}  # identical → jaccard 1.0
+    assert top[0]["jaccard"] == pytest.approx(1.0)
+    assert {top[1]["da"], top[1]["db"]} <= {1, 2, 4}  # near-dup pair next
+
+
+def test_minhash_similar_docs_share_buckets(docs):
+    sh = text_mod.doc_shingles(docs)
+    sig = dedup_mod.minhash_signatures(sh)
+    assert sig.select("doc_id").distinct().count() == 4
+    pairs = dedup_mod.dedup_minhash_lsh(docs, threshold=0.05)
+    got = {(r["da"], r["db"]) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs always collide
+
+
+def test_simhash_hamming_reflects_similarity(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_mod.simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_12 < ham_13
+
+
+# --- similarity search ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup(emb):
+    got = {(r["va"], r["vb"]): r["cosine"] for r in
+           sim_mod.embedding_near_dup(emb, threshold=0.5).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+
+
+def test_ann_topk_bruteforce_ordering(emb):
+    got = sim_mod.ann_topk_bruteforce(emb, n_queries=1, k=3).collect()
+    order = [r["vec_id"] for r in got]
+    assert order == [1, 2, 3]  # by cosine desc from query 0
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_ann_topk_lsh_consistent_with_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = sim_mod.ann_topk_bruteforce(emb, n_queries=3, k=5)
+    approx = sim_mod.ann_topk_lsh(emb, n_queries=3, k=5)
+    e = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    got = approx.collect()
+    assert approx.columns == ["query_id", "vec_id", "cosine", "rank"]
+    # approximate: any pair LSH also found must carry the same cosine,
+    # and per-query ranks must be contiguous from 1
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in e:
+            assert r["cosine"] == pytest.approx(e[key], abs=1e-6)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --- event analytics -----------------------------------------------------
+
+def test_sessionize_gap_split(events):
+    got = {(r["user_id"], r["session_id"]): r for r in
+           sess_mod.sessionize(events).collect()}
+    assert set(got) == {(7, 1), (7, 2), (8, 1)}
+    assert got[(7, 1)]["n_events"] == 2
+    assert got[(7, 2)]["n_events"] == 1
+    assert got[(7, 1)]["sum_cents"] == 300
+
+
+def test_json_k_stats(events):
+    got = {r["event_type"]: r for r in sess_mod.json_k_stats(events).collect()}
+    assert got["click"]["sum_k"] == 5  # null props ignored by sum
+    assert got["view"]["min_k"] == 7
+    assert got["purchase"]["max_k"] == 1
+
+
+def test_hourly_rollup(events):
+    got = {(r["event_type"], r["hour"].hour): r
+           for r in sess_mod.hourly_rollup(events).collect()}
+    assert got[("click", 10)]["n_events"] == 1
+    assert got[("click", 11)]["n_events"] == 1
+    assert got[("purchase", 10)]["sum_cents"] == 1000
+
+
+def test_top_events_per_user(events):
+    got = sess_mod.top_events_per_user(events, k=2)
+    by_user = {}
+    for r in got.collect():
+        by_user.setdefault(r["user_id"], []).append((r["rn"], r["event_id"]))
+    assert sorted(by_user[7]) == [(1, 3), (2, 2)]  # by value desc
+    assert sorted(by_user[8]) == [(1, 4)]
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+def test_multimodal_payload_and_features(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    with_payload = mm_mod.with_payload(docs)
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    feats = mm_mod.extract_features(with_payload)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert all(r["head_sum"] > 0 for r in rows)
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm_mod.decode_image(b"\x89PNG")
