@@ -58,6 +58,13 @@ def main() -> int:
     spark = get_spark("flink-graph-spark-bench")
     tune_session(spark)
 
+    # Warm up: touch every table once so the first timed query doesn't
+    # absorb one-time session/scan setup costs.
+    from flink_graph_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -419,28 +419,34 @@ class Graph:
             raise ValueError("need msg_to_dst and/or msg_to_src")
         v = vertices if vertices is not None else self._vertices
         vcols = [c for c in v.columns if c != "id"]
-        trip = self._edges
-        if msg_to_dst is not None or msg_to_src is not None:
-            sv = v.select(
-                F.col("id").alias("__sid"),
-                *[F.col(c).alias(f"src_{c}") for c in vcols],
-            )
-            dv = v.select(
-                F.col("id").alias("__did"),
-                *[F.col(c).alias(f"dst_{c}") for c in vcols],
-            )
-            trip = trip.join(sv, trip["src"] == sv["__sid"]).join(
-                dv, F.col("dst") == dv["__did"]
-            )
+        sv = v.select(
+            F.col("id").alias("__sid"),
+            *[F.col(c).alias(f"src_{c}") for c in vcols],
+        )
+        dv = v.select(
+            F.col("id").alias("__did"),
+            *[F.col(c).alias(f"dst_{c}") for c in vcols],
+        )
+
+        def inbox_side(msg_expr: Column, owner: str) -> DataFrame:
+            # Join only the endpoint state the message expression actually
+            # references (Column reprs contain the column names; an
+            # over-join on a substring false-positive is harmless, an
+            # under-join impossible). SSSP/PageRank messages read one
+            # side → one vertex join per superstep instead of two.
+            s = str(msg_expr)
+            trip = self._edges
+            if any(f"src_{c}" in s for c in vcols):
+                trip = trip.join(sv, trip["src"] == sv["__sid"])
+            if any(f"dst_{c}" in s for c in vcols):
+                trip = trip.join(dv, F.col("dst") == dv["__did"])
+            return trip.select(F.col(owner).alias("id"), msg_expr.alias("__msg"))
+
         msgs = []
         if msg_to_dst is not None:
-            msgs.append(
-                trip.select(F.col("dst").alias("id"), msg_to_dst.alias("__msg"))
-            )
+            msgs.append(inbox_side(msg_to_dst, "dst"))
         if msg_to_src is not None:
-            msgs.append(
-                trip.select(F.col("src").alias("id"), msg_to_src.alias("__msg"))
-            )
+            msgs.append(inbox_side(msg_to_src, "src"))
         inbox = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
         return inbox.groupBy("id").agg(*agg)
 

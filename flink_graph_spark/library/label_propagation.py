@@ -15,7 +15,7 @@ For undirected behavior (the common use), pass ``graph.get_undirected()``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, GraphAlgorithm
@@ -30,16 +30,16 @@ def label_propagation(
         "id", F.col(label_col).alias("label")
     ).localCheckpoint(eager=True)
 
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.desc("label"))
     for it in range(1, max_iter + 1):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
         counts = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
-        picked = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+        # mode with (cnt DESC, label DESC) tie-break as a single hash agg
+        # (max of (cnt, label) struct) — avoids the sort-based ranking
+        # window, one fewer sort per superstep
+        picked = counts.groupBy("id").agg(
+            F.max(F.struct("cnt", "label"))["label"].alias("new_label")
         )
         labels = labels.join(picked, "id", "left").select(
             "id", F.coalesce("new_label", "label").alias("label")
