@@ -905,3 +905,130 @@ def top_events_per_user(spark, sf_dir):
 @_register("multimodal_features", mm_mod.MULTIMODAL_FEATURES_SQL)
 def multimodal_features(spark, sf_dir):
     return mm_mod.extract_features(mm_mod.with_payload(_docs(spark, sf_dir)))
+
+
+# ---- triangle counting (part co-purchase graph) -----------------------
+
+from .library import triangles as tri_mod  # noqa: E402
+
+
+@_register(
+    "triangle_count_pc",
+    _with(PC_EDGES_SQL, tri_mod.oracle_sql("pc_edges")),
+)
+def triangle_count_pc(spark, sf_dir):
+    tune_session(spark)
+    return tri_mod.triangle_count(part_copurchase_graph(spark, sf_dir))
+
+
+@_register(
+    "triangles_per_vertex_uu",
+    _with(
+        UU_EDGES_SQL,
+        """SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT ab.src AS id FROM uu_edges ab
+  JOIN uu_edges bc ON ab.dst = bc.src
+  JOIN uu_edges ac ON ac.src = ab.src AND ac.dst = bc.dst
+  UNION ALL
+  SELECT ab.dst FROM uu_edges ab
+  JOIN uu_edges bc ON ab.dst = bc.src
+  JOIN uu_edges ac ON ac.src = ab.src AND ac.dst = bc.dst
+  UNION ALL
+  SELECT bc.dst FROM uu_edges ab
+  JOIN uu_edges bc ON ab.dst = bc.src
+  JOIN uu_edges ac ON ac.src = ab.src AND ac.dst = bc.dst
+) GROUP BY 1""",
+    ),
+)
+def triangles_per_vertex_uu(spark, sf_dir):
+    tune_session(spark)
+    return tri_mod.triangles_per_vertex(user_cooccurrence_graph(spark, sf_dir))
+
+
+# ---- MusicProfiles-style composite pipeline (§2.9) ---------------------
+
+from .library import music_profiles as mp_mod  # noqa: E402
+
+
+@_register(
+    "top_event_per_user",
+    _with(mp_mod.TOP_EVENT_SQL, "SELECT user_id, top_event, CAST(n_plays AS BIGINT) AS n_plays FROM top_event"),
+)
+def top_event_per_user(spark, sf_dir):
+    return mp_mod.top_event_per_user(_events(spark, sf_dir)).select(
+        "user_id", "top_event", F.col("n_plays").cast("long").alias("n_plays")
+    )
+
+
+@_register(
+    "shared_top_event_edges",
+    _with(mp_mod.SHARED_TOP_EDGES_SQL, "SELECT src, dst, value FROM shared_edges"),
+)
+def shared_top_event_edges(spark, sf_dir):
+    return mp_mod.shared_top_event_graph(_events(spark, sf_dir)).edges
+
+
+@_register(
+    "music_profiles_communities",
+    _with(
+        mp_mod.SHARED_TOP_EDGES_SQL,
+        """mp_ue AS MATERIALIZED (
+  SELECT src, dst FROM shared_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM shared_edges
+)""",
+        """mp_vertices AS MATERIALIZED (
+  SELECT id, id AS value FROM (
+    SELECT src AS id FROM shared_edges UNION SELECT dst FROM shared_edges
+  )
+)""",
+        *lpa_mod.oracle_ctes("mp_ue", "mp_vertices", 3),
+    ),
+)
+def music_profiles_communities(spark, sf_dir):
+    return mp_mod.music_profiles_communities(_events(spark, sf_dir), max_iter=3)
+
+
+# ---- structured streaming (availableNow snapshot = batch semantics) ----
+
+from .streaming import events as stream_mod  # noqa: E402
+
+
+@_register(
+    "streaming_hourly_rollup",
+    """SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2""",
+)
+def streaming_hourly_rollup(spark, sf_dir):
+    """Incremental tumbling-window rollup run to completion with
+    trigger(availableNow) — for a fully-arrived input the snapshot must
+    equal the batch GROUP BY exactly (the oracle); approx_count_distinct
+    is excluded (nondeterministic across engines by design).
+    """
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(stream_mod.streaming_hourly_rollup(stream))
+    return snap.select("event_type", "hour", "n_events", "sum_cents")
+
+
+@_register(
+    "streaming_sessionize",
+    _with(
+        sess_mod.sessionize_sql()[0],
+        """SELECT user_id, n_events, start_ts, end_ts, sum_cents FROM (
+"""
+        + sess_mod.sessionize_sql()[1]
+        + "\n)",
+    ),
+)
+def streaming_sessionize(spark, sf_dir):
+    """session_window sessionization snapshot — identical session
+    boundaries to the batch lag()-gap plan (oracle = batch sessionize
+    minus the session-id column, which streaming windows don't number).
+    """
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(stream_mod.streaming_sessionize(stream))
+    return snap.select("user_id", "n_events", "start_ts", "end_ts", "sum_cents")

@@ -1,0 +1,135 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only (pure DataSet; SURVEY.md §2.10 — no
+streaming, watermarks, or windows exist in andralungu/flink-graph), so
+this module is a north-star extension, not a parity item: the same
+event-analytics queries as ``functions.sessions`` expressed as
+incremental streaming plans.
+
+Design (100 TB / always-on posture):
+* Source: file-stream over the events parquet (schema pinned — a
+  streaming reader never infers), `maxFilesPerTrigger` bounds batch
+  size; in production this would be a Kafka source with identical
+  downstream plans.
+* Event-time correctness: watermark on ``ts`` bounds state for both the
+  tumbling-window rollup and the session windows; late rows beyond the
+  watermark are dropped deterministically.
+* Sessionization uses ``F.session_window`` (state-store backed, merges
+  on overlap) — the streaming twin of the batch lag()-gap plan.
+* Tests drive it with ``trigger(availableNow=True)`` + memory sink and
+  compare against the batch twins — the plans themselves are identical
+  for a fully-arrived dataset.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file-stream source requires a directory; the testdata keeps one
+    parquet per table in a shared dir — stage a per-sf dir holding a
+    symlink to events.parquet (testdata itself is read-only).
+    """
+    import hashlib
+    import os
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"fgs_events_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream over the events parquet with the nanos→timestamp
+    normalization of ``sources.tables.load_table`` applied streaming-side.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_stage_dir(sf_dir))
+    )
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the instants match the batch loaders' NTZ values
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_rollup(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1h window per event_type — the incremental twin of
+    ``functions.sessions.hourly_rollup``. Watermark bounds window state;
+    approx_count_distinct replaces exact distinct (exact per-key distinct
+    over an unbounded stream would hold every user id in state).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+            F.approx_count_distinct("user_id").alias("approx_n_users"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("hour"),
+            "n_events", "sum_cents", "approx_n_users",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user (state-store merged) — the
+    incremental twin of ``functions.sessions.sessionize``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            "user_id", "n_events", "start_ts", "end_ts", "sum_cents",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming query to completion over the currently-available
+    input (one availableNow pass, memory sink) and return the result as
+    a batch DataFrame — the test/driver harness for the plans above.
+    """
+    name = f"snap_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fgs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

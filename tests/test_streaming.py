@@ -1,0 +1,64 @@
+"""Structured Streaming twins vs their batch counterparts on sf0.001:
+for a fully-arrived dataset the incremental plans must produce the same
+aggregates as the batch plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+from flink_graph_spark.functions import sessions as sess_mod
+from flink_graph_spark.sources.tables import load_table
+from flink_graph_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_available_now(streaming_hourly_rollup(stream))
+    batch = sess_mod.hourly_rollup(batch_events)
+    g = {(r["event_type"], r["hour"]): (r["n_events"], r["sum_cents"])
+         for r in got.collect()}
+    b = {(r["event_type"], r["hour"]): (r["n_events"], r["sum_cents"])
+         for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_sessionize_matches_batch_session_count(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_available_now(streaming_sessionize(stream))
+    batch = sess_mod.sessionize(batch_events)
+    g_sessions = {}
+    g_events = {}
+    for r in got.collect():
+        g_sessions[r["user_id"]] = g_sessions.get(r["user_id"], 0) + 1
+        g_events[r["user_id"]] = g_events.get(r["user_id"], 0) + r["n_events"]
+    b_sessions = {}
+    b_events = {}
+    for r in batch.collect():
+        b_sessions[r["user_id"]] = b_sessions.get(r["user_id"], 0) + 1
+        b_events[r["user_id"]] = b_events.get(r["user_id"], 0) + r["n_events"]
+    assert g_events == b_events
+    assert g_sessions == b_sessions
+
+
+def test_streaming_schema_is_stable(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    roll = streaming_hourly_rollup(stream)
+    assert roll.columns == [
+        "event_type", "hour", "n_events", "sum_cents", "approx_n_users"
+    ]
+    sess = streaming_sessionize(stream)
+    assert sess.columns == [
+        "user_id", "n_events", "start_ts", "end_ts", "sum_cents"
+    ]

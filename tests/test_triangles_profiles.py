@@ -1,0 +1,94 @@
+"""Tests for triangle counting and the MusicProfiles-style pipeline."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import rows_as_dict
+from flink_graph_spark.graph import Graph
+from flink_graph_spark.library.music_profiles import (
+    music_profiles_communities,
+    shared_top_event_graph,
+    top_event_per_user,
+)
+from flink_graph_spark.library.triangles import triangle_count, triangles_per_vertex
+
+
+@pytest.fixture(scope="module")
+def tri_graph(spark):
+    # canonical src<dst; triangles {1,2,3} and {2,3,4}
+    return Graph.from_edges(
+        spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 1), (2, 3, 1), (2, 4, 1), (3, 4, 1)],
+            "src long, dst long, value long",
+        )
+    )
+
+
+def test_triangle_count(tri_graph):
+    assert triangle_count(tri_graph).collect()[0]["n_triangles"] == 2
+
+
+def test_triangles_per_vertex(tri_graph):
+    got = rows_as_dict(triangles_per_vertex(tri_graph), "id", "n_triangles")
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    g = Graph.from_edges(
+        spark.createDataFrame([(1, 2, 1), (3, 4, 1)], "src long, dst long, value long")
+    )
+    assert triangle_count(g).collect()[0]["n_triangles"] == 0
+
+
+@pytest.fixture(scope="module")
+def mp_events(spark):
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: click x2, view x1 → top=click
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0, 1, "click", 1.0, None),
+        (3, t0, 1, "view", 1.0, None),
+        # user 2: click x1, view x1 → tie → alphabetical ASC → click
+        (4, t0, 2, "click", 1.0, None),
+        (5, t0, 2, "view", 1.0, None),
+        # user 3: view only → top=view
+        (6, t0, 3, "view", 1.0, None),
+        # user 4: errors only → filtered out entirely
+        (7, t0, 4, "error", 1.0, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_top_event_per_user(mp_events):
+    got = {r["user_id"]: (r["top_event"], r["n_plays"])
+           for r in top_event_per_user(mp_events).collect()}
+    assert got == {1: ("click", 2), 2: ("click", 1), 3: ("view", 1)}
+
+
+def test_shared_top_event_graph(mp_events):
+    g = shared_top_event_graph(mp_events)
+    edges = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert edges == {(1, 2)}  # users 1,2 share top=click; 3 is alone
+
+
+def test_music_profiles_communities(mp_events):
+    # synchronous LPA on the 2-node shared-taste graph oscillates
+    # (labels swap each superstep — faithful to the reference's
+    # synchronous model); with 3 fixed iterations: 1↔2 swapped 3x
+    labels = rows_as_dict(
+        music_profiles_communities(mp_events, max_iter=3), "id", "label"
+    )
+    assert set(labels) == {1, 2}  # vertex set = edge endpoints only
+    assert labels == {1: 2, 2: 1}  # deterministic fixed-iteration state
+    labels4 = rows_as_dict(
+        music_profiles_communities(mp_events, max_iter=4), "id", "label"
+    )
+    assert labels4 == {1: 1, 2: 2}  # one more swap — exact semantics
