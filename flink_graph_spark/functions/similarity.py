@@ -199,3 +199,71 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---- IVF (inverted-file) approximate top-k ---------------------------
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: vectors are assigned to their nearest
+    of ``nlist`` centroids (inverted lists); each query probes its
+    ``nprobe`` nearest lists and scores only those candidates.
+
+    Training-free determinism: centroids = the vectors with
+    vec_id < nlist (stable across partitionings/runs, no k-means RNG) —
+    on a real corpus swap in sampled-then-refined centroids; the plan
+    shape is identical. Scale: assignment is one broadcast nested-loop
+    against nlist tiny centroids + per-vector argmin; the search joins
+    queries to candidates on list_id — a 1/nlist·nprobe fraction of the
+    all-pairs work, shuffled once on the list key.
+    """
+    n = with_norm(emb)
+    cent = n.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = dot_expr("e", "ce") / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("__sim"), F.asc("list_id")
+    )
+    assigned = (
+        n.join(F.broadcast(cent), how="cross")
+        .withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w_assign))
+    )
+    lists = assigned.filter(F.col("__rn") == 1).select(
+        "vec_id", "e", "nrm", "list_id"
+    )
+    probes = assigned.filter(
+        (F.col("vec_id") < n_queries) & (F.col("__rn") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "list_id")
+
+    q = n.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
+    scored = (
+        probes.join(lists, "list_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("__cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -878,6 +878,11 @@ def ann_topk_lsh(spark, sf_dir):
     return sim_mod.ann_topk_lsh(_emb(spark, sf_dir), 5, 10)
 
 
+@_register("ann_topk_ivf", None)  # approximate scale path: rows-only check
+def ann_topk_ivf(spark, sf_dir):
+    return sim_mod.ann_topk_ivf(_emb(spark, sf_dir), 5, 10)
+
+
 # ---- event analytics --------------------------------------------------
 
 @_register("sessionize_events", _with(*sess_mod.sessionize_sql()))
@@ -1032,3 +1037,24 @@ def streaming_sessionize(spark, sf_dir):
     stream = stream_mod.read_events_stream(spark, sf_dir)
     snap = stream_mod.run_available_now(stream_mod.streaming_sessionize(stream))
     return snap.select("user_id", "n_events", "start_ts", "end_ts", "sum_cents")
+
+
+@_register(
+    "streaming_user_totals",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1""",
+)
+def streaming_user_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState running totals).
+    The events table is one parquet file → one availableNow micro-batch
+    → the update-mode snapshot is exactly the final per-user totals,
+    hash-matching the batch GROUP BY oracle.
+    """
+    tune_session(spark)
+    from .streaming.stateful import running_user_totals
+
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    return stream_mod.run_available_now(
+        running_user_totals(stream), output_mode="update"
+    )

@@ -51,7 +51,10 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
         )
         .agg(F.count("*").cast("long").alias("value"))
     )
-    return Graph.from_edges(edges)
+    # persist the derived edge table: every consumer (vertex derivation,
+    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
+    # re-deriving from the base tables means re-scanning orders x lineitem
+    return Graph.from_edges(edges.persist())
 
 
 # --- C.2 user–user co-occurrence graph --------------------------------
@@ -95,7 +98,10 @@ def user_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> Graph:
         )
         .agg(F.count("*").cast("long").alias("value"))
     )
-    return Graph.from_edges(edges)
+    # persist the derived edge table: every consumer (vertex derivation,
+    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
+    # re-deriving from the base tables means re-scanning orders x lineitem
+    return Graph.from_edges(edges.persist())
 
 
 # --- C.3 part co-purchase graph ---------------------------------------
@@ -127,7 +133,10 @@ def part_copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
         .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .agg(F.countDistinct("a.l_orderkey").cast("long").alias("value"))
     )
-    return Graph.from_edges(edges)
+    # persist the derived edge table: every consumer (vertex derivation,
+    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
+    # re-deriving from the base tables means re-scanning orders x lineitem
+    return Graph.from_edges(edges.persist())
 
 
 # --- C.4 golden fixture graph (reference TestGraphUtils) --------------

@@ -1,0 +1,36 @@
+"""Graph sinks + round-trip loaders.
+
+Reference sinks are ``writeAsCsv(path)`` / ``print()`` on result DataSets
+(test/example drivers, SURVEY.md §2.1). The engine's canonical sink is
+partitioned Parquet (columnar, pushdown-friendly on re-read); CSV kept
+for reference parity. No ``print``-style driver collect — the driver
+contract returns DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..graph import Graph
+
+
+def write_graph_parquet(graph: Graph, path: str, mode: str = "overwrite") -> None:
+    """vertices/ and edges/ as Parquet. Edges are written bucketed-style
+    (repartitioned by src) so a re-read starts co-located for the
+    src-keyed joins every neighborhood op and Pregel superstep performs.
+    """
+    graph.vertices.write.mode(mode).parquet(f"{path}/vertices")
+    graph.edges.repartition("src").write.mode(mode).parquet(f"{path}/edges")
+
+
+def read_graph_parquet(spark: SparkSession, path: str) -> Graph:
+    return Graph(
+        spark.read.parquet(f"{path}/vertices"),
+        spark.read.parquet(f"{path}/edges"),
+    )
+
+
+def write_graph_csv(graph: Graph, path: str, mode: str = "overwrite") -> None:
+    """writeAsCsv parity (reference test/example sink)."""
+    graph.vertices.write.mode(mode).option("header", "true").csv(f"{path}/vertices")
+    graph.edges.write.mode(mode).option("header", "true").csv(f"{path}/edges")

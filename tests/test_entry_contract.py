@@ -24,7 +24,7 @@ def test_every_oracle_key_has_a_query():
     assert set(oracles) <= set(qs)
     # all but the explicitly-approximate ops carry an oracle
     missing = set(qs) - set(oracles)
-    assert missing <= {"ann_topk_lsh"}
+    assert missing <= {"ann_topk_lsh", "ann_topk_ivf"}
 
 
 def test_queries_are_callable_and_lazy(spark):

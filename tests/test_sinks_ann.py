@@ -1,0 +1,89 @@
+"""Graph parquet/CSV sink round-trips, CSV edge source, IVF ANN, and
+the custom stateful streaming operator.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, rows_as_set
+from flink_graph_spark.functions import similarity as sim_mod
+from flink_graph_spark.sources.sinks import (
+    read_graph_parquet,
+    write_graph_csv,
+    write_graph_parquet,
+)
+from flink_graph_spark.sources.tables import load_table, read_csv_edges
+from flink_graph_spark.streaming.events import read_events_stream, run_available_now
+from flink_graph_spark.streaming.stateful import running_user_totals
+
+
+def test_parquet_graph_roundtrip(spark, golden):
+    with tempfile.TemporaryDirectory() as d:
+        write_graph_parquet(golden, d)
+        g2 = read_graph_parquet(spark, d)
+        assert rows_as_set(g2.vertices) == rows_as_set(golden.vertices)
+        assert rows_as_set(g2.edges) == rows_as_set(golden.edges)
+
+
+def test_csv_sink_and_source_roundtrip(spark, golden):
+    with tempfile.TemporaryDirectory() as d:
+        write_graph_csv(golden, d)
+        edges = read_csv_edges(spark, f"{d}/edges")
+        # header=true on write; schema-based read skips malformed header row
+        got = {t for t in rows_as_set(edges) if t[0] is not None}
+        assert got == rows_as_set(golden.edges)
+
+
+def test_ann_topk_ivf_consistent_with_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = sim_mod.ann_topk_bruteforce(emb, n_queries=3, k=5)
+    approx = sim_mod.ann_topk_ivf(emb, n_queries=3, k=5)
+    e = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    got = approx.collect()
+    assert approx.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in e:
+            assert r["cosine"] == pytest.approx(e[key], abs=1e-6)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_ivf_probes_recall_everything_with_full_probe(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # nprobe == nlist → IVF degenerates to exact search
+    exact = sim_mod.ann_topk_bruteforce(emb, n_queries=2, k=5)
+    full = sim_mod.ann_topk_ivf(emb, n_queries=2, k=5, nlist=8, nprobe=8)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    assert e == f
+
+
+def test_running_user_totals_matches_batch(spark):
+    batch = load_table(spark, SF_DIR, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    stream = read_events_stream(spark, SF_DIR)
+    snap = run_available_now(running_user_totals(stream), output_mode="update")
+    # update mode: keep the LAST row per user (running totals grow)
+    got = {}
+    for r in snap.collect():
+        prev = got.get(r["user_id"], (0, 0))
+        if r["n_events"] >= prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["sum_cents"])
+    assert got == expected
