@@ -238,3 +238,60 @@ SELECT doc_id,
          (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})
        AS fingerprint
 FROM doc_tok"""
+
+
+# ---- corpus-prep pipeline (composite showcase) -----------------------
+
+def corpus_prep(spark, docs: DataFrame, min_quality: float = 0.55) -> DataFrame:
+    """Training-corpus manifest: quality-filter -> language ID ->
+    fingerprint-dedup (keep min doc_id per fingerprint) -> per-doc stats.
+    The canonical LLM-data pipeline shape: every stage is a join/agg on
+    doc_id or fingerprint, so the whole thing is three shuffles at any
+    scale. Returns (doc_id, pred_lang, n_tokens, quality).
+    """
+    q = quality_score(docs).filter(F.col("quality") >= min_quality)
+    lang = lang_id(spark, docs)
+    fp = doc_fingerprint(docs)
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    kept = fp.join(keep, "fingerprint").filter(F.col("doc_id") == F.col("keep_id"))
+    toks = docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens"))
+    return (
+        q.join(kept.select("doc_id"), "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .select("doc_id", "pred_lang", "n_tokens", "quality")
+    )
+
+
+def corpus_prep_sql(min_quality: float = 0.55) -> tuple[str, ...]:
+    """CTEs + final for the registry (reuses doc_tok/lang CTEs)."""
+    quality_cte = f"""cp_quality AS MATERIALIZED (
+    SELECT doc_id,
+           ROUND(0.7 * (len(list_distinct(t)) / len(t))
+                 + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({_STOP_IN})))
+                                / len(t)), 6) AS quality
+    FROM doc_tok
+)"""
+    fp_cte = f"""cp_fp AS MATERIALIZED (
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t,
+                 x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})
+           AS fingerprint
+    FROM doc_tok
+)"""
+    keep_cte = """cp_keep AS MATERIALIZED (
+    SELECT doc_id FROM cp_fp f
+    JOIN (SELECT fingerprint, MIN(doc_id) AS keep_id FROM cp_fp GROUP BY 1) m
+      ON f.fingerprint = m.fingerprint AND f.doc_id = m.keep_id
+)"""
+    final = f"""SELECT q.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
+       CAST(len(d.t) AS BIGINT) AS n_tokens, q.quality
+FROM cp_quality q
+JOIN cp_keep k ON q.doc_id = k.doc_id
+JOIN doc_tok d ON q.doc_id = d.doc_id
+LEFT JOIN lang_best b ON q.doc_id = b.doc_id
+WHERE q.quality >= {min_quality!r}"""
+    return quality_cte, fp_cte, keep_cte, final

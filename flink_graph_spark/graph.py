@@ -551,8 +551,13 @@ class Graph:
         )
         return endpoints.join(ids, "id", "left_anti")
 
-    def validate(self) -> bool:
-        """True iff every edge endpoint exists in the vertex set."""
+    def validate(self, validator: "GraphValidator | None" = None) -> bool:
+        """Pluggable structural check (Graph.validate(GraphValidator),
+        Graph.java ~L1005-1015); defaults to InvalidVertexIdsValidator
+        semantics: every edge endpoint exists in the vertex set.
+        """
+        if validator is not None:
+            return validator.validate(self)
         return self.invalid_edge_endpoints().isEmpty()
 
     def run(self, algorithm: "GraphAlgorithm") -> "Graph":
@@ -591,3 +596,21 @@ class GraphAlgorithm:
 
     def run(self, graph: Graph) -> Graph:  # pragma: no cover - interface
         raise NotImplementedError
+
+
+class GraphValidator:
+    """Pluggable structural validator
+    (flink.graphs.validation.GraphValidator, ~15 LoC).
+    """
+
+    def validate(self, graph: Graph) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class InvalidVertexIdsValidator(GraphValidator):
+    """True iff every edge endpoint id exists in the vertex set — ANTI
+    join (validation/InvalidVertexIdsValidator.java ~L1-60).
+    """
+
+    def validate(self, graph: Graph) -> bool:
+        return graph.invalid_edge_endpoints().isEmpty()

@@ -806,6 +806,20 @@ def doc_fingerprint(spark, sf_dir):
     return text_mod.doc_fingerprint(_docs(spark, sf_dir))
 
 
+@_register(
+    "corpus_prep",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.lang_id_sql()[0],
+        *text_mod.corpus_prep_sql(),
+    ),
+)
+def corpus_prep(spark, sf_dir):
+    """Composite LLM-corpus pipeline: quality filter → lang ID →
+    fingerprint dedup → manifest."""
+    return text_mod.corpus_prep(spark, _docs(spark, sf_dir))
+
+
 # ---- deduplication ----------------------------------------------------
 
 @_register("dedup_exact_stats", dedup_mod.DEDUP_EXACT_STATS_SQL)

@@ -223,3 +223,14 @@ def test_multimodal_payload_and_features(spark):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm_mod.decode_image(b"\x89PNG")
+
+
+def test_corpus_prep_pipeline(spark, docs):
+    out = text_mod.corpus_prep(spark, docs, min_quality=0.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 is an exact dup of doc 1 (same fingerprint) → dropped
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 9
+    assert all(r["pred_lang"] for r in rows.values())
+    strict = text_mod.corpus_prep(spark, docs, min_quality=2.0)
+    assert strict.count() == 0

@@ -237,3 +237,14 @@ def test_validate_detects_dangling_endpoint(spark, golden):
     )
     assert bad.validate() is False
     assert rows_as_set(bad.invalid_edge_endpoints()) == {(99,)}
+
+
+def test_pluggable_validator(spark, golden):
+    from flink_graph_spark.graph import InvalidVertexIdsValidator
+
+    assert golden.validate(InvalidVertexIdsValidator()) is True
+    bad = Graph(
+        golden.vertices.filter(F.col("id") != 5),
+        golden.edges,
+    )
+    assert bad.validate(InvalidVertexIdsValidator()) is False
