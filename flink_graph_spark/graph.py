@@ -396,6 +396,31 @@ class Graph:
             .agg(*aggs)
         )
 
+    def reduce_on_edges_with_vertex_value(
+        self, aggs: Sequence[Column], direction: EdgeDirection = EdgeDirection.OUT
+    ) -> DataFrame:
+        """reduceOnEdges with the owning vertex's value available
+        (EdgesFunctionWithVertexValue, Graph.java ~L600-640): grouped
+        edge agg LEFT-joined back to vertices, so every vertex appears —
+        with NULL aggregates when it has no incident edges (the
+        reference's coGroup gives the UDF an empty edge iterator there).
+        """
+        grouped = self._edges_keyed(direction).groupBy("id").agg(*aggs)
+        return self._vertices.join(grouped, "id", "left")
+
+    def reduce_on_neighbors_with_vertex_value(
+        self,
+        aggs: Sequence[Column],
+        direction: EdgeDirection = EdgeDirection.OUT,
+        neighbor_prefix: str = "nbr_",
+    ) -> DataFrame:
+        """reduceOnNeighbors with the owning vertex's value
+        (NeighborsFunctionWithVertexValue): neighbor-side join + agg,
+        then LEFT join back to the owner's row.
+        """
+        grouped = self.reduce_on_neighbors(aggs, direction, neighbor_prefix)
+        return self._vertices.join(grouped, "id", "left")
+
     def aggregate_messages(
         self,
         agg: Sequence[Column],

@@ -483,6 +483,47 @@ def reduce_on_neighbors_out(spark, sf_dir):
 
 
 @_register(
+    "reduce_on_edges_with_vv",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id, v.value,
+       CAST(d.sum_w AS BIGINT) AS sum_w, CAST(d.n_edges AS BIGINT) AS n_edges
+FROM cs_vertices v
+LEFT JOIN (
+  SELECT src AS id, SUM(value) AS sum_w, COUNT(*) AS n_edges
+  FROM cs_edges GROUP BY 1
+) d ON v.id = d.id""",
+    ),
+)
+def reduce_on_edges_with_vv(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_edges_with_vertex_value(
+        [F.sum("value").alias("sum_w"), F.count("*").alias("n_edges")],
+        EdgeDirection.OUT,
+    )
+
+
+@_register(
+    "reduce_on_neighbors_with_vv",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT v.id, v.value, CAST(d.sum_nbr AS BIGINT) AS sum_nbr
+FROM cs_vertices v
+LEFT JOIN (
+  SELECT e.src AS id, SUM(n.value) AS sum_nbr
+  FROM cs_edges e JOIN cs_vertices n ON e.dst = n.id
+  GROUP BY 1
+) d ON v.id = d.id""",
+    ),
+)
+def reduce_on_neighbors_with_vv(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_neighbors_with_vertex_value(
+        [F.sum("nbr_value").alias("sum_nbr")], EdgeDirection.OUT
+    )
+
+
+@_register(
     "reduce_on_neighbors_all",
     _with(
         CS_EDGES_SQL,

@@ -248,3 +248,18 @@ def test_pluggable_validator(spark, golden):
         golden.edges,
     )
     assert bad.validate(InvalidVertexIdsValidator()) is False
+
+
+def test_reduce_on_edges_with_vertex_value(spark):
+    g = Graph.from_collection(spark, [(1, 10), (2, 20), (9, 90)], [(1, 2, 5)])
+    got = {r["id"]: (r["value"], r["s"]) for r in
+           g.reduce_on_edges_with_vertex_value(
+               [F.sum("value").alias("s")], EdgeDirection.OUT).collect()}
+    assert got == {1: (10, 5), 2: (20, None), 9: (90, None)}
+
+
+def test_reduce_on_neighbors_with_vertex_value(golden):
+    got = {r["id"]: (r["value"], r["s"]) for r in
+           golden.reduce_on_neighbors_with_vertex_value(
+               [F.sum("nbr_value").alias("s")], EdgeDirection.OUT).collect()}
+    assert got == {1: (1, 5), 2: (2, 3), 3: (3, 9), 4: (4, 5), 5: (5, 1)}
