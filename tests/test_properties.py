@@ -1,0 +1,95 @@
+"""Property-based invariants on random small graphs (hypothesis).
+
+Upgrades the reference's golden-output-only strategy (SURVEY.md §5):
+structural invariants that must hold for EVERY graph, not just the
+fixture — exercised on randomly generated edge lists.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_graph_spark.graph import EdgeDirection, Graph
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _graph(spark, edges):
+    return Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long, value long")
+    )
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_degree_sum_equals_twice_edges(spark, edges):
+    g = _graph(spark, edges)
+    total = g.degrees().agg(F.sum("degree")).collect()[0][0]
+    assert total == 2 * len(edges)
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_reverse_involution_and_degree_swap(spark, edges):
+    g = _graph(spark, edges)
+    r = g.reverse()
+    assert sorted(map(tuple, r.reverse().edges.collect())) == sorted(
+        map(tuple, g.edges.collect())
+    )
+    out_g = {r_["id"]: r_["degree"] for r_ in g.out_degrees().collect()}
+    in_r = {r_["id"]: r_["degree"] for r_ in r.in_degrees().collect()}
+    assert out_g == in_r
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_subgraph_edges_subset_and_closed(spark, edges):
+    g = _graph(spark, edges)
+    sg = g.subgraph(F.col("value") % 2 == 0, F.col("value") < 50)
+    surviving = {r["id"] for r in sg.vertices.collect()}
+    for row in sg.edges.collect():
+        assert row["src"] in surviving and row["dst"] in surviving
+        assert row["value"] < 50
+        assert (row["src"], row["dst"], row["value"]) in set(edges)
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_undirected_doubles_edges_and_validates(spark, edges):
+    g = _graph(spark, edges)
+    u = g.get_undirected()
+    assert u.edges.count() == 2 * len(edges)
+    assert g.validate() is True  # from_edges closure ⇒ always valid
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_reduce_on_edges_out_matches_python(spark, edges):
+    g = _graph(spark, edges)
+    got = {
+        r["id"]: r["s"]
+        for r in g.reduce_on_edges(
+            [F.sum("value").alias("s")], EdgeDirection.OUT
+        ).collect()
+    }
+    expected: dict[int, int] = {}
+    for s, _, v in edges:
+        expected[s] = expected.get(s, 0) + v
+    assert got == expected
