@@ -38,6 +38,8 @@ HEADLINE = [
     "sssp_cs",
     "lpa_cs",
     "jaccard_part_copurchase",
+    "triangle_count_pc",
+    "music_profiles_communities",
     "text_stats",
     "lang_id",
     "doc_fingerprint",
@@ -49,6 +51,9 @@ HEADLINE = [
     "sessionize_events",
     "hourly_rollup",
     "top_events_per_user",
+    "corpus_prep",
+    "streaming_hourly_rollup",
+    "streaming_user_totals",
 ]
 
 

@@ -396,6 +396,52 @@ class Graph:
             .agg(*aggs)
         )
 
+    def reduce_on_neighbors_udf(
+        self,
+        func,
+        schema: str,
+        direction: EdgeDirection = EdgeDirection.OUT,
+        neighbor_prefix: str = "nbr_",
+    ) -> DataFrame:
+        """Arbitrary-Python neighborhood reduce — the escape hatch for
+        logic Column expressions can't say (reference UDF surface:
+        NeighborsFunction with arbitrary Java code; SURVEY §2.10).
+
+        ``func(pdf) -> pdf`` runs per vertex group via Arrow-batched
+        ``applyInPandas`` over the (owner id, edge values, nbr_* values)
+        frame. Use native aggs (``reduce_on_neighbors``) whenever
+        possible — this path ships the group through Python.
+        """
+        nbr = self._vertices.select(
+            F.col("id").alias("__nid"),
+            *[
+                F.col(c).alias(f"{neighbor_prefix}{c}")
+                for c in self._schema.vertex_value_cols
+            ],
+        )
+        e = self._edges
+        evals = self._schema.edge_value_cols
+        if direction == EdgeDirection.OUT:
+            pairs = e.select(F.col("src").alias("id"), F.col("dst").alias("__nid"), *evals)
+        elif direction == EdgeDirection.IN:
+            pairs = e.select(F.col("dst").alias("id"), F.col("src").alias("__nid"), *evals)
+        else:
+            pairs = e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("id"), F.col("dst").alias("__nid")),
+                        F.struct(F.col("dst").alias("id"), F.col("src").alias("__nid")),
+                    )
+                ).alias("__p"),
+                *evals,
+            ).select("__p.id", "__p.__nid", *evals)
+        return (
+            pairs.join(nbr, "__nid")
+            .drop("__nid")
+            .groupBy("id")
+            .applyInPandas(func, schema)
+        )
+
     def reduce_on_edges_with_vertex_value(
         self, aggs: Sequence[Column], direction: EdgeDirection = EdgeDirection.OUT
     ) -> DataFrame:
@@ -427,6 +473,7 @@ class Graph:
         msg_to_dst: Column | None = None,
         msg_to_src: Column | None = None,
         vertices: DataFrame | None = None,
+        active: DataFrame | None = None,
     ) -> DataFrame:
         """The engine's core primitive (GraphX/GraphFrames
         ``aggregateMessages``; the reference builds every neighborhood op
@@ -444,14 +491,13 @@ class Graph:
             raise ValueError("need msg_to_dst and/or msg_to_src")
         v = vertices if vertices is not None else self._vertices
         vcols = [c for c in v.columns if c != "id"]
-        sv = v.select(
-            F.col("id").alias("__sid"),
-            *[F.col(c).alias(f"src_{c}") for c in vcols],
-        )
-        dv = v.select(
-            F.col("id").alias("__did"),
-            *[F.col(c).alias(f"dst_{c}") for c in vcols],
-        )
+
+        def side_frame(side: str, source: DataFrame) -> DataFrame:
+            key = "__sid" if side == "src" else "__did"
+            return source.select(
+                F.col("id").alias(key),
+                *[F.col(c).alias(f"{side}_{c}") for c in vcols],
+            )
 
         def inbox_side(msg_expr: Column, owner: str) -> DataFrame:
             # Join only the endpoint state the message expression actually
@@ -459,12 +505,23 @@ class Graph:
             # over-join on a substring false-positive is harmless, an
             # under-join impossible). SSSP/PageRank messages read one
             # side → one vertex join per superstep instead of two.
+            # When `active` is set (delta/workset mode), the side the
+            # message ORIGINATES from joins against the active frontier
+            # instead of the full state — an inner join, so edges whose
+            # originator didn't change send nothing, exactly Spargel's
+            # workset semantics.
+            origin = "src" if owner == "dst" else "dst"
             s = str(msg_expr)
             trip = self._edges
-            if any(f"src_{c}" in s for c in vcols):
-                trip = trip.join(sv, trip["src"] == sv["__sid"])
-            if any(f"dst_{c}" in s for c in vcols):
-                trip = trip.join(dv, F.col("dst") == dv["__did"])
+            for side in ("src", "dst"):
+                reads_state = any(f"{side}_{c}" in s for c in vcols)
+                gate = active is not None and side == origin
+                if not (reads_state or gate):
+                    continue
+                source = active if gate else v
+                sf = side_frame(side, source)
+                key = "__sid" if side == "src" else "__did"
+                trip = trip.join(sf, trip[side] == sf[key])
             return trip.select(F.col(owner).alias("id"), msg_expr.alias("__msg"))
 
         msgs = []

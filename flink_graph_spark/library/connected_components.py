@@ -32,6 +32,7 @@ def connected_components(
         update=F.least(F.col("comp"), F.col("__agg")),
         max_iter=max_iter,
         state_col="comp",
+        delta=True,
         check_convergence=check_convergence,
     )
     return res.vertices

@@ -29,6 +29,7 @@ def shortest_paths(graph: Graph, source_id, max_iter: int = 10) -> DataFrame:
         update=F.least(F.col("dist"), F.col("__agg")),
         max_iter=max_iter,
         state_col="dist",
+        delta=True,
     )
     return res.vertices
 

@@ -49,6 +49,7 @@ def pregel(
     state_col: str = "state",
     checkpoint_every: int = 2,
     check_convergence: bool = False,
+    delta: bool = False,
 ) -> PregelResult:
     """Run a vertex-centric iteration.
 
@@ -66,9 +67,20 @@ def pregel(
     With ``check_convergence`` the loop stops early when no vertex state
     changed (exact equality, null-safe); otherwise runs ``max_iter``
     fixed supersteps (the oracle-parity mode).
+
+    ``delta=True`` enables Spargel's workset semantics (the reference's
+    actual model: only vertices UPDATED last superstep send messages).
+    Valid for idempotent kernels (min/max propagation — SSSP, CC) where
+    re-sending an unchanged state is redundant: results are identical to
+    full propagation at any iteration count, but converged regions stop
+    costing anything, and the loop exits early once the frontier
+    empties (safe even in fixed-iteration oracle mode — no state can
+    change with an empty workset). NOT valid for PageRank-style sums,
+    which need every contribution every superstep.
     """
     edges = graph.edges.persist()
     v = graph.vertices.select("id", initial.alias(state_col)).localCheckpoint(eager=True)
+    active = v if delta else None
 
     it = 0
     converged = False
@@ -78,21 +90,32 @@ def pregel(
             msg_to_dst=msg_to_dst,
             msg_to_src=msg_to_src,
             vertices=v,
+            active=active,
         )
         v_new = (
             v.join(inbox, "id", "left")
-            .select("id", update.alias(state_col))
+            .select("id", update.alias(state_col), F.col(state_col).alias("__old"))
         )
-        if it % checkpoint_every == 0 or it == max_iter or check_convergence:
+        if it % checkpoint_every == 0 or it == max_iter or check_convergence or delta:
             v_new = v_new.localCheckpoint(eager=True)
+        if delta:
+            active = v_new.filter(
+                ~F.col(state_col).eqNullSafe(F.col("__old"))
+            ).select("id", state_col)
+            v = v_new.select("id", state_col)
+            if active.isEmpty():
+                converged = True
+                break
+            continue
         if check_convergence:
-            changed = v_new.alias("n").join(
-                v.alias("o"), "id"
-            ).filter(~F.col(f"n.{state_col}").eqNullSafe(F.col(f"o.{state_col}")))
+            changed = v_new.filter(
+                ~F.col(state_col).eqNullSafe(F.col("__old"))
+            )
             if changed.isEmpty():
                 converged = True
-                v = v_new
+                v = v_new.select("id", state_col)
                 break
-        v = v_new
+        v = v_new.select("id", state_col)
     edges.unpersist()
+    v = v.select("id", state_col)
     return PregelResult(vertices=v, iterations=it, converged=converged)

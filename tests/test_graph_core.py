@@ -263,3 +263,22 @@ def test_reduce_on_neighbors_with_vertex_value(golden):
            golden.reduce_on_neighbors_with_vertex_value(
                [F.sum("nbr_value").alias("s")], EdgeDirection.OUT).collect()}
     assert got == {1: (1, 5), 2: (2, 3), 3: (3, 9), 4: (4, 5), 5: (5, 1)}
+
+
+def test_reduce_on_neighbors_udf_median(golden):
+    import pandas as pd
+
+    def median_nbr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"id": [pdf["id"].iloc[0]], "med": [float(pdf["nbr_value"].median())]}
+        )
+
+    got = rows_as_dict(
+        golden.reduce_on_neighbors_udf(
+            median_nbr, "id long, med double", EdgeDirection.OUT
+        ),
+        "id",
+        "med",
+    )
+    # OUT neighbor sets: 1→{2,3} 2→{3} 3→{4,5} 4→{5} 5→{1}
+    assert got == {1: 2.5, 2: 3.0, 3: 4.5, 4: 5.0, 5: 1.0}
