@@ -82,3 +82,78 @@ SELECT doc_id,
                           i -> ord(substr(text, i, 1))), 'sum')
             AS BIGINT) AS head_sum
 FROM documents"""
+
+
+# ---- resize / frame-sample plumbing ----------------------------------
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, resized binary"
+)
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    """STUB: real impl would be soundfile/ffmpeg (absent here)."""
+    raise NotImplementedError("audio codecs not available in this environment")
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: truncate/tile payload to w*h bytes —
+    stands in for a decoded-and-resampled pixel buffer of exactly the
+    target size, so downstream batch-shape assertions are real.
+    """
+    need = w * h
+    if not payload:
+        return bytes(need)
+    reps = (need // len(payload)) + 1
+    return (payload * reps)[:need]
+
+
+def resize_images(docs_payload: DataFrame, width: int = 16, height: int = 8) -> DataFrame:
+    """Arrow-batched 'resize': one output row per input row, payload
+    replaced by a fixed-size buffer + dimensions. Pure per-row →
+    partition-preserving, no shuffle; swap fake_resize for
+    PIL.Image.resize and nothing else changes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf["payload"].map(
+                        lambda p: fake_resize(p, width, height)
+                    ),
+                }
+            )
+
+    return docs_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(docs_payload: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
+    """Arrow-batched 'frame sampling': 1→N row explosion inside the UDF
+    (the video-decode shape: one container in, n frames out). Evenly
+    spaced deterministic offsets; at scale the output is re-partitioned
+    by the caller if frames feed a shuffle-heavy stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not p:
+                    continue
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(p) - 1, 0))
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(bytes(p[off : off + frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return docs_payload.mapInPandas(batches, FRAMES_SCHEMA)

@@ -234,3 +234,29 @@ def test_corpus_prep_pipeline(spark, docs):
     assert all(r["pred_lang"] for r in rows.values())
     strict = text_mod.corpus_prep(spark, docs, min_quality=2.0)
     assert strict.count() == 0
+
+
+def test_multimodal_resize_shapes(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    out = mm_mod.resize_images(mm_mod.with_payload(docs), width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["resized"]) == 16 * 8 for r in rows)
+    assert dict(out.dtypes)["resized"] == "binary"
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    out = mm_mod.sample_frames(mm_mod.with_payload(docs), n_frames=4, frame_bytes=8)
+    rows = out.collect()
+    assert len(rows) == 40  # 1 -> 4 explosion
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    assert all(0 < len(r["frame"]) <= 8 for r in rows)
+
+
+def test_multimodal_audio_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm_mod.decode_audio(b"RIFF")
