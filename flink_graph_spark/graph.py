@@ -646,6 +646,15 @@ class Graph:
         """Graph.run(GraphAlgorithm), Graph.java ~L935-940."""
         return algorithm.run(self)
 
+    def pregel(self, **kwargs):
+        """Vertex-centric iteration on this graph — the engine surface for
+        Graph.runVertexCentricIteration (Graph.java ~L895-930); see
+        operators.pregel.pregel for the full contract.
+        """
+        from .operators.pregel import pregel as _pregel
+
+        return _pregel(self, **kwargs)
+
     # ------------------------------------------------------------------
     # physical-layout helpers (§4.2)
     # ------------------------------------------------------------------

@@ -1005,6 +1005,24 @@ def triangles_per_vertex_uu(spark, sf_dir):
     return tri_mod.triangles_per_vertex(user_cooccurrence_graph(spark, sf_dir))
 
 
+@_register(
+    "cc_pc",
+    _with(
+        PC_EDGES_SQL,
+        "pc_vertices AS MATERIALIZED (SELECT id, id AS value FROM ("
+        "SELECT src AS id FROM pc_edges UNION SELECT dst FROM pc_edges))",
+        *cc_mod.oracle_ctes("pc_edges", "pc_vertices", 6),
+    ),
+)
+def cc_pc(spark, sf_dir):
+    """Connected components on the dense part co-purchase graph (1.2M
+    edges at sf0.1) — the scale stressor for the delta Pregel loop."""
+    tune_session(spark)
+    return cc_mod.connected_components(
+        part_copurchase_graph(spark, sf_dir), max_iter=6
+    )
+
+
 # ---- MusicProfiles-style composite pipeline (§2.9) ---------------------
 
 from .library import music_profiles as mp_mod  # noqa: E402

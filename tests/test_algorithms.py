@@ -144,3 +144,38 @@ def test_pregel_deep_iteration_lineage(golden):
     )
     assert res.iterations == 25
     assert rows_as_dict(res.vertices, "id", "state") == {i: 1 for i in range(1, 6)}
+
+
+def test_pregel_hub_skew_star_graph(spark):
+    # one hub with 5000 spokes — the skew shape that breaks naive
+    # per-key processing; min-propagation must still converge fast
+    n = 5000
+    edges = spark.range(2, n + 2).selectExpr(
+        "1L as src", "id as dst", "1L as value"
+    )
+    g = Graph.from_edges(edges)
+    res = pregel(
+        g.get_undirected(),
+        initial=F.col("id"),
+        msg_to_dst=F.col("src_state"),
+        agg=F.min("__msg").alias("__agg"),
+        update=F.least(F.col("state"), F.col("__agg")),
+        max_iter=10,
+        delta=True,
+    )
+    assert res.converged
+    assert res.iterations <= 4
+    comps = res.vertices.select("state").distinct().collect()
+    assert [r["state"] for r in comps] == [1]
+
+
+def test_graph_pregel_method(golden):
+    res = golden.pregel(
+        initial=F.col("id"),
+        msg_to_dst=F.col("src_state"),
+        agg=F.min("__msg").alias("__agg"),
+        update=F.least(F.col("state"), F.col("__agg")),
+        max_iter=6,
+        delta=True,
+    )
+    assert res.vertices.count() == 5
