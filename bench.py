@@ -83,6 +83,27 @@ def main() -> int:
         builder(spark, sf_dir).edges.count()
 
     queries = entrymod.queries()
+
+    # Scratch-cache guard: some queries persist intermediate frames for
+    # the duration of their own execution (e.g. shingle arrays in LSH
+    # dedup). Evict anything cached AFTER warmup once a query finishes,
+    # so 26 queries' scratch blocks don't pile up in one executor heap —
+    # the shared derived-graph caches warmed above stay resident.
+    jsc = spark.sparkContext._jsc
+    keep_ids = set(jsc.getPersistentRDDs().keySet().toArray())
+
+    def _evict_scratch() -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if rid not in keep_ids:
+                jmap.get(rid).unpersist(False)
+        # localCheckpoint blocks from iterative queries are only freed
+        # once the py4j refs are collected — force that between queries
+        # so finished queries' blocks don't inflate GC pressure.
+        import gc
+
+        gc.collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -92,6 +113,7 @@ def main() -> int:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        _evict_scratch()
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import MINHASH_A, MINHASH_B, MINHASH_P, NUM_MINHASHES, h32
-from .text import DOC_SHINGLES_SQL, DOC_TOK_SQL, doc_shingles
+from .text import DOC_SHINGLES_SQL, DOC_TOK_SQL, SHINGLES_EXPR, doc_shingles
 
 # ---- exact dedup -----------------------------------------------------
 
@@ -172,8 +172,24 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     """LSH candidates (shared (k, minhash) bucket) confirmed with exact
     Jaccard ≥ threshold → (da, db, jaccard).
+
+    Scale shape: exact Jaccard is computed ONLY for candidate pairs —
+    per-doc shingle-set arrays are joined onto the (small) candidate
+    list and intersected in place with ``array_intersect``. The full
+    inverted-index pair join (``_pair_jaccard``) is never built here:
+    on a skewed corpus a single hot shingle makes that self-join
+    quadratic, while the candidate set stays ~linear in the number of
+    true near-dups.
     """
-    sh = doc_shingles(docs).persist()
+    # one shuffle: explode shingles → collect_set per doc (dedupe in agg)
+    arrs = (
+        docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+        .persist()
+    )
+    # exploded distinct-shingle view derived narrowly from the arrays
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
     sigs = minhash_signatures(sh)
     a = sigs.select(F.col("doc_id").alias("da"), "k", "mh")
     b = sigs.select(F.col("doc_id").alias("db"), "k", "mh")
@@ -183,8 +199,19 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    confirmed = cand.join(_pair_jaccard(sh), ["da", "db"]).filter(
-        F.col("jaccard") >= threshold
+    confirmed = (
+        cand.join(arrs.select(F.col("doc_id").alias("da"), F.col("ss").alias("sa")), "da")
+        .join(arrs.select(F.col("doc_id").alias("db"), F.col("ss").alias("sb")), "db")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
     return confirmed.select("da", "db", "jaccard")
 

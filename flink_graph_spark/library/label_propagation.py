@@ -25,7 +25,10 @@ def label_propagation(
     graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 2
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex value."""
-    edges = graph.edges.select("src", "dst").persist()
+    # Loop-invariant edges: project, pre-partition by the join key (src)
+    # and persist ONCE — every superstep's message join then reuses the
+    # cached partitioning and only the small label frame shuffles.
+    edges = graph.edges.select("src", "dst").repartition("src").persist()
     labels = graph.vertices.select(
         "id", F.col(label_col).alias("label")
     ).localCheckpoint(eager=True)
