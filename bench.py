@@ -68,6 +68,7 @@ def main() -> int:
     # one-time scan/cache population.
     from flink_graph_spark.sources.graphs import (
         customer_supplier_graph,
+        customer_supplier_undirected_graph,
         part_copurchase_graph,
         user_cooccurrence_graph,
     )
@@ -77,6 +78,7 @@ def main() -> int:
         df.count()
     for builder in (
         customer_supplier_graph,
+        customer_supplier_undirected_graph,
         part_copurchase_graph,
         user_cooccurrence_graph,
     ):

@@ -64,7 +64,9 @@ class Graph:
     Reference: flink.graphs.Graph (Graph.java ~L40-70 fields/ctor).
     """
 
-    def __init__(self, vertices: DataFrame, edges: DataFrame):
+    def __init__(
+        self, vertices: DataFrame, edges: DataFrame, src_partitioned: bool = False
+    ):
         vcols = vertices.columns
         ecols = edges.columns
         if "id" not in vcols:
@@ -73,6 +75,10 @@ class Graph:
             raise InvalidGraphError(f"edges must have 'src' and 'dst' columns, got {ecols}")
         self._vertices = vertices
         self._edges = edges
+        #: edges are already hash-partitioned by ``src`` AND cached — the
+        #: 100 TB posture is an edge table bucketed by src, so iterative
+        #: consumers (pregel, LPA) must not re-shuffle or re-cache it.
+        self.src_partitioned = src_partitioned
         self._schema = GraphSchema(
             vertex_value_cols=tuple(c for c in vcols if c != "id"),
             edge_value_cols=tuple(c for c in ecols if c not in ("src", "dst")),
@@ -669,7 +675,7 @@ class Graph:
             if num_partitions
             else self._edges.repartition("src")
         )
-        return Graph(self._vertices, e.persist())
+        return Graph(self._vertices, e.persist(), src_partitioned=True)
 
     def persist(self) -> "Graph":
         return Graph(self._vertices.persist(), self._edges.persist())

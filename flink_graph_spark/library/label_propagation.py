@@ -27,8 +27,14 @@ def label_propagation(
     """Returns (id, label). Initial label = vertex value."""
     # Loop-invariant edges: project, pre-partition by the join key (src)
     # and persist ONCE — every superstep's message join then reuses the
-    # cached partitioning and only the small label frame shuffles.
-    edges = graph.edges.select("src", "dst").repartition("src").persist()
+    # cached partitioning and only the small label frame shuffles. A
+    # graph already src-partitioned + cached (builder posture) is used
+    # as-is; its shared cache must survive this call.
+    owns_edge_cache = not graph.src_partitioned
+    if owns_edge_cache:
+        edges = graph.edges.select("src", "dst").repartition("src").persist()
+    else:
+        edges = graph.edges.select("src", "dst")
     labels = graph.vertices.select(
         "id", F.col(label_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -49,7 +55,8 @@ def label_propagation(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             labels = labels.localCheckpoint(eager=True)
-    edges.unpersist()
+    if owns_edge_cache:
+        edges.unpersist()
     return labels
 
 

@@ -82,9 +82,14 @@ def pregel(
     # message join reuses one cached partitioning across all iterations:
     # only the (small) vertex-state side shuffles each round. Measured on
     # the sf0.1 customer–supplier graph this is ~30% faster per superstep
-    # and removes the worst-case re-shuffle variance.
-    graph = graph.partition_by_src()
-    edges = graph.edges.persist()
+    # and removes the worst-case re-shuffle variance. Graphs whose edge
+    # table is already src-partitioned + cached (the builder posture)
+    # are used as-is — their cache is shared across queries, so this
+    # loop must not evict it on exit.
+    owns_edge_cache = not graph.src_partitioned
+    if owns_edge_cache:
+        graph = graph.partition_by_src()
+    edges = graph.edges
     v = graph.vertices.select("id", initial.alias(state_col)).localCheckpoint(eager=True)
     active = v if delta else None
 
@@ -122,6 +127,7 @@ def pregel(
                 v = v_new.select("id", state_col)
                 break
         v = v_new.select("id", state_col)
-    edges.unpersist()
+    if owns_edge_cache:
+        edges.unpersist()
     v = v.select("id", state_col)
     return PregelResult(vertices=v, iterations=it, converged=converged)

@@ -31,6 +31,7 @@ from .sources.graphs import (
     PC_EDGES_SQL,
     UU_EDGES_SQL,
     customer_supplier_graph,
+    customer_supplier_undirected_graph,
     golden_graph,
     part_copurchase_graph,
     user_cooccurrence_graph,
@@ -721,7 +722,8 @@ def pagerank_cs(spark, sf_dir):
     ),
 )
 def sssp_cs(spark, sf_dir):
-    g = _cs(spark, sf_dir).get_undirected()
+    tune_session(spark)
+    g = customer_supplier_undirected_graph(spark, sf_dir)
     return sssp_mod.shortest_paths(g, 1, max_iter=6)
 
 
@@ -751,7 +753,8 @@ def cc_cs(spark, sf_dir):
     ),
 )
 def lpa_cs(spark, sf_dir):
-    g = _cs(spark, sf_dir).get_undirected()
+    tune_session(spark)
+    g = customer_supplier_undirected_graph(spark, sf_dir)
     return lpa_mod.label_propagation(g, max_iter=4)
 
 

@@ -51,10 +51,32 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
         )
         .agg(F.count("*").cast("long").alias("value"))
     )
-    # persist the derived edge table: every consumer (vertex derivation,
-    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
-    # re-deriving from the base tables means re-scanning orders x lineitem
-    return Graph.from_edges(edges.persist())
+    # Persist the derived edge table hash-partitioned by src (the 100 TB
+    # posture: a src-bucketed edge table). Every consumer re-reads it —
+    # re-deriving means re-scanning orders x lineitem — and src-keyed
+    # joins/aggs (degrees, message sends) reuse the cached partitioning.
+    g = Graph.from_edges(edges.repartition("src").persist())
+    g.src_partitioned = True
+    return g
+
+
+def customer_supplier_undirected_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Symmetrized customer–supplier graph with the doubled edge table
+    itself src-partitioned and persisted — shared by every undirected
+    iterative consumer (SSSP, LPA) instead of each query re-deriving,
+    re-shuffling, and re-caching its own copy.
+    """
+    g = customer_supplier_graph(spark, sf_dir)
+    ue = (
+        g.edges.unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
+            )
+        )
+        .repartition("src")
+        .persist()
+    )
+    return Graph(g.vertices, ue, src_partitioned=True)
 
 
 # --- C.2 user–user co-occurrence graph --------------------------------
@@ -98,10 +120,10 @@ def user_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> Graph:
         )
         .agg(F.count("*").cast("long").alias("value"))
     )
-    # persist the derived edge table: every consumer (vertex derivation,
-    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
-    # re-deriving from the base tables means re-scanning orders x lineitem
-    return Graph.from_edges(edges.persist())
+    # src-partitioned persisted derived edges — see customer_supplier_graph
+    g = Graph.from_edges(edges.repartition("src").persist())
+    g.src_partitioned = True
+    return g
 
 
 # --- C.3 part co-purchase graph ---------------------------------------
@@ -133,10 +155,10 @@ def part_copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
         .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .agg(F.countDistinct("a.l_orderkey").cast("long").alias("value"))
     )
-    # persist the derived edge table: every consumer (vertex derivation,
-    # degrees, neighborhood aggs, supersteps) re-reads it, and at scale
-    # re-deriving from the base tables means re-scanning orders x lineitem
-    return Graph.from_edges(edges.persist())
+    # src-partitioned persisted derived edges — see customer_supplier_graph
+    g = Graph.from_edges(edges.repartition("src").persist())
+    g.src_partitioned = True
+    return g
 
 
 # --- C.4 golden fixture graph (reference TestGraphUtils) --------------
