@@ -21,9 +21,12 @@ from ..operators.pregel import pregel
 def page_rank(
     graph: Graph, beta: float = 0.85, max_iter: int = 10, round_to: int | None = 6
 ) -> DataFrame:
-    """Returns (id, rank). Scale: the rank/outdeg normalization is joined
-    into the edge frame ONCE before the loop (loop-invariant, persisted);
-    per superstep only the message agg + vertex update shuffle.
+    """Returns (id, rank). Scale: the out-degree normalization lives in
+    the VERTEX STATE (a (rank, od) struct, od loop-invariant) rather than
+    in a normalized copy of the edge table — the input edge table is used
+    untouched, so a builder's shared src-partitioned cache serves every
+    superstep with no per-query edge materialization, and per superstep
+    only the (small) state frame and the message agg shuffle.
     """
     n = graph.vertices.count()
     teleport = (1.0 - beta) / n
@@ -31,23 +34,30 @@ def page_rank(
     outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("outdeg")
     )
-    norm_edges = (
-        graph.edges.select("src", "dst")
-        .join(outdeg, F.col("src") == outdeg["id"])
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("p"))
-    )
-    g = Graph(graph.vertices, norm_edges)
+    v0 = graph.vertices.select("id").join(outdeg, "id", "left")
+    g = Graph(v0, graph.edges, src_partitioned=graph.src_partitioned)
 
     res = pregel(
         g,
-        initial=F.lit(1.0 / n),
-        msg_to_dst=F.col("src_rank") * F.col("p"),
+        initial=F.struct(
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("double").alias("od"),
+        ),
+        # rank/od divides directly (same form as the oracle's
+        # SUM(rank / outdeg)), not rank * (1/od)
+        msg_to_dst=F.col("src_st")["rank"] / F.col("src_st")["od"],
         agg=F.sum("__msg").alias("__agg"),
-        update=F.lit(teleport) + F.lit(beta) * F.coalesce(F.col("__agg"), F.lit(0.0)),
+        update=F.struct(
+            (
+                F.lit(teleport)
+                + F.lit(beta) * F.coalesce(F.col("__agg"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("st")["od"].alias("od"),
+        ),
         max_iter=max_iter,
-        state_col="rank",
+        state_col="st",
     )
-    out = res.vertices
+    out = res.vertices.select("id", F.col("st")["rank"].alias("rank"))
     if round_to is not None:
         out = out.select("id", F.round("rank", round_to).alias("rank"))
     return out

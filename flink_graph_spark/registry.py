@@ -1130,7 +1130,12 @@ def streaming_user_totals(spark, sf_dir):
     tune_session(spark)
     from .streaming.stateful import running_user_totals
 
-    stream = stream_mod.read_events_stream(spark, sf_dir)
+    # Prune to the two columns the state update reads BEFORE the stateful
+    # shuffle — at scale the props/event_type payload must not ship
+    # through the state-store exchange or the Arrow channel.
+    stream = stream_mod.read_events_stream(spark, sf_dir).select("user_id", "value")
+    # state partitions sized to key cardinality (~150 users in testdata),
+    # not core count — one state store per core is pure overhead here.
     return stream_mod.run_available_now(
-        running_user_totals(stream), output_mode="update"
+        running_user_totals(stream), output_mode="update", state_partitions=8
     )

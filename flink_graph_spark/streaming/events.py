@@ -117,19 +117,36 @@ def streaming_sessionize(
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming query to completion over the currently-available
     input (one availableNow pass, memory sink) and return the result as
     a batch DataFrame — the test/driver harness for the plans above.
+
+    ``state_partitions`` sizes the state-store exchange (a streaming
+    query pins shuffle-partition count into its checkpoint at first
+    start). Size it to key cardinality × throughput, not input bytes —
+    a 150-key running total doesn't need one state store per core.
     """
+    spark = stream_df.sparkSession
     name = f"snap_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fgs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fgs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
