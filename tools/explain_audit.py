@@ -38,6 +38,10 @@ def main() -> int:
     qs = entrymod.queries()
     for name in names:
         df = qs[name](spark, sf_dir)
+        # Execute first: with AQE the pre-execution plan is
+        # isFinalPlan=false and hides codegen spans / final join
+        # strategies; the post-execution formatted plan is the real one.
+        df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
