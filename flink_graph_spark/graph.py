@@ -623,6 +623,33 @@ class Graph:
             cond = cond & (F.col(value_col) == F.lit(value))
         return Graph(self._vertices, self._edges.filter(~cond))
 
+    def intersect(self, other: "Graph", distinct_edges: bool = True) -> "Graph":
+        """Edges present in BOTH graphs (matched on src, dst and every
+        edge value column); vertices = ids present in both, keeping this
+        graph's values.
+
+        Extension — NOT in the reference prototype (Gelly grew
+        Graph.intersect later; SURVEY.md §2.6 notes the absence). Shape:
+        LEFT SEMI joins on composite keys — at scale both inputs shuffle
+        once on the same key, no row widening.
+        """
+        e = self._edges.join(
+            other._edges, on=list(self._edges.columns), how="left_semi"
+        )
+        if distinct_edges:
+            e = e.dropDuplicates()
+        v = self._vertices.join(other._vertices.select("id"), "id", "left_semi")
+        return Graph(v, e)
+
+    def difference(self, other: "Graph") -> "Graph":
+        """Remove ``other``'s vertices (by id) and all their incident
+        edges from this graph — bulk removeVertex (ANTI-join scale path).
+
+        Extension — NOT in the reference prototype (Gelly grew
+        Graph.difference later; SURVEY.md §2.6 notes the absence).
+        """
+        return self.remove_vertices(other._vertices.select("id"))
+
     # ------------------------------------------------------------------
     # §2.8 validation + algorithm packaging
     # ------------------------------------------------------------------

@@ -600,6 +600,39 @@ def golden_mutations(spark, sf_dir):
     return g.edges
 
 
+@_register(
+    "intersect_graphs",
+    _with(
+        CS_EDGES_SQL,
+        "SELECT DISTINCT src, dst, value FROM cs_edges WHERE value >= 2",
+    ),
+)
+def intersect_graphs(spark, sf_dir):
+    """Graph.intersect (extension; Gelly-successor op): edges present in
+    both inputs matched on (src, dst, value) via LEFT SEMI join.
+    """
+    g = _cs(spark, sf_dir)
+    other = g.filter_on_edges(F.col("value") >= 2)
+    return g.intersect(other).edges
+
+
+@_register(
+    "difference_graphs",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT src, dst, value FROM cs_edges
+WHERE src % 3 <> 0 AND dst % 3 <> 0""",
+    ),
+)
+def difference_graphs(spark, sf_dir):
+    """Graph.difference (extension): bulk vertex removal by ANTI join —
+    drops the other graph's vertex ids and their incident edges.
+    """
+    g = _cs(spark, sf_dir)
+    other = g.filter_on_vertices(F.col("id") % 3 == 0)
+    return g.difference(other).edges
+
+
 # ----------------------------------------------------------------------
 # §2.8 validation
 # ----------------------------------------------------------------------

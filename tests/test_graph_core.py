@@ -282,3 +282,55 @@ def test_reduce_on_neighbors_udf_median(golden):
     )
     # OUT neighbor sets: 1→{2,3} 2→{3} 3→{4,5} 4→{5} 5→{1}
     assert got == {1: 2.5, 2: 3.0, 3: 4.5, 4: 5.0, 5: 1.0}
+
+
+# --- §2.6 extensions: intersect / difference (Gelly-successor ops) ----
+
+def test_intersect_edges_and_vertices(spark, golden):
+    other = Graph.from_collection(
+        spark,
+        [(1, 1), (3, 3), (5, 5), (9, 9)],
+        [(1, 3, 13), (3, 5, 35), (5, 1, 99), (9, 1, 91)],
+    )
+    got = golden.intersect(other)
+    # (5,1,51) vs (5,1,99): value differs -> excluded; (9,...) not in golden
+    assert rows_as_set(got.edges) == {(1, 3, 13), (3, 5, 35)}
+    assert rows_as_set(got.vertices.select("id")) == {(1,), (3,), (5,)}
+
+
+def test_difference_removes_vertices_and_incident_edges(spark, golden):
+    other = Graph.from_collection(spark, [(3, 0), (9, 0)], [])
+    got = golden.difference(other)
+    assert rows_as_set(got.vertices.select("id")) == {(1,), (2,), (4,), (5,)}
+    assert rows_as_set(got.edges) == {(1, 2, 12), (4, 5, 45), (5, 1, 51)}
+
+
+# --- shared src-partitioned cache semantics ---------------------------
+
+def test_pregel_preserves_shared_edge_cache(spark, golden):
+    from flink_graph_spark.operators.pregel import pregel
+
+    g = golden.partition_by_src()
+    assert g.src_partitioned
+    res = pregel(
+        g,
+        initial=F.col("id").cast("long"),
+        msg_to_dst=F.col("src_comp"),
+        agg=F.min("__msg").alias("__agg"),
+        update=F.least(F.col("comp"), F.col("__agg")),
+        max_iter=3,
+        state_col="comp",
+    )
+    res.vertices.count()
+    # the shared edge cache must still be registered after the loop
+    assert g.edges.storageLevel.useMemory
+    g.edges.unpersist()
+
+
+def test_label_propagation_preserves_shared_edge_cache(spark, golden):
+    from flink_graph_spark.library.label_propagation import label_propagation
+
+    g = golden.get_undirected().partition_by_src()
+    label_propagation(g, max_iter=2).count()
+    assert g.edges.storageLevel.useMemory
+    g.edges.unpersist()
