@@ -547,6 +547,22 @@ def reduce_on_neighbors_all(spark, sf_dir):
     )
 
 
+@_register(
+    "reduce_on_neighbors_in",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """SELECT e.dst AS id, CAST(MIN(v.value) AS BIGINT) AS min_nbr
+FROM cs_edges e JOIN cs_vertices v ON e.src = v.id
+GROUP BY 1""",
+    ),
+)
+def reduce_on_neighbors_in(spark, sf_dir):
+    return _cs(spark, sf_dir).reduce_on_neighbors(
+        [F.min("nbr_value").alias("min_nbr")], EdgeDirection.IN
+    )
+
+
 # ----------------------------------------------------------------------
 # §2.6 mutations / set ops
 # ----------------------------------------------------------------------
@@ -1171,4 +1187,28 @@ def streaming_user_totals(spark, sf_dir):
     # not core count — one state store per core is pure overhead here.
     return stream_mod.run_available_now(
         running_user_totals(stream), output_mode="update", state_partitions=8
+    )
+
+
+@_register(
+    "streaming_degrees",
+    _with(
+        CS_EDGES_SQL,
+        """SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM cs_edges GROUP BY 1""",
+    ),
+)
+def streaming_degrees(spark, sf_dir):
+    """Incremental degree maintenance over an edge stream: the batch
+    engine's Parquet sink is tailed as a file stream (several files per
+    micro-batch), a stateful agg accumulates per-vertex out-degrees, and
+    the availableNow snapshot equals batch out_degrees — the oracle.
+    """
+    tune_session(spark)
+    from .streaming import graph_stream as gs
+
+    edges_path = gs.stage_edges(_cs(spark, sf_dir), key=sf_dir)
+    stream = gs.read_edges_stream(spark, edges_path)
+    return stream_mod.run_available_now(
+        gs.streaming_out_degrees(stream), output_mode="complete", state_partitions=8
     )

@@ -62,3 +62,23 @@ def test_streaming_schema_is_stable(spark):
     assert sess.columns == [
         "user_id", "n_events", "start_ts", "end_ts", "sum_cents"
     ]
+
+
+def test_streaming_degrees_accumulates_across_batches(spark, tmp_path):
+    """Incremental degree maintenance over a multi-file edge stream must
+    converge to the batch out-degrees."""
+    from flink_graph_spark.sources.graphs import golden_graph
+    from flink_graph_spark.streaming.graph_stream import (
+        read_edges_stream,
+        streaming_out_degrees,
+    )
+
+    g = golden_graph(spark)
+    # three explicit file drops -> three micro-batches at 1 file/trigger
+    path = str(tmp_path / "edges")
+    for i, cond in enumerate(["src <= 2", "src = 3", "src >= 4"]):
+        g.edges.filter(cond).coalesce(1).write.mode("append").parquet(path)
+    stream = read_edges_stream(spark, path, max_files_per_trigger=1)
+    snap = run_available_now(streaming_out_degrees(stream), "complete")
+    got = {r["id"]: r["degree"] for r in snap.collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1, 5: 1}
