@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (SURVEY.md §4.2 scale posture).
+
+Executes representative queries at sf0.001 and asserts the properties
+that keep them alive at 100 TB: no nested-loop joins on unbounded
+sides, derived-graph consumers read the shared cache instead of
+re-scanning parquet, scans stay narrow (column pruning reaches the
+reader), and whole-stage codegen covers the hot path. These are the
+checks `tools/explain_audit.py` prints interactively, frozen as tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _final_plan(spark, df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_graph_queries_read_shared_cache(spark, queries):
+    plan = _final_plan(spark, queries["degrees_total"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+
+
+def test_no_nested_loop_on_graph_joins(spark, queries):
+    for name in ("subgraph_edges", "triplets", "jaccard_part_copurchase"):
+        plan = _final_plan(spark, queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_scans_are_pruned_to_needed_columns(spark, queries):
+    # cs-graph build needs only 2 columns from orders and 2 from lineitem
+    plan = _final_plan(spark, queries["top_degree_vertices"](spark, SF_DIR))
+    widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    assert widths and max(widths) <= 2
+
+
+def test_codegen_covers_hot_path(spark, queries):
+    plan = _final_plan(spark, queries["reduce_on_neighbors_all"](spark, SF_DIR))
+    assert len(set(re.findall(r"codegen id : (\d+)", plan))) >= 2
+
+
+def test_embedding_near_dup_pairs_only_ints_in_nested_loop(spark, queries):
+    # The quadratic pair generation must stay id-only; the vectors attach
+    # via broadcast hash joins above it (see functions/similarity.py).
+    plan = _final_plan(spark, queries["embedding_near_dup"](spark, SF_DIR))
+    nl = re.search(
+        r"BroadcastNestedLoopJoin[\s\S]*?Output \[\d+\]: \[([^\]]*)\]", plan
+    )
+    if nl:  # output of the NL join itself must be narrow (ids, no arrays)
+        assert "array" not in nl.group(1).lower()
+    assert plan.count("BroadcastHashJoin") >= 2
