@@ -40,6 +40,7 @@ HEADLINE = [
     "jaccard_part_copurchase",
     "triangle_count_pc",
     "cc_pc",
+    "pagerank_pc",
     "music_profiles_communities",
     "text_stats",
     "lang_id",

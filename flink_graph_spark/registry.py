@@ -1075,6 +1075,23 @@ def cc_pc(spark, sf_dir):
     )
 
 
+@_register(
+    "pagerank_pc",
+    _with(
+        PC_EDGES_SQL,
+        "pc_vertices AS MATERIALIZED (SELECT id, id AS value FROM ("
+        "SELECT src AS id FROM pc_edges UNION SELECT dst FROM pc_edges))",
+        *pr_mod.oracle_ctes("pc_edges", "pc_vertices", 0.85, 5),
+    ),
+)
+def pagerank_pc(spark, sf_dir):
+    """PageRank on the dense part co-purchase graph — the full-propagation
+    (non-delta) Pregel stressor: every superstep moves a message per edge,
+    unlike the shrinking-frontier CC/SSSP loops."""
+    tune_session(spark)
+    return pr_mod.page_rank(part_copurchase_graph(spark, sf_dir), max_iter=5)
+
+
 # ---- MusicProfiles-style composite pipeline (§2.9) ---------------------
 
 from .library import music_profiles as mp_mod  # noqa: E402
