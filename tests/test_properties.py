@@ -93,3 +93,28 @@ def test_reduce_on_edges_out_matches_python(spark, edges):
     for s, _, v in edges:
         expected[s] = expected.get(s, 0) + v
     assert got == expected
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_intersect_idempotent_and_difference_annihilates(spark, edges):
+    g = _graph(spark, edges)
+    # g ∩ g keeps exactly the distinct edge set and the full vertex set
+    same = g.intersect(g)
+    assert {tuple(r) for r in same.edges.collect()} == set(edges)
+    assert same.vertices.count() == g.vertices.count()
+    # g - g removes every vertex, hence every edge
+    gone = g.difference(g)
+    assert gone.vertices.count() == 0
+    assert gone.edges.count() == 0
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_intersect_with_disjoint_graph_is_empty(spark, edges):
+    g = _graph(spark, edges)
+    shifted = [(s + 100, d + 100, v) for (s, d, v) in edges]
+    h = _graph(spark, shifted)
+    got = g.intersect(h)
+    assert got.edges.count() == 0
+    assert got.vertices.count() == 0
