@@ -260,3 +260,98 @@ def test_multimodal_frame_sampling(spark):
 def test_multimodal_audio_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm_mod.decode_audio(b"RIFF")
+
+
+# --- skew-safe two-phase aggregation ----------------------------------
+
+def test_salted_adjacency_matches_direct(spark):
+    from flink_graph_spark.functions.skew import salted_adjacency
+    from flink_graph_spark.sources.graphs import golden_graph
+
+    e = golden_graph(spark).edges
+    direct = (
+        e.selectExpr("src AS id", "dst AS nbr")
+        .unionByName(e.selectExpr("dst AS id", "src AS nbr"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+    )
+    salted = salted_adjacency(e, buckets=4)
+    want = {r["id"]: r["ns"] for r in direct.collect()}
+    got = {r["id"]: r["ns"] for r in salted.collect()}
+    assert got == want
+
+
+def test_salted_agg_hub_key(spark):
+    from flink_graph_spark.functions.skew import salted_agg
+
+    # one hub key with 500 values + a normal key
+    rows = [(1, v) for v in range(500)] + [(2, 7)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = salted_agg(
+        df,
+        keys=["k"],
+        salt_on=F.col("v"),
+        partial_aggs=[F.collect_set("v").alias("part")],
+        final_aggs=[
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("part")))).alias("vs")
+        ],
+        buckets=8,
+    )
+    got = {r["k"]: r["vs"] for r in out.collect()}
+    assert got[1] == list(range(500))
+    assert got[2] == [7]
+
+
+class _FakeState:
+    """Duck-typed GroupState for driving _update directly (the
+    ProcessingTimeTimeout machinery itself is Spark's; availableNow
+    snapshot runs keep scheduling timeout batches, so the eviction
+    logic is unit-tested here instead of end-to-end)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_update_accumulates_and_arms_ttl():
+    import pandas as pd
+
+    from flink_graph_spark.streaming.stateful import _update
+
+    state = _FakeState(value=(2, 300))
+    batch = pd.DataFrame({"value": [1.25, 0.5]})
+    out = list(_update((42,), iter([batch]), state, ttl_ms=60000))
+    assert state.get == (4, 475)
+    assert state.timeout_ms == 60000
+    assert out[0].to_dict("records") == [
+        {"user_id": 42, "n_events": 4, "sum_cents": 475}
+    ]
+
+
+def test_stateful_update_evicts_timed_out_state():
+    from flink_graph_spark.streaming.stateful import _update
+
+    state = _FakeState(value=(9, 900), timed_out=True)
+    out = list(_update((42,), iter([]), state, ttl_ms=60000))
+    assert out == []
+    assert state.removed
