@@ -125,19 +125,24 @@ def main() -> int:
         return t
 
     # Steady-state policy: this box shows up to 10x transient swings from
-    # neighbor load (a 3.6s query has measured 50s once). Queries over
-    # 1.5s get a second run and report the MIN — the reproducible
-    # steady-state cost of the plan, not the noise of one sample.
+    # neighbor load (a 3.6s query has measured 50s once; a noise window
+    # can last minutes). Two FULL passes over the headline list, per-query
+    # MIN across passes — interleaving puts the two samples of each query
+    # in different noise windows, where back-to-back repeats would sample
+    # the same burst twice. The min is the reproducible steady-state cost
+    # of the plan, not the noise of one sample.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t = _timed(fn)
-        if t > 1.5:
-            t = min(t, _timed(fn))
-        timings[name] = round(t, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t = _timed(fn)
+            if name not in timings or t < timings[name]:
+                timings[name] = round(t, 3)
+            if _pass:
+                print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    timings = {n: timings[n] for n in HEADLINE if n in timings}
 
     total = round(sum(timings.values()), 3)
     print(
