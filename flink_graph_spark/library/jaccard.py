@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from ..graph import Graph
 
 
-def jaccard_similarity(graph: Graph, round_to: int = 6) -> DataFrame:
+def jaccard_similarity(
+    graph: Graph, round_to: int = 6, salt_buckets: int | None = None
+) -> DataFrame:
     """Returns (src, dst, jaccard) for every edge. Neighborhoods are over
     the undirected view, neighbor sets are distinct ids.
 
@@ -27,17 +29,29 @@ def jaccard_similarity(graph: Graph, round_to: int = 6) -> DataFrame:
     hash joins of |E| rows against |V| compact rows, NO |E|·avg-degree
     wedge blowup. At sf0.1 (1.2M edges, avg deg 120) this is ~6x faster
     than the count-based wedge join because the ~140M-row intermediate
-    never exists. Caveat: a hub vertex materializes its whole neighbor
-    set in one array — fine to ~1e6 degree; for pathologically skewed
-    graphs use ``jaccard_similarity_counts``.
+    never exists.
+
+    Hub handling: ``collect_set`` is a holistic agg — one reduce task
+    owns a hub's entire raw inbox. ``salt_buckets`` builds the arrays
+    via the two-phase salted agg (``functions.skew.salted_adjacency``)
+    so hub inboxes spread over N reducers; the final per-vertex array
+    still materializes (fine to ~1e6 degree). Beyond that, use
+    ``jaccard_similarity_counts`` — no arrays at all.
     """
     e = graph.edges.select("src", "dst")
-    adj = (
-        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
-        .unionByName(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
-    )
+    if salt_buckets:
+        from ..functions.skew import salted_adjacency
+
+        adj = salted_adjacency(e, buckets=salt_buckets)
+    else:
+        adj = (
+            e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+            .unionByName(
+                e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+            )
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+        )
     a = adj.select(F.col("id").alias("src"), F.col("ns").alias("na"))
     b = adj.select(F.col("id").alias("dst"), F.col("ns").alias("nb"))
     return (
