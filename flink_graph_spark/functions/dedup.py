@@ -6,10 +6,14 @@ Scale design (100 TB posture):
   shingle/bucket → aggregate. Never an O(n²) cross join — candidate
   pairs only ever come from shared buckets.
 * MinHash signatures are computed in ONE hash-aggregate pass (16
-  min-aggs over the exploded shingle frame), then banded; band size 1
-  with K=16 permutations (b=16, r=1 — recall ≈ 1-(1-s)^16, high for
-  s ≥ 0.3; candidates confirmed with exact Jaccard so precision is
-  exact).
+  min-aggs over the exploded shingle frame), then banded into b=4
+  bands of r=4 rows (tunable): the bucket key is the band index plus
+  the band's r-minhash array, so a candidate pair must agree on ALL r
+  hashes of some band — P(candidate) = 1-(1-s^r)^b, the standard LSH
+  S-curve. r=1 banding (any single hash matching) floods the candidate
+  set with low-similarity pairs at corpus scale; r≥2 keeps candidate
+  volume ~linear in true near-dups. Candidates are confirmed with
+  exact Jaccard, so precision is exact either way.
 * All hashing is md5-derived integer arithmetic (functions/hashing.py)
   so the whole LSH pipeline — signatures, buckets, candidates,
   confirmation — is bit-identical in DuckDB and fully oracle-checked,
@@ -150,9 +154,14 @@ ORDER BY jaccard DESC, da ASC, db ASC LIMIT 50"""
 
 # ---- MinHash + LSH ---------------------------------------------------
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, k, mh): K min-hashes in a single hash-aggregate pass
-    over the exploded shingle frame, then unpivoted.
+LSH_BANDS = 4
+LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == NUM_MINHASHES
+
+
+def minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{K-1}): K min-hashes in a single hash-aggregate
+    pass over the exploded shingle frame — K fixed-width long slots in
+    the agg buffer, map-side combined before the one shuffle.
     """
     hashed = sh.select("doc_id", h32(F.col("s")).alias("h"))
     aggs = [
@@ -162,43 +171,88 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         ).alias(f"mh_{k}")
         for k in range(NUM_MINHASHES)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, k, mh): the wide signature unpivoted (one row per
+    permutation) — the r=1 bucketing view, kept for tests/inspection.
+    """
     stack = ", ".join(f"{k}, mh_{k}" for k in range(NUM_MINHASHES))
-    return wide.selectExpr(
+    return minhash_wide(sh).selectExpr(
         "doc_id", f"stack({NUM_MINHASHES}, {stack}) AS (k, mh)"
     )
 
 
-def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
-    """LSH candidates (shared (k, minhash) bucket) confirmed with exact
-    Jaccard ≥ threshold → (da, db, jaccard).
+def minhash_bands(
+    sh: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, sig): banded LSH keys — ``sig`` is the array of
+    the band's ``rows`` consecutive minhashes, so bucket equality means
+    all r hashes agree (P = s^r per band).
+    """
+    if bands * rows != NUM_MINHASHES:
+        raise ValueError(
+            f"bands*rows must equal NUM_MINHASHES={NUM_MINHASHES}"
+        )
+    entries = ", ".join(
+        f"{i}, array({', '.join(f'mh_{i * rows + j}' for j in range(rows))})"
+        for i in range(bands)
+    )
+    return minhash_wide(sh).selectExpr(
+        "doc_id", f"stack({bands}, {entries}) AS (band, sig)"
+    )
+
+
+def minhash_candidates(
+    sh: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct candidate pairs (da < db) sharing at least one banded
+    LSH bucket — the self-join is on (band, sig), never all-pairs.
+    """
+    sigs = minhash_bands(sh, bands, rows)
+    a = sigs.select(F.col("doc_id").alias("da"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("db"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH candidates (shared (band, r-minhash-array) bucket) confirmed
+    with exact Jaccard ≥ threshold → (da, db, jaccard).
 
     Scale shape: exact Jaccard is computed ONLY for candidate pairs —
     per-doc shingle-set arrays are joined onto the (small) candidate
     list and intersected in place with ``array_intersect``. The full
     inverted-index pair join (``_pair_jaccard``) is never built here:
     on a skewed corpus a single hot shingle makes that self-join
-    quadratic, while the candidate set stays ~linear in the number of
-    true near-dups.
+    quadratic, while the banded candidate set stays ~linear in the
+    number of true near-dups (P(candidate) = 1-(1-s^r)^b).
+
+    Scratch lifecycle: the per-doc array frame is NOT persisted — its
+    aggregation exchange (explode → partial collect_set → shuffle on
+    doc_id) is an identical subtree under all three consumers, so
+    Spark's ReuseExchange runs the expensive scan+explode+partial-agg
+    once and only the cheap post-shuffle merge repeats. No cached
+    blocks are left on the executors after the query completes.
     """
-    # one shuffle: explode shingles → collect_set per doc (dedupe in agg)
     arrs = (
         docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
-        .persist()
     )
     # exploded distinct-shingle view derived narrowly from the arrays
     sh = arrs.select("doc_id", F.explode("ss").alias("s"))
-    sigs = minhash_signatures(sh)
-    a = sigs.select(F.col("doc_id").alias("da"), "k", "mh")
-    b = sigs.select(F.col("doc_id").alias("db"), "k", "mh")
-    cand = (
-        a.join(b, ["k", "mh"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
+    cand = minhash_candidates(sh, bands, rows)
     confirmed = (
         cand.join(arrs.select(F.col("doc_id").alias("da"), F.col("ss").alias("sa")), "da")
         .join(arrs.select(F.col("doc_id").alias("db"), F.col("ss").alias("sb")), "db")
@@ -216,7 +270,7 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     return confirmed.select("da", "db", "jaccard")
 
 
-def minhash_sql_parts() -> str:
+def minhash_sql_parts(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     params = ", ".join(
         f"({k}, {MINHASH_A[k]}, {MINHASH_B[k]})" for k in range(NUM_MINHASHES)
     )
@@ -231,10 +285,14 @@ mh_sigs AS MATERIALIZED (
     FROM doc_sh_h h CROSS JOIN mh_params p
     GROUP BY 1, 2
 ),
+mh_band AS MATERIALIZED (
+    SELECT doc_id, CAST(k // {rows} AS INT) AS band, list(mh ORDER BY k) AS sig
+    FROM mh_sigs GROUP BY 1, 2
+),
 mh_cand AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-    FROM mh_sigs a
-    JOIN mh_sigs b ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+    FROM mh_band a
+    JOIN mh_band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )"""
 
 
@@ -254,10 +312,13 @@ def simhash(docs: DataFrame) -> DataFrame:
     """60-bit SimHash over token hashes: each token votes ±1 per bit,
     simhash bit j = 1 iff the vote sum is positive.
 
-    Implemented as an explode over (token × bit) — exact and portable.
-    At very large scale the same result comes from a pandas-UDF
-    popcount accumulation per partition; this relational form is kept
-    as the oracle-matched reference implementation.
+    Scale shape: ONE hash-aggregate pass over the token frame with 60
+    conditional-sum expressions (bit j's vote is a branch on ``h & 2^j``
+    inside the same agg) — no token×bit explode, so the shuffle input is
+    the token frame itself, not 60× it. Map-side partial aggregation
+    collapses each partition to one 60-column row per doc before the
+    exchange. The 60 SUM slots are fixed-width longs in the hash-agg
+    buffer; all post-agg arithmetic is per-doc, not per-token.
     """
     tok_h = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -268,25 +329,27 @@ def simhash(docs: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
-    bits = tok_h.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    )
-    bitsums = bits.groupBy("doc_id", "j").agg(
+    aggs = [
         F.sum(
-            F.expr(
-                "CASE WHEN (h & shiftleft(cast(1 as bigint), cast(j as int)))"
-                " <> 0 THEN 1 ELSE -1 END"
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    wide = tok_h.groupBy("doc_id").agg(*aggs)
+    fold = sum(
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
             )
-        ).alias("s")
+            for j in range(1, SIMHASH_BITS)
+        ),
+        start=F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    return bitsums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint),"
-                " cast(j as int)) ELSE cast(0 as bigint) END"
-            )
-        ).cast("long").alias("simhash")
-    )
+    return wide.select("doc_id", fold.cast("long").alias("simhash"))
 
 
 SIMHASH_CTES_SQL = f"""

@@ -117,6 +117,24 @@ def test_minhash_similar_docs_share_buckets(docs):
     assert (1, 4) in got  # identical docs always collide
 
 
+def test_minhash_banding_shrinks_candidates(spark):
+    # r=4 banding must produce strictly fewer candidate pairs than r=1
+    # (any-single-hash) banding on the synthetic-dup corpus, while still
+    # catching every exact duplicate (identical signature in ALL bands).
+    docs = dedup_mod.with_synthetic_dups(load_table(spark, SF_DIR, "documents"))
+    sh = text_mod.doc_shingles(docs)
+    n_r4 = dedup_mod.minhash_candidates(sh, bands=4, rows=4).count()
+    n_r1 = dedup_mod.minhash_candidates(sh, bands=16, rows=1).count()
+    assert n_r4 < n_r1
+    exact_dups = (
+        dedup_mod.minhash_candidates(sh, bands=4, rows=4)
+        .filter(F.col("db") == F.col("da") + 1_000_000)
+        .count()
+    )
+    n_injected = docs.filter(F.col("doc_id") >= 1_000_000).count()
+    assert exact_dups == n_injected
+
+
 def test_simhash_hamming_reflects_similarity(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup_mod.simhash(docs).collect()}
     assert sh[1] == sh[4]

@@ -55,6 +55,16 @@ def test_codegen_covers_hot_path(spark, queries):
     assert len(set(re.findall(r"codegen id : (\d+)", plan))) >= 2
 
 
+def test_simhash_single_agg_pass_no_bit_explode(spark, queries):
+    # SimHash must be ONE hash-aggregate over the token frame (60
+    # conditional sums), never a token×bit explode(sequence(...)) that
+    # would 60× the shuffle input at corpus scale.
+    plan = _final_plan(spark, queries["simhash_docs"](spark, SF_DIR))
+    assert "sequence(" not in plan
+    # exactly one explode remains: text → tokens
+    assert plan.count("explode(") == 1
+
+
 def test_embedding_near_dup_pairs_only_ints_in_nested_loop(spark, queries):
     # The quadratic pair generation must stay id-only; the vectors attach
     # via broadcast hash joins above it (see functions/similarity.py).
