@@ -131,27 +131,38 @@ def main() -> int:
     # in different noise windows, where back-to-back repeats would sample
     # the same burst twice. The min is the reproducible steady-state cost
     # of the plan, not the noise of one sample.
-    timings: dict[str, float] = {}
+    per_pass: list[dict[str, float]] = []
     for _pass in range(2):
+        pass_timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None:
                 continue
-            t = _timed(fn)
-            if name not in timings or t < timings[name]:
-                timings[name] = round(t, 3)
+            pass_timings[name] = round(_timed(fn), 3)
             if _pass:
-                print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
-    timings = {n: timings[n] for n in HEADLINE if n in timings}
+                print(f"# {name}: {pass_timings[name]:.2f}s", file=sys.stderr)
+        per_pass.append(pass_timings)
+    timings = {
+        n: min(p[n] for p in per_pass if n in p)
+        for n in HEADLINE
+        if any(n in p for p in per_pass)
+    }
 
+    # The headline is the sum of per-query MIN across the two passes — a
+    # best-case steady-state statistic (named accordingly), biased low vs
+    # any single-run wall time. Both raw pass totals are reported
+    # alongside so the bias is visible, not hidden.
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_seconds",
+                "metric": "headline_query_min_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pass_totals": [
+                    round(sum(p.values()), 3) for p in per_pass
+                ],
                 "sf": sf,
             }
         )

@@ -72,14 +72,19 @@ def extract_features(docs_payload: DataFrame) -> DataFrame:
     return docs_payload.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-# DuckDB twin: the fake decoder is ASCII arithmetic, so even the
-# pandas-UDF path is oracle-checked (rare for multimodal plumbing).
+# DuckDB twin: byte arithmetic on the UTF-8 encoding — head_sum reads
+# the first 8 BYTES via hex(encode(text)) two-hex-digit slices, exactly
+# matching the Spark side's payload[:8] byte sum (character-based ord()
+# would diverge on any non-ASCII text). Even the pandas-UDF path is
+# oracle-checked (rare for multimodal plumbing).
 MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(list_aggregate(
-           list_transform(generate_series(1, least(8, length(text))),
-                          i -> ord(substr(text, i, 1))), 'sum')
+       CAST(COALESCE(list_aggregate(
+           list_transform(
+               generate_series(1, least(8, octet_length(encode(text)))),
+               i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2))
+                    AS BIGINT)), 'sum'), 0)
             AS BIGINT) AS head_sum
 FROM documents"""
 

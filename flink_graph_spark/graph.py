@@ -480,6 +480,8 @@ class Graph:
         msg_to_src: Column | None = None,
         vertices: DataFrame | None = None,
         active: DataFrame | None = None,
+        msg_to_dst_reads: Sequence[str] | None = None,
+        msg_to_src_reads: Sequence[str] | None = None,
     ) -> DataFrame:
         """The engine's core primitive (GraphX/GraphFrames
         ``aggregateMessages``; the reference builds every neighborhood op
@@ -492,6 +494,24 @@ class Graph:
 
         ``vertices`` overrides the vertex frame joined in (used by the
         Pregel loop to pass the current state without rebuilding a Graph).
+
+        ``msg_to_dst_reads`` / ``msg_to_src_reads`` declare which
+        endpoint states (``"src"``/``"dst"``) the message expression
+        references — each declared side costs one vertex join per
+        superstep, so declaring only the side actually read halves the
+        join work of single-sided kernels (SSSP, PageRank). When omitted
+        the sides are inferred from the Column repr, and the resulting
+        frame is ANALYZED before use: if the guess under-joined (the
+        repr elided a referenced name — possible for opaque ``F.expr``
+        strings), analysis fails and both sides are joined instead, so
+        under-joining is impossible, never silent.
+
+        Endpoint joins are INNER: on an INVALID graph (edge endpoints
+        missing from the vertex frame — see ``validate``) an edge
+        contributes a message iff every side it joins exists, i.e. every
+        declared/inferred read side plus, in delta mode, the originating
+        side. Validate first (``InvalidVertexIdsValidator``) if that
+        distinction matters.
         """
         if msg_to_dst is None and msg_to_src is None:
             raise ValueError("need msg_to_dst and/or msg_to_src")
@@ -505,36 +525,59 @@ class Graph:
                 *[F.col(c).alias(f"{side}_{c}") for c in vcols],
             )
 
-        def inbox_side(msg_expr: Column, owner: str) -> DataFrame:
-            # Join only the endpoint state the message expression actually
-            # references (Column reprs contain the column names; an
-            # over-join on a substring false-positive is harmless, an
-            # under-join impossible). SSSP/PageRank messages read one
-            # side → one vertex join per superstep instead of two.
+        def inbox_side(
+            msg_expr: Column, owner: str, reads: Sequence[str] | None
+        ) -> DataFrame:
             # When `active` is set (delta/workset mode), the side the
             # message ORIGINATES from joins against the active frontier
             # instead of the full state — an inner join, so edges whose
             # originator didn't change send nothing, exactly Spargel's
             # workset semantics.
             origin = "src" if owner == "dst" else "dst"
+
+            def build(sides: Sequence[str]) -> DataFrame:
+                trip = self._edges
+                for side in ("src", "dst"):
+                    gate = active is not None and side == origin
+                    if not (side in sides or gate):
+                        continue
+                    source = active if gate else v
+                    sf = side_frame(side, source)
+                    key = "__sid" if side == "src" else "__did"
+                    trip = trip.join(sf, trip[side] == sf[key])
+                return trip.select(
+                    F.col(owner).alias("id"), msg_expr.alias("__msg")
+                )
+
+            if reads is not None:
+                bad = set(reads) - {"src", "dst"}
+                if bad:
+                    raise ValueError(f"reads must be 'src'/'dst', got {bad}")
+                return build(tuple(reads))
+            # Heuristic: repr substring match (false positive → harmless
+            # over-join). A false NEGATIVE would silently drop the join,
+            # so verify by analyzing the guessed frame: an unresolvable
+            # column reference means the repr hid a read — join both.
             s = str(msg_expr)
-            trip = self._edges
-            for side in ("src", "dst"):
-                reads_state = any(f"{side}_{c}" in s for c in vcols)
-                gate = active is not None and side == origin
-                if not (reads_state or gate):
-                    continue
-                source = active if gate else v
-                sf = side_frame(side, source)
-                key = "__sid" if side == "src" else "__did"
-                trip = trip.join(sf, trip[side] == sf[key])
-            return trip.select(F.col(owner).alias("id"), msg_expr.alias("__msg"))
+            guess = tuple(
+                side
+                for side in ("src", "dst")
+                if any(f"{side}_{c}" in s for c in vcols)
+            )
+            try:
+                candidate = build(guess)
+                candidate.schema  # force driver-side analysis only
+                return candidate
+            except Exception:
+                # unresolved column → the guess under-joined; a genuinely
+                # bad expression re-raises from the both-sides build
+                return build(("src", "dst"))
 
         msgs = []
         if msg_to_dst is not None:
-            msgs.append(inbox_side(msg_to_dst, "dst"))
+            msgs.append(inbox_side(msg_to_dst, "dst", msg_to_dst_reads))
         if msg_to_src is not None:
-            msgs.append(inbox_side(msg_to_src, "src"))
+            msgs.append(inbox_side(msg_to_src, "src", msg_to_src_reads))
         inbox = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
         return inbox.groupBy("id").agg(*agg)
 
@@ -564,10 +607,14 @@ class Graph:
     # ------------------------------------------------------------------
 
     def union(self, other: "Graph") -> "Graph":
-        """Vertices: union distinct on id; edges: union-all
-        (union, Graph.java ~L545-560).
+        """Vertices: union then distinct on FULL rows — exactly the
+        reference (union, Graph.java ~L545-560: DataSet.union().distinct()
+        over (id, value) tuples), and deterministic: if the two graphs
+        carry the same id with different values, BOTH rows survive, the
+        same as the reference, rather than an arbitrary
+        partitioning-dependent winner. Edges: union-all.
         """
-        v = self._vertices.unionByName(other._vertices).dropDuplicates(["id"])
+        v = self._vertices.unionByName(other._vertices).distinct()
         e = self._edges.unionByName(other._edges)
         return Graph(v, e)
 

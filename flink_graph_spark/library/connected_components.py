@@ -28,6 +28,8 @@ def connected_components(
         initial=F.col("id"),
         msg_to_dst=F.col("src_comp"),
         msg_to_src=F.col("dst_comp"),
+        msg_to_dst_reads=("src",),
+        msg_to_src_reads=("dst",),
         agg=F.min("__msg").alias("__agg"),
         update=F.least(F.col("comp"), F.col("__agg")),
         max_iter=max_iter,

@@ -46,6 +46,7 @@ def page_rank(
         # rank/od divides directly (same form as the oracle's
         # SUM(rank / outdeg)), not rank * (1/od)
         msg_to_dst=F.col("src_st")["rank"] / F.col("src_st")["od"],
+        msg_to_dst_reads=("src",),
         agg=F.sum("__msg").alias("__agg"),
         update=F.struct(
             (

@@ -25,6 +25,7 @@ def shortest_paths(graph: Graph, source_id, max_iter: int = 10) -> DataFrame:
         graph,
         initial=F.when(F.col("id") == F.lit(source_id), F.lit(0).cast("long")),
         msg_to_dst=F.col("src_dist") + F.col("value"),
+        msg_to_dst_reads=("src",),
         agg=F.min("__msg").alias("__agg"),
         update=F.least(F.col("dist"), F.col("__agg")),
         max_iter=max_iter,

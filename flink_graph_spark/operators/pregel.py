@@ -50,6 +50,8 @@ def pregel(
     checkpoint_every: int = 2,
     check_convergence: bool = False,
     delta: bool = False,
+    msg_to_dst_reads: tuple[str, ...] | None = None,
+    msg_to_src_reads: tuple[str, ...] | None = None,
 ) -> PregelResult:
     """Run a vertex-centric iteration.
 
@@ -102,6 +104,8 @@ def pregel(
             msg_to_src=msg_to_src,
             vertices=v,
             active=active,
+            msg_to_dst_reads=msg_to_dst_reads,
+            msg_to_src_reads=msg_to_src_reads,
         )
         v_new = (
             v.join(inbox, "id", "left")

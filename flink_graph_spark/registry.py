@@ -1189,9 +1189,12 @@ FROM events GROUP BY 1""",
 )
 def streaming_user_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState running totals).
-    The events table is one parquet file → one availableNow micro-batch
-    → the update-mode snapshot is exactly the final per-user totals,
-    hash-matching the batch GROUP BY oracle.
+    The update-mode memory sink appends one row per user per micro-batch;
+    the snapshot below reduces to the LAST update per user — since each
+    update adds ≥1 event, n_events is strictly increasing per user, so
+    max-by-n_events IS the final state regardless of how many
+    micro-batches the file source split the input into. Hash-matches
+    the batch GROUP BY oracle.
     """
     tune_session(spark)
     from .streaming.stateful import running_user_totals
@@ -1202,8 +1205,16 @@ def streaming_user_totals(spark, sf_dir):
     stream = stream_mod.read_events_stream(spark, sf_dir).select("user_id", "value")
     # state partitions sized to key cardinality (~150 users in testdata),
     # not core count — one state store per core is pure overhead here.
-    return stream_mod.run_available_now(
+    snap = stream_mod.run_available_now(
         running_user_totals(stream), output_mode="update", state_partitions=8
+    )
+    last = snap.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_cents")).alias("m")
+    )
+    return last.select(
+        "user_id",
+        F.col("m")["n_events"].alias("n_events"),
+        F.col("m")["sum_cents"].alias("sum_cents"),
     )
 
 

@@ -182,6 +182,38 @@ def test_aggregate_messages_matches_neighbors(golden):
     assert rows_as_dict(got, "id", "s") == {1: 5, 2: 1, 3: 3, 4: 3, 5: 7}
 
 
+def test_aggregate_messages_explicit_reads(golden):
+    got = golden.aggregate_messages(
+        [F.sum("__msg").alias("s")],
+        msg_to_dst=F.col("src_value"),
+        msg_to_dst_reads=("src",),
+    )
+    assert rows_as_dict(got, "id", "s") == {1: 5, 2: 1, 3: 3, 4: 3, 5: 7}
+
+
+def test_aggregate_messages_expr_built_message(golden):
+    # F.expr-built message whose repr defeats the substring heuristic:
+    # Spark resolves SRC_VALUE case-insensitively, but "src_value" never
+    # appears in the repr, so the inferred join side set is empty — the
+    # analysis check must catch it and fall back to joining both sides,
+    # not silently deliver nothing.
+    got = golden.aggregate_messages(
+        [F.sum("__msg").alias("s")], msg_to_dst=F.expr("SRC_VALUE")
+    )
+    assert rows_as_dict(got, "id", "s") == {1: 5, 2: 1, 3: 3, 4: 3, 5: 7}
+
+
+def test_aggregate_messages_bad_reads_raises(golden):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        golden.aggregate_messages(
+            [F.sum("__msg").alias("s")],
+            msg_to_dst=F.col("src_value"),
+            msg_to_dst_reads=("source",),
+        )
+
+
 # --- §2.6 mutations ----------------------------------------------------
 
 def test_union_dedups_vertices_keeps_edge_duplicates(spark, golden):
