@@ -48,8 +48,14 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "simhash_docs",
+    # scale-safe similarity headliners: the bucketed LSH and IVF paths.
+    # The exact all-pairs embedding_near_dup is deliberately NOT here —
+    # quadratic-shape queries stay sf0.01 oracle anchors, not headline
+    # bench entries (its recall twin ann_topk_bruteforce covers the
+    # exact-scoring cost in the headline).
     "ann_topk_bruteforce",
-    "embedding_near_dup",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
     "sessionize_events",
     "hourly_rollup",
     "top_events_per_user",

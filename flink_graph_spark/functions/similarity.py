@@ -178,41 +178,111 @@ WHERE rank <= {k}"""
 
 # ---- LSH-bucketed approximate top-k (scale path) ---------------------
 
+N_PLANES = 4  # bits per table (bucket fan-out = 2^N_PLANES per table)
+N_TABLES = 8  # independent tables (OR-amplification)
+
 _rng = random.Random(13)
-N_PLANES = 8
 HYPERPLANES = [
-    [_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)
+    [[_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
 ]
 
 
-def _signature(e_col: str) -> Column:
-    """Random-hyperplane sign bucket (0..2^N_PLANES-1) of a double[]."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(HYPERPLANES):
-        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
-        d = F.expr(_fold_sum(f"zip_with({e_col}, {arr}, (x, y) -> x * y)"))
-        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return sig
-
-
-def ann_topk_lsh(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    hyperplane-sign bucket. One shuffle on the bucket key; at scale the
-    per-bucket join replaces the all-pairs cross product. Recall is
-    approximate — this is the scale path; the brute-force twin is the
-    exact baseline the driver oracle-checks.
+def _planes_df(spark) -> DataFrame:
+    """(table, p, plane double[]) — the hyperplane bank as a 32-row dim
+    frame. Shipping the planes as DATA (broadcast) instead of inlining
+    them as 32 separate 64-literal array expressions keeps the plan tree
+    small: one fold expression total, vs a per-plane expression forest
+    whose analysis+codegen cost (~3s/run measured) dwarfed the actual
+    arithmetic.
     """
-    n = with_norm(emb).withColumn("bucket", _signature("e"))
-    q = n.filter(F.col("vec_id") < n_queries).select(
+    rows = [
+        (t, p, HYPERPLANES[t][p])
+        for t in range(N_TABLES)
+        for p in range(N_PLANES)
+    ]
+    return spark.createDataFrame(rows, "table int, p int, plane array<double>")
+
+
+def _bucket_frame(n: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, table, bucket): sign buckets for every (vector, table) pair.
+    Broadcast nested-loop against the 32-row plane bank, one fold dot
+    per (vector, plane) row, then bit-packed per table with a partial
+    hash agg — shuffle volume is |input| × tables rows of three ints.
+    """
+    planes = _planes_df(n.sparkSession)
+    d = F.expr(_fold_sum("zip_with(e, plane, (x, y) -> x * y)"))
+    return (
+        n.select(F.col(id_col).alias("__bid"), "e")
+        .join(F.broadcast(planes), how="cross")
+        .withColumn("__d", d)
+        .groupBy(F.col("__bid"), "table")
+        .agg(
+            F.sum(
+                F.expr("IF(__d > 0, shiftleft(1, p), 0)")
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .withColumnRenamed("__bid", id_col)
+    )
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: ``N_TABLES``
+    independent sign signatures of ``N_PLANES`` bits each; a candidate
+    must share the query's bucket in ≥1 table (recall amplification
+    1-(1-p^planes)^tables, p = 1-θ/π per plane). ``multi_probe`` also
+    probes each table's hamming-1 neighbor buckets on the QUERY side
+    only — (1+planes)× more probe rows on the tiny query frame buys the
+    recall of doubling the table count without re-hashing the corpus.
+
+    Scale shape: the corpus is hashed once (narrow (vec_id, table,
+    bucket) rows, no vectors), candidates come from the (table, bucket)
+    equi-join, are deduped, and only then are the two vectors attached
+    and scored — per query a ~tables/2^planes fraction of the corpus,
+    never all-pairs. Tune planes up / tables down as the corpus grows.
+    Recall@10 vs the exact baseline is gated in
+    tests/test_sinks_ann.py and recorded in COVERAGE.md.
+    """
+    n = with_norm(emb)
+    corpus = _bucket_frame(n)
+    qn = n.filter(F.col("vec_id") < n_queries)
+    probes = _bucket_frame(qn).withColumnRenamed("vec_id", "query_id")
+    if multi_probe:
+        flips = probes.select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+                        for p in range(N_PLANES)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        probes = probes.unionByName(flips)
+    cand = (
+        probes.join(corpus, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = qn.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("eq"),
         F.col("nrm").alias("nq"),
-        "bucket",
     )
     cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
     scored = (
-        q.join(n, "bucket")
-        .filter(F.col("query_id") != F.col("vec_id"))
+        cand.join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("__cos", cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("vec_id"))

@@ -1240,3 +1240,58 @@ def streaming_degrees(spark, sf_dir):
     return stream_mod.run_available_now(
         gs.streaming_out_degrees(stream), output_mode="complete", state_partitions=8
     )
+
+
+# ----------------------------------------------------------------------
+# Registry ordering (driver contract)
+# ----------------------------------------------------------------------
+# The driver walks queries() in dict order under a time budget; round 1
+# truncated at entry 50, leaving the 23 queries registered after
+# `dedup_exact` (every LLM-pipeline, similarity, triangle, pc-stressor,
+# music-profiles and streaming entry) without a driver-signed
+# correctness row even though all pass the identical gate locally.
+# Those 23 therefore run FIRST; the 50 queries the round-1 artifact
+# already signed follow in their original order, so whatever the budget
+# covers, every query ends up driver-signed in some round's artifact.
+
+_ROUND1_UNSIGNED = [
+    "sessionize_events",
+    "json_k_stats",
+    "hourly_rollup",
+    "top_events_per_user",
+    "top_event_per_user",
+    "shared_top_event_edges",
+    "dedup_ngram_topk",
+    "dedup_minhash_lsh",
+    "simhash_docs",
+    "ann_topk_bruteforce",
+    "embedding_near_dup",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "multimodal_features",
+    "triangle_count_pc",
+    "triangles_per_vertex_uu",
+    "cc_pc",
+    "pagerank_pc",
+    "music_profiles_communities",
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "streaming_user_totals",
+    "streaming_degrees",
+]
+
+
+def _apply_priority_order() -> None:
+    assert set(_ROUND1_UNSIGNED) <= set(SPARK_QUERIES), (
+        set(_ROUND1_UNSIGNED) - set(SPARK_QUERIES)
+    )
+    order = _ROUND1_UNSIGNED + [
+        n for n in SPARK_QUERIES if n not in _ROUND1_UNSIGNED
+    ]
+    for d in (SPARK_QUERIES, ORACLE_SQL):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_apply_priority_order()

@@ -83,10 +83,18 @@ def customer_supplier_undirected_graph(spark: SparkSession, sf_dir: str) -> Grap
 
 # --- C.2 user–user co-occurrence graph --------------------------------
 
-UU_EDGES_SQL = """
+UU_CELL_CAP = 512
+
+UU_EDGES_SQL = f"""
 uu_base AS MATERIALIZED (
-    SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
-    FROM events
+    SELECT user_id, event_type, hb FROM (
+        SELECT user_id, event_type, hb,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hb
+                                  ORDER BY user_id) AS rn
+        FROM (SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS hb
+              FROM events)
+    ) WHERE rn <= {UU_CELL_CAP}
 ),
 uu_edges AS MATERIALIZED (
     SELECT a.user_id AS src, b.user_id AS dst,
@@ -99,15 +107,36 @@ uu_edges AS MATERIALIZED (
 )"""
 
 
-def user_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> Graph:
+def user_cooccurrence_graph(
+    spark: SparkSession, sf_dir: str, cell_cap: int = UU_CELL_CAP
+) -> Graph:
     """Edges between users co-occurring on the same event_type within the
     same hour bucket; weight = number of co-occurring (type, hour) cells.
     src < dst (undirected-canonical form).
+
+    Hot-cell guard: each (event_type, hour) cell is capped to its first
+    ``cell_cap`` members (deterministic: lowest user_id) BEFORE the
+    self-join — a cell with m members otherwise contributes m² join
+    rows, so one viral cell (every user firing the same event in the
+    same hour) turns the build quadratic at real event volumes. The cap
+    bounds any cell's contribution at cell_cap², making worst-case cost
+    n_cells × cell_cap² regardless of skew (SCALING.md §8). The window
+    ranks within the same (event_type, hb) key the join shuffles on, so
+    the cap adds no extra exchange.
     """
     events = load_table(spark, sf_dir, "events")
-    base = events.select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hb")
-    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "hb").orderBy("user_id")
+    base = (
+        events.select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("hb")
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cell_cap)
+        .drop("rn")
+    )
     a = base.alias("a")
     b = base.alias("b")
     edges = (

@@ -67,6 +67,29 @@ def test_ann_ivf_probes_recall_everything_with_full_probe(spark):
     assert e == f
 
 
+def _recall_at_k(exact_df, approx_df) -> float:
+    e = {(r["query_id"], r["vec_id"]) for r in exact_df.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx_df.collect()}
+    return len(e & a) / len(e)
+
+
+def test_ann_recall_gate(spark):
+    """The recall floors an approximate index must clear to be usable
+    (measured values recorded in COVERAGE.md): LSH multi-table+multi-
+    probe ≥ 0.9, LSH single-probe ≥ 0.6, IVF nprobe=4/nlist=16 ≥ 0.8,
+    all recall@10 over 5 queries vs the exact brute-force baseline.
+    """
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = sim_mod.ann_topk_bruteforce(emb, n_queries=5, k=10)
+    assert _recall_at_k(
+        exact, sim_mod.ann_topk_lsh(emb, 5, 10, multi_probe=True)
+    ) >= 0.9
+    assert _recall_at_k(
+        exact, sim_mod.ann_topk_lsh(emb, 5, 10, multi_probe=False)
+    ) >= 0.6
+    assert _recall_at_k(exact, sim_mod.ann_topk_ivf(emb, 5, 10)) >= 0.8
+
+
 def test_running_user_totals_matches_batch(spark):
     batch = load_table(spark, SF_DIR, "events")
     expected = {
