@@ -238,17 +238,23 @@ def dedup_minhash_lsh(
     quadratic, while the banded candidate set stays ~linear in the
     number of true near-dups (P(candidate) = 1-(1-s^r)^b).
 
-    Scratch lifecycle: the per-doc array frame is NOT persisted — its
-    aggregation exchange (explode → partial collect_set → shuffle on
-    doc_id) is an identical subtree under all three consumers, so
-    Spark's ReuseExchange runs the expensive scan+explode+partial-agg
-    once and only the cheap post-shuffle merge repeats. No cached
-    blocks are left on the executors after the query completes.
+    Scratch lifecycle (owned by the operator): the per-doc shingle-set
+    frame feeds FOUR plan subtrees (both LSH self-join sides, both
+    confirm joins), and ReuseExchange does NOT deduplicate them
+    (verified on the final AQE plan — the scan+explode+collect_set
+    pipeline appears once per consumer), so without caching the corpus
+    would be re-scanned 4×. It is persisted for the duration of this
+    call only: the (small, ~linear in true near-dups) result is
+    materialized eagerly via localCheckpoint, then the scratch is
+    unpersisted before returning — no cached blocks outlive the call.
+    On a real cluster swap localCheckpoint for a store-backed
+    checkpoint (same note as the Pregel loop, SCALING.md §7).
     """
     arrs = (
         docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
+        .persist()
     )
     # exploded distinct-shingle view derived narrowly from the arrays
     sh = arrs.select("doc_id", F.explode("ss").alias("s"))
@@ -267,7 +273,9 @@ def dedup_minhash_lsh(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return confirmed.select("da", "db", "jaccard")
+    out = confirmed.select("da", "db", "jaccard").localCheckpoint(eager=True)
+    arrs.unpersist()
+    return out
 
 
 def minhash_sql_parts(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:

@@ -79,6 +79,7 @@ class Graph:
         #: 100 TB posture is an edge table bucketed by src, so iterative
         #: consumers (pregel, LPA) must not re-shuffle or re-cache it.
         self.src_partitioned = src_partitioned
+        self._n_vertices: int | None = None  # memoized scalar count
         self._schema = GraphSchema(
             vertex_value_cols=tuple(c for c in vcols if c != "id"),
             edge_value_cols=tuple(c for c in ecols if c not in ("src", "dst")),
@@ -144,6 +145,15 @@ class Graph:
     def num_vertices(self) -> DataFrame:
         """numberOfVertices() as a 1-row frame (GraphUtils.count ~L20-45)."""
         return self._vertices.agg(F.count("*").alias("n_vertices"))
+
+    def vertex_count(self) -> int:
+        """Scalar numberOfVertices(), memoized: algorithms that need n as
+        a plan constant (PageRank's 1/n teleport) pay the eager count job
+        once per Graph object, not once per call.
+        """
+        if self._n_vertices is None:
+            self._n_vertices = self._vertices.count()
+        return self._n_vertices
 
     def num_edges(self) -> DataFrame:
         return self._edges.agg(F.count("*").alias("n_edges"))

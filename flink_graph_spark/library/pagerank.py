@@ -28,7 +28,7 @@ def page_rank(
     superstep with no per-query edge materialization, and per superstep
     only the (small) state frame and the message agg shuffle.
     """
-    n = graph.vertices.count()
+    n = graph.vertex_count()  # memoized on the Graph — one count job ever
     teleport = (1.0 - beta) / n
 
     outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
