@@ -311,6 +311,63 @@ JOIN pair_jaccard j ON c.da = j.da AND c.db = j.db
 WHERE j.jaccard >= 0.05"""
 
 
+# ---- near-dup clustering (pairs → components → representative) -------
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_iter: int = 4,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in ≥1 near-dup pair: the full
+    corpus-dedup pipeline shape — banded-LSH candidate pairs, exact
+    Jaccard confirm, then connected components over the near-dup graph
+    so transitive chains (A≈B≈C with A̸≈C) land in ONE cluster, with the
+    min doc_id as the deterministic representative (keep cluster_id,
+    drop the rest). This is where the graph engine and the LLM-data
+    pipeline meet: the pair list feeds ``Graph.from_edges`` and the
+    Spargel delta loop directly.
+
+    ``max_iter`` bounds propagation (exact for components of diameter ≤
+    max_iter; near-dup clusters are cliques or short chains). Docs with
+    no near-dup are absent (they keep themselves — no row needed).
+    """
+    from ..graph import Graph
+    from ..library.connected_components import connected_components
+
+    pairs = dedup_minhash_lsh(docs, threshold, bands, rows)
+    edges = pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    comps = connected_components(Graph.from_edges(edges), max_iter=max_iter)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def dedup_clusters_sql(max_iter: int = 4) -> tuple[str, str]:
+    """(CTE text, final SELECT); composes after doc_shingles +
+    pair_jaccard + minhash parts."""
+    from ..library.connected_components import oracle_ctes
+
+    pair_ctes = """
+dd_pairs AS MATERIALIZED (
+    SELECT c.da AS src, c.db AS dst
+    FROM mh_cand c
+    JOIN pair_jaccard j ON c.da = j.da AND c.db = j.db
+    WHERE j.jaccard >= 0.05
+),
+dd_docs AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM dd_pairs UNION SELECT dst FROM dd_pairs
+    )
+)"""
+    cc_ctes, _ = oracle_ctes("dd_pairs", "dd_docs", max_iter)
+    final = (
+        f"SELECT id AS doc_id, comp AS cluster_id FROM c{max_iter}"
+    )
+    return pair_ctes + ",\n" + cc_ctes, final
+
+
 # ---- SimHash ---------------------------------------------------------
 
 SIMHASH_BITS = 60

@@ -149,6 +149,34 @@ SELECT doc_id,
 FROM doc_tok"""
 
 
+def repetition_ratio(docs: DataFrame) -> DataFrame:
+    """Fraction of 3-gram occurrences that repeat an earlier 3-gram in
+    the same doc — the Gopher/RefinedWeb-style boilerplate/repetition
+    signal ((total − distinct) / total shingles; 0 when < 3 tokens).
+    Pure per-row projection: embarrassingly parallel, no shuffle.
+    """
+    total = F.expr(f"size({SHINGLES_EXPR})")
+    distinct = F.expr(f"size(array_distinct({SHINGLES_EXPR}))")
+    return docs.select(
+        "doc_id",
+        F.when(total > 0, F.round((total - distinct) / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+REPETITION_RATIO_SQL = """
+SELECT doc_id,
+       CASE WHEN len(t) >= 3 THEN
+           ROUND((CAST(len(t) - 2 AS DOUBLE)
+                  - len(list_distinct(
+                      list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' ')))))
+                 / (len(t) - 2), 6)
+       ELSE 0.0 END AS rep_ratio
+FROM doc_tok"""
+
+
 # ---- language ID -----------------------------------------------------
 
 LANG_MARKERS = {

@@ -886,6 +886,16 @@ def quality_score(spark, sf_dir):
     return text_mod.quality_score(_docs(spark, sf_dir))
 
 
+@_register(
+    "repetition_ratio",
+    _with(text_mod.DOC_TOK_SQL, text_mod.REPETITION_RATIO_SQL),
+)
+def repetition_ratio(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition signal: duplicate 3-gram
+    fraction per document."""
+    return text_mod.repetition_ratio(_docs(spark, sf_dir))
+
+
 @_register("lang_id", _with(text_mod.DOC_TOK_SQL, *text_mod.lang_id_sql()))
 def lang_id(spark, sf_dir):
     return text_mod.lang_id(spark, _docs(spark, sf_dir))
@@ -954,6 +964,22 @@ def dedup_ngram_topk(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup_mod.dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+@_register(
+    "dedup_clusters",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.PAIR_JACCARD_SQL,
+        dedup_mod.minhash_sql_parts(),
+        *dedup_mod.dedup_clusters_sql(4),
+    ),
+)
+def dedup_clusters(spark, sf_dir):
+    """Corpus-dedup endgame: LSH pairs → near-dup graph → connected
+    components → (doc_id, cluster representative)."""
+    return dedup_mod.dedup_clusters(_docs(spark, sf_dir))
 
 
 @_register(
@@ -1261,8 +1287,10 @@ _ROUND1_UNSIGNED = [
     "top_events_per_user",
     "top_event_per_user",
     "shared_top_event_edges",
+    "repetition_ratio",
     "dedup_ngram_topk",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "simhash_docs",
     "ann_topk_bruteforce",
     "embedding_near_dup",

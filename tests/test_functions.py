@@ -83,6 +83,21 @@ def test_lang_id_sf(spark):
     assert out.count() == docs.count()
 
 
+def test_repetition_ratio(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # shingles: abc bca cab abc → 1 dup of 4
+            (2, "x y z w"),          # all distinct → 0.0
+            (3, "one two"),          # < 3 tokens → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_ratio"] for r in text_mod.repetition_ratio(docs).collect()}
+    assert got[1] == pytest.approx(0.25)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
 def test_quality_score_range(spark, docs):
     got = text_mod.quality_score(docs)
     vals = [r["quality"] for r in got.collect()]
@@ -133,6 +148,17 @@ def test_minhash_banding_shrinks_candidates(spark):
     )
     n_injected = docs.filter(F.col("doc_id") >= 1_000_000).count()
     assert exact_dups == n_injected
+
+
+def test_dedup_clusters_transitive_with_min_representative(docs):
+    # docs 1, 2, 4 are mutual near-dups (4 = exact copy of 1, 2 one word
+    # off): they must land in ONE cluster represented by min id 1; doc 3
+    # has no near-dup and must be absent.
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_mod.dedup_clusters(docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1}
 
 
 def test_simhash_hamming_reflects_similarity(docs):

@@ -65,6 +65,20 @@ def test_simhash_single_agg_pass_no_bit_explode(spark, queries):
     assert plan.count("explode(") == 1
 
 
+def test_ann_lsh_joins_are_bucketed_not_all_pairs(spark, queries):
+    # The only nested-loop allowed in the LSH plan is the broadcast
+    # against the 32-row hyperplane bank; candidate generation must be
+    # an equi-join on (table, bucket) and scoring a hash join — never a
+    # corpus×corpus product.
+    plan = _final_plan(spark, queries["ann_topk_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # candidates must come from an equi-join on (table, bucket) — the
+    # signature pattern of bucketed LSH, vs an all-pairs product
+    assert re.search(r"keys \[\d+\]: \[table#\d+, bucket#\d+", plan)
+    # scoring attaches vectors via hash joins above the candidate list
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_embedding_near_dup_pairs_only_ints_in_nested_loop(spark, queries):
     # The quadratic pair generation must stay id-only; the vectors attach
     # via broadcast hash joins above it (see functions/similarity.py).
