@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .graph import EdgeDirection, Graph
 from .library import connected_components as cc_mod
+from .library import hits as hits_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import pagerank as pr_mod
@@ -812,6 +813,18 @@ def lpa_cs(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 @_register(
+    "hits_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *hits_mod.oracle_ctes("cs_edges", "cs_vertices", 5),
+    ),
+)
+def hits_cs(spark, sf_dir):
+    return hits_mod.hits(_cs(spark, sf_dir), max_iter=5)
+
+
+@_register(
     "jaccard_part_copurchase",
     _with(
         PC_EDGES_SQL,
@@ -842,6 +855,7 @@ def uu_graph_edges(spark, sf_dir):
 # similarity search, event analytics, multimodal plumbing
 # ======================================================================
 
+from .functions import asof as asof_mod  # noqa: E402
 from .functions import dedup as dedup_mod  # noqa: E402
 from .functions import multimodal as mm_mod  # noqa: E402
 from .functions import sessions as sess_mod  # noqa: E402
@@ -1036,6 +1050,13 @@ def hourly_rollup(spark, sf_dir):
 @_register("top_events_per_user", sess_mod.top_events_per_user_sql(3))
 def top_events_per_user(spark, sf_dir):
     return sess_mod.top_events_per_user(_events(spark, sf_dir), 3)
+
+
+@_register("asof_order_events", asof_mod.ASOF_ORDER_EVENTS_SQL)
+def asof_order_events(spark, sf_dir):
+    return asof_mod.asof_order_events(
+        load_table(spark, sf_dir, "orders"), _events(spark, sf_dir)
+    )
 
 
 # ---- multimodal plumbing ----------------------------------------------
@@ -1309,13 +1330,18 @@ _ROUND1_UNSIGNED = [
 ]
 
 
+# Queries added in round 2+ (never driver-signed yet) run right after
+# the round-1-unsigned block so the driver's budget reaches them too.
+_NEW_UNSIGNED = [
+    "hits_cs",
+    "asof_order_events",
+]
+
+
 def _apply_priority_order() -> None:
-    assert set(_ROUND1_UNSIGNED) <= set(SPARK_QUERIES), (
-        set(_ROUND1_UNSIGNED) - set(SPARK_QUERIES)
-    )
-    order = _ROUND1_UNSIGNED + [
-        n for n in SPARK_QUERIES if n not in _ROUND1_UNSIGNED
-    ]
+    front = _ROUND1_UNSIGNED + _NEW_UNSIGNED
+    assert set(front) <= set(SPARK_QUERIES), set(front) - set(SPARK_QUERIES)
+    order = front + [n for n in SPARK_QUERIES if n not in front]
     for d in (SPARK_QUERIES, ORACLE_SQL):
         snapshot = dict(d)
         d.clear()

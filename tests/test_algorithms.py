@@ -179,3 +179,36 @@ def test_graph_pregel_method(golden):
         delta=True,
     )
     assert res.vertices.count() == 5
+
+
+def test_hits_matches_numpy_twin(golden):
+    import numpy as np
+
+    from flink_graph_spark.library.hits import HITS, hits
+    from flink_graph_spark.sources.graphs import GOLDEN_EDGES
+
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(golden, max_iter=5).collect()}
+
+    A = np.zeros((5, 5))
+    for s, d, _ in GOLDEN_EDGES:
+        A[s - 1, d - 1] = 1.0
+    hub = np.ones(5)
+    for _ in range(5):
+        auth = A.T @ hub
+        hub = A @ auth
+    auth /= auth.sum()
+    hub /= hub.sum()
+    for i in range(5):
+        assert got[i + 1][0] == pytest.approx(hub[i], abs=1e-6)
+        assert got[i + 1][1] == pytest.approx(auth[i], abs=1e-6)
+    # both vectors L1-normalized
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0, abs=1e-5)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hits_algorithm_packaging(golden):
+    from flink_graph_spark.library.hits import HITS
+
+    g = golden.run(HITS(3))
+    assert g.vertices.count() == 5
+    assert set(g.vertices.select("value.hub", "value.auth").columns) == {"hub", "auth"}

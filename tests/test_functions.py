@@ -399,3 +399,41 @@ def test_stateful_update_evicts_timed_out_state():
     out = list(_update((42,), iter([]), state, ttl_ms=60000))
     assert out == []
     assert state.removed
+
+
+# ---- as-of join -------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from flink_graph_spark.functions.asof import asof_join
+
+    T = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (100, 1, T(2024, 1, 1, 12, 0, 0)),   # two earlier events
+            (101, 1, T(2024, 1, 1, 10, 0, 0)),   # equal-ts event qualifies
+            (102, 2, T(2024, 1, 1, 9, 0, 0)),    # before any event -> NULL
+            (103, 3, T(2024, 1, 2, 0, 0, 0)),    # key with no events -> NULL
+        ],
+        "order_id long, k long, ots timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, T(2024, 1, 1, 10, 0, 0), "a"),
+            (11, 1, T(2024, 1, 1, 10, 0, 0), "b"),  # tie: larger id wins
+            (12, 1, T(2024, 1, 1, 11, 0, 0), "c"),
+            (13, 2, T(2024, 1, 1, 10, 0, 0), "d"),
+        ],
+        "event_id long, k long, ts timestamp, etype string",
+    )
+    got = {
+        r["order_id"]: (r["last_event_id"], r["last_etype"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ots", right_ts="ts",
+            payload=("event_id", "etype"), tiebreak="event_id",
+        ).collect()
+    }
+    assert got[100] == (12, "c")      # latest preceding
+    assert got[101] == (11, "b")      # ts == left ts included; max id tie-win
+    assert got[102] == (None, None)   # nothing at or before
+    assert got[103] == (None, None)   # key absent from right
