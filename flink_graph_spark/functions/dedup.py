@@ -437,3 +437,73 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsums GROUP BY 1"""
+
+
+# ---- benchmark contamination check -----------------------------------
+
+CONTAMINATION_HOLDOUT_MOD = 37  # doc_id % MOD == 0 → held-out "benchmark" doc
+
+
+def contamination_check(
+    docs: DataFrame, holdout_mod: int = CONTAMINATION_HOLDOUT_MOD
+) -> DataFrame:
+    """(doc_id, shared_ngrams, contamination_score) for every TRAINING
+    doc (those NOT in the held-out set): how many of its distinct word
+    3-gram shingles also appear in any held-out doc, and that count as a
+    fraction of its shingles.
+
+    The held-out set models an eval benchmark: deterministically
+    ``doc_id % holdout_mod == 0`` here. Scale shape: the held-out
+    shingle vocabulary is DISTINCT-ed then joined — for a real benchmark
+    suite it is tiny relative to the corpus, so Spark broadcasts it and
+    the check is one map-side semi-join + hash agg over the training
+    shingles, never a doc×doc comparison. Docs with no shingles (<3
+    tokens) have no score, matching the oracle.
+    """
+    sh = doc_shingles(docs)
+    is_held = F.col("doc_id") % holdout_mod == 0
+    held = sh.where(is_held).select("s").distinct()
+    train = sh.where(~is_held)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("total"))
+    shared = train.join(held, "s").groupBy("doc_id").agg(
+        F.count("*").alias("shared")
+    )
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias(
+                "shared_ngrams"
+            ),
+            F.round(
+                F.coalesce(F.col("shared"), F.lit(0)) / F.col("total"), 6
+            ).alias("contamination_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+held AS MATERIALIZED (
+    SELECT DISTINCT s FROM doc_shingles
+    WHERE doc_id % {CONTAMINATION_HOLDOUT_MOD} = 0
+),
+train AS MATERIALIZED (
+    SELECT doc_id, s FROM doc_shingles
+    WHERE doc_id % {CONTAMINATION_HOLDOUT_MOD} <> 0
+),
+contam_tot AS (
+    SELECT doc_id, COUNT(*) AS total FROM train GROUP BY 1
+),
+contam_hit AS (
+    SELECT t.doc_id, COUNT(*) AS shared
+    FROM train t JOIN held h ON t.s = h.s
+    GROUP BY 1
+)"""
+
+CONTAMINATION_FINAL_SQL = """
+SELECT t.doc_id,
+       CAST(COALESCE(h.shared, 0) AS BIGINT) AS shared_ngrams,
+       ROUND(COALESCE(h.shared, 0) * 1.0 / t.total, 6) AS contamination_score
+FROM contam_tot t LEFT JOIN contam_hit h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id"""

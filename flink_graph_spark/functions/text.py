@@ -323,3 +323,111 @@ JOIN doc_tok d ON q.doc_id = d.doc_id
 LEFT JOIN lang_best b ON q.doc_id = b.doc_id
 WHERE q.quality >= {min_quality!r}"""
     return quality_cte, fp_cte, keep_cte, final
+
+
+# ---- deterministic stratified sampling -------------------------------
+
+SAMPLE_KNUTH_MULT = 2654435761  # Knuth multiplicative hash, fits int64 for any doc_id
+SAMPLE_MOD = 4294967296
+
+# per-stratum keep rates out of 100 (training mixes oversample target langs)
+SAMPLE_RATE_EN = 30
+SAMPLE_RATE_OTHER = 10
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang) — deterministic per-language sample: keep a doc iff
+    ``((doc_id * K) mod 2^32) mod 100`` falls under its stratum's rate.
+
+    Pure arithmetic on the key (no RNG, no engine hash function) so the
+    identical predicate runs on any engine and re-runs are stable — the
+    property a 100 TB pipeline needs for resumable sampling. Evaluated
+    map-side: a scan + filter, no shuffle at all.
+    """
+    bucket = ((F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN).otherwise(
+        SAMPLE_RATE_OTHER
+    )
+    return (
+        docs.where(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}) % 100 <
+      CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_RATE_OTHER} END
+ORDER BY doc_id"""
+
+
+# ---- PII scrub -------------------------------------------------------
+
+# Common-subset regexes (Java regex on Spark, RE2 on DuckDB): no
+# lookaround, no shorthand classes beyond [0-9a-z].
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed_fp, scrubbed_len) —
+    detect-and-redact pipeline over text. The corpus is synthetic
+    word-salad with no real PII, so the query deterministically injects
+    an email for ``doc_id % 3 != 0`` and a phone for ``doc_id % 5 != 0``
+    before scrubbing — exercising detection counts, global replacement,
+    and a post-scrub fingerprint with non-trivial expected values.
+
+    All column expressions (regexp_count / regexp_replace / md5) — pure
+    codegen, no Python, one scan, no shuffle.
+    """
+    email = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = F.concat(F.col("text"), email, phone)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 <> 0
+                THEN ' reach u' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 <> 0
+                THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS t
+    FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, t,
+           regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS s
+    FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(s) AS scrubbed_fp,
+       CAST(length(s) AS BIGINT) AS scrubbed_len
+FROM scrubbed
+ORDER BY doc_id"""

@@ -858,6 +858,7 @@ def uu_graph_edges(spark, sf_dir):
 from .functions import asof as asof_mod  # noqa: E402
 from .functions import dedup as dedup_mod  # noqa: E402
 from .functions import multimodal as mm_mod  # noqa: E402
+from .functions import packing as pack_mod  # noqa: E402
 from .functions import sessions as sess_mod  # noqa: E402
 from .functions import similarity as sim_mod  # noqa: E402
 from .functions import text as text_mod  # noqa: E402
@@ -1050,6 +1051,34 @@ def hourly_rollup(spark, sf_dir):
 @_register("top_events_per_user", sess_mod.top_events_per_user_sql(3))
 def top_events_per_user(spark, sf_dir):
     return sess_mod.top_events_per_user(_events(spark, sf_dir), 3)
+
+
+@_register(
+    "contamination_check",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.CONTAMINATION_SQL,
+        dedup_mod.CONTAMINATION_FINAL_SQL,
+    ),
+)
+def contamination_check(spark, sf_dir):
+    return dedup_mod.contamination_check(_docs(spark, sf_dir))
+
+
+@_register("stratified_sample", text_mod.STRATIFIED_SAMPLE_SQL)
+def stratified_sample(spark, sf_dir):
+    return text_mod.stratified_sample(_docs(spark, sf_dir))
+
+
+@_register("pii_scrub", text_mod.PII_SCRUB_SQL)
+def pii_scrub(spark, sf_dir):
+    return text_mod.pii_scrub(_docs(spark, sf_dir))
+
+
+@_register("pack_sequences", pack_mod.PACK_SEQUENCES_SQL)
+def pack_sequences(spark, sf_dir):
+    return pack_mod.pack_sequences(_docs(spark, sf_dir))
 
 
 @_register("asof_order_events", asof_mod.ASOF_ORDER_EVENTS_SQL)
@@ -1335,6 +1364,10 @@ _ROUND1_UNSIGNED = [
 _NEW_UNSIGNED = [
     "hits_cs",
     "asof_order_events",
+    "contamination_check",
+    "stratified_sample",
+    "pii_scrub",
+    "pack_sequences",
 ]
 
 

@@ -437,3 +437,77 @@ def test_asof_join_semantics(spark):
     assert got[101] == (11, "b")      # ts == left ts included; max id tie-win
     assert got[102] == (None, None)   # nothing at or before
     assert got[103] == (None, None)   # key absent from right
+
+
+# ---- contamination / sampling / scrubbing / packing -------------------
+
+
+def test_contamination_check_flags_overlap(spark):
+    from flink_graph_spark.functions.dedup import contamination_check
+
+    d = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # held out (0 % 3 == 0)
+            (1, "alpha beta gamma epsilon"),      # shares shingle "alpha beta gamma"
+            (2, "zeta eta theta iota"),           # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shared_ngrams"], r["contamination_score"])
+        for r in contamination_check(d, holdout_mod=3).collect()
+    }
+    assert set(got) == {1, 2}          # held-out doc not scored
+    assert got[1][0] == 1 and got[1][1] == 0.5
+    assert got[2] == (0, 0.0)
+
+
+def test_stratified_sample_deterministic(spark):
+    from flink_graph_spark.functions.text import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = [r["doc_id"] for r in stratified_sample(docs).collect()]
+    b = [r["doc_id"] for r in stratified_sample(docs).collect()]
+    assert a == b and len(a) > 0
+    # en stratum is oversampled vs others at equal population
+    n = docs.count()
+    assert 0 < len(a) < n
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from flink_graph_spark.functions.text import pii_scrub
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (3, "plain"), (5, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)  # both injected
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 1)  # 3%3==0: no email
+    assert (got[5]["n_emails"], got[5]["n_phones"]) == (1, 0)  # 5%5==0: no phone
+    # redaction fingerprints are stable and PII-free by construction
+    assert all(len(r["scrubbed_fp"]) == 32 for r in got.values())
+
+
+def test_pack_sequences_next_fit(spark):
+    from flink_graph_spark.functions.packing import pack_sequences
+
+    mk = lambda n: " ".join(["w"] * n)
+    d = spark.createDataFrame(
+        [
+            (1, "en", mk(100)),
+            (2, "en", mk(100)),
+            (3, "en", mk(100)),   # 100+100=200, +100 > 256 -> new bin
+            (4, "en", mk(300)),   # oversized: own bin
+            (5, "en", mk(10)),
+            (6, "de", mk(250)),   # separate lang group restarts at bin 0
+            (7, "de", mk(10)),    # 250+10 > 256 -> bin 1
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r["bin_id"] for r in pack_sequences(d, budget=256).collect()}
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 1
+    assert got[4] == 2
+    assert got[5] == 3            # 300-token bin is over budget; next doc opens new
+    assert got[6] == 0 and got[7] == 1
