@@ -1,0 +1,88 @@
+"""k-core decomposition (membership) — iteratively peel vertices of
+degree < k from the undirected graph until no such vertex remains; the
+survivors are the k-core (Gelly-successor library; §2.10 extension).
+
+Each round is one degree aggregation + two semi-joins (keep edges whose
+endpoints both survive) — all relational, no per-vertex state. The
+edge frame shrinks monotonically, so later rounds get cheaper; lineage
+is truncated per round with ``localCheckpoint``. A fixed ``max_iter``
+bounds the unrolled DuckDB oracle; peeling converges when a round
+removes nothing, after which further rounds are no-ops — the Spark
+loop early-stops on that (an ``isEmpty`` on the removed set, not a
+collect), making extra oracle rounds semantically free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+
+def k_core(graph: Graph, k: int = 3, max_iter: int = 8) -> DataFrame:
+    """Returns (id, core_deg) — vertices of the k-core and their degree
+    WITHIN the core (the converged subgraph), over the undirected view
+    with self-loop-free distinct neighbor edges."""
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
+        removed = deg.where(F.col("deg") < k)
+        if removed.isEmpty():
+            break
+        e = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+        .where(F.col("core_deg") >= k)
+        .orderBy("id")
+    )
+
+
+def oracle_ctes(
+    edges_cte: str, k: int = 3, max_iter: int = 8
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — unrolled peel rounds."""
+    ctes = [
+        f"""kc_e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM {edges_cte} WHERE src <> dst
+    UNION
+    SELECT dst AS src, src AS dst FROM {edges_cte} WHERE src <> dst
+  )
+)"""
+    ]
+    for i in range(1, max_iter + 1):
+        p = f"kc_e{i - 1}"
+        ctes.append(
+            f"""kc_keep{i} AS MATERIALIZED (
+  SELECT src AS id FROM {p} GROUP BY 1 HAVING COUNT(*) >= {k}
+)"""
+        )
+        ctes.append(
+            f"""kc_e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {p} e
+  JOIN kc_keep{i} a ON e.src = a.id
+  JOIN kc_keep{i} b ON e.dst = b.id
+)"""
+        )
+    final = f"""SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM kc_e{max_iter}
+GROUP BY 1 HAVING COUNT(*) >= {k}
+ORDER BY 1"""
+    return ",\n".join(ctes), final

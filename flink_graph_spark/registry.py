@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .graph import EdgeDirection, Graph
+from .library import adamic_adar as aa_mod
 from .library import connected_components as cc_mod
 from .library import hits as hits_mod
+from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import pagerank as pr_mod
@@ -850,6 +852,32 @@ def uu_graph_edges(spark, sf_dir):
     return user_cooccurrence_graph(spark, sf_dir).edges
 
 
+@_register(
+    "adamic_adar_pc",
+    _with(
+        PC_EDGES_SQL,
+        *aa_mod.oracle_ctes("pc_edges"),
+    ),
+)
+def adamic_adar_pc(spark, sf_dir):
+    tune_session(spark)
+    g = part_copurchase_graph(spark, sf_dir)
+    return aa_mod.adamic_adar(g)
+
+
+@_register(
+    "kcore_uu",
+    _with(
+        UU_EDGES_SQL,
+        *kcore_mod.oracle_ctes("uu_edges", 4, 8),
+    ),
+)
+def kcore_uu(spark, sf_dir):
+    tune_session(spark)
+    g = user_cooccurrence_graph(spark, sf_dir)
+    return kcore_mod.k_core(g, k=4, max_iter=8)
+
+
 # ======================================================================
 # North-star extensions (SURVEY.md §2.10): text analysis, dedup,
 # similarity search, event analytics, multimodal plumbing
@@ -1368,6 +1396,8 @@ _NEW_UNSIGNED = [
     "stratified_sample",
     "pii_scrub",
     "pack_sequences",
+    "adamic_adar_pc",
+    "kcore_uu",
 ]
 
 

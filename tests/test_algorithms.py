@@ -212,3 +212,36 @@ def test_hits_algorithm_packaging(golden):
     g = golden.run(HITS(3))
     assert g.vertices.count() == 5
     assert set(g.vertices.select("value.hub", "value.auth").columns) == {"hub", "auth"}
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from flink_graph_spark.library.adamic_adar import adamic_adar
+
+    # square 1-2-3-4-1 plus diagonal 1-3: common nbrs of (1,3) are {2,4}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    g = Graph.from_collection(
+        spark, [(i, i) for i in range(1, 5)], [(s, d, 0) for s, d in edges]
+    )
+    got = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar(g).collect()}
+    # deg: 1->3, 2->2, 3->3, 4->2
+    assert got[(1, 3)] == pytest.approx(2 / math.log(2), abs=1e-6)
+    # (1,2): common nbr {3} (deg 3)
+    assert got[(1, 2)] == pytest.approx(1 / math.log(3), abs=1e-6)
+    # every edge in a 4-cycle-with-chord has >=1 common neighbor
+    assert all(v > 0 for v in got.values())
+
+
+def test_k_core_peels_tail(spark):
+    from flink_graph_spark.library.kcore import k_core
+
+    # triangle 1-2-3 (2-core) with a pendant path 3-4-5
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    g = Graph.from_collection(
+        spark, [(i, i) for i in range(1, 6)], [(s, d, 0) for s, d in edges]
+    )
+    core2 = {r["id"]: r["core_deg"] for r in k_core(g, k=2, max_iter=8).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}  # 4,5 peeled (pendant chain)
+    core3 = k_core(g, k=3, max_iter=8).collect()
+    assert core3 == []                   # no 3-core in a triangle+tail
