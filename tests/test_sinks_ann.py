@@ -110,3 +110,19 @@ def test_running_user_totals_matches_batch(spark):
         if r["n_events"] >= prev[0]:
             got[r["user_id"]] = (r["n_events"], r["sum_cents"])
     assert got == expected
+
+
+def test_kmeans_centroids_deterministic_and_stable(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = sim_mod.with_norm(emb)
+    c1 = sim_mod.kmeans_centroids(n, nlist=8, iters=2)
+    c2 = sim_mod.kmeans_centroids(n, nlist=8, iters=2)
+    r1 = {r["list_id"]: r["ce"] for r in c1.collect()}
+    r2 = {r["list_id"]: r["ce"] for r in c2.collect()}
+    assert set(r1) == set(range(8))      # no list lost
+    assert r1 == r2                       # no RNG anywhere
+    # trained IVF still clears the recall floor
+    exact = sim_mod.ann_topk_bruteforce(emb, n_queries=5, k=10)
+    assert _recall_at_k(
+        exact, sim_mod.ann_topk_ivf(emb, 5, 10, train_iters=2)
+    ) >= 0.8
