@@ -62,6 +62,16 @@ HEADLINE = [
     "corpus_prep",
     "streaming_hourly_rollup",
     "streaming_user_totals",
+    # round-2 additions (BASELINE.md §r2 records their expected bands;
+    # the pre-r2 28-query subtotal stays comparable to the r1 baseline)
+    "hits_cs",
+    "adamic_adar_pc",
+    "kcore_uu",
+    "asof_order_events",
+    "contamination_check",
+    "stratified_sample",
+    "pii_scrub",
+    "pack_sequences",
 ]
 
 
@@ -159,6 +169,7 @@ def main() -> int:
     # any single-run wall time. Both raw pass totals are reported
     # alongside so the bias is visible, not hidden.
     total = round(sum(timings.values()), 3)
+    r1_set = HEADLINE[: HEADLINE.index("hits_cs")]
     print(
         json.dumps(
             {
@@ -169,6 +180,10 @@ def main() -> int:
                 "pass_totals": [
                     round(sum(p.values()), 3) for p in per_pass
                 ],
+                # apples-to-apples vs the r1 BASELINE (28-query set)
+                "r1_set_subtotal": round(
+                    sum(t for n, t in timings.items() if n in r1_set), 3
+                ),
                 "sf": sf,
             }
         )

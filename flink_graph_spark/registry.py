@@ -1116,6 +1116,38 @@ def asof_order_events(spark, sf_dir):
     )
 
 
+@_register(
+    "streaming_dedup_keys",
+    """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """Stateful streaming dedup snapshot — append mode emits each key
+    exactly once across all micro-batches; equals batch DISTINCT."""
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(
+        stream_mod.streaming_dedup_keys(stream),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return snap.orderBy("user_id", "event_type")
+
+
+@_register("event_funnel", sess_mod.EVENT_FUNNEL_SQL)
+def event_funnel(spark, sf_dir):
+    return sess_mod.event_funnel(_events(spark, sf_dir))
+
+
+@_register("hourly_retention", sess_mod.HOURLY_RETENTION_SQL)
+def hourly_retention(spark, sf_dir):
+    return sess_mod.hourly_retention(_events(spark, sf_dir))
+
+
+@_register("length_quantiles", sess_mod.LENGTH_QUANTILES_SQL)
+def length_quantiles(spark, sf_dir):
+    return sess_mod.length_quantiles(_docs(spark, sf_dir))
+
+
 # ---- multimodal plumbing ----------------------------------------------
 
 @_register("multimodal_features", mm_mod.MULTIMODAL_FEATURES_SQL)
@@ -1398,6 +1430,10 @@ _NEW_UNSIGNED = [
     "pack_sequences",
     "adamic_adar_pc",
     "kcore_uu",
+    "event_funnel",
+    "hourly_retention",
+    "length_quantiles",
+    "streaming_dedup_keys",
 ]
 
 

@@ -150,3 +150,25 @@ def run_available_now(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
+
+
+def streaming_dedup_keys(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming exact-dedup: emit each (user_id, event_type)
+    key once, on first sight — the streaming twin of batch
+    ``SELECT DISTINCT``. Only the KEYS are emitted (not the winning
+    row) so the result is deterministic under any partitioning/arrival
+    order; the batch oracle is a plain DISTINCT.
+
+    State: one entry per distinct key. ``dropDuplicates`` state never
+    expires without a watermark; the watermark on ts lets Spark drop
+    key-state older than the horizon — at 100 TB stream scale use
+    ``dropDuplicatesWithinWatermark`` semantics (bounded state) and
+    accept re-emission beyond the horizon, or a compact key-fingerprint
+    state. Dedup here is exact within the run.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

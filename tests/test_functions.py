@@ -511,3 +511,45 @@ def test_pack_sequences_next_fit(spark):
     assert got[4] == 2
     assert got[5] == 3            # 300-token bin is over budget; next doc opens new
     assert got[6] == 0 and got[7] == 1
+
+
+def test_event_funnel_ordering_matters(spark):
+    from flink_graph_spark.functions.sessions import event_funnel
+
+    T = datetime.datetime
+    rows = [
+        # user 1: full ordered chain -> depth 4
+        (1, T(2024, 1, 1, 0), "signup"), (1, T(2024, 1, 1, 1), "view"),
+        (1, T(2024, 1, 1, 2), "click"), (1, T(2024, 1, 1, 3), "purchase"),
+        # user 2: purchase BEFORE click -> depth stops at click (3)
+        (2, T(2024, 1, 1, 0), "signup"), (2, T(2024, 1, 1, 1), "view"),
+        (2, T(2024, 1, 1, 3), "click"), (2, T(2024, 1, 1, 2), "purchase"),
+        # user 3: never signed up -> absent from funnel
+        (3, T(2024, 1, 1, 0), "view"), (3, T(2024, 1, 1, 1), "purchase"),
+        # user 4: signup only -> depth 1
+        (4, T(2024, 1, 1, 5), "signup"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r["funnel_depth"] for r in event_funnel(ev).collect()}
+    assert got == {1: 4, 2: 3, 4: 1}
+
+
+def test_hourly_retention(spark):
+    from flink_graph_spark.functions.sessions import hourly_retention
+
+    T = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 0, 10), "a"), (1, T(2024, 1, 1, 1, 20), "a"),  # retained 0->1
+            (2, T(2024, 1, 1, 0, 30), "a"),                                   # not retained
+            (1, T(2024, 1, 1, 3, 0), "a"),                                    # gap: hour 1 not retained
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["hour"].hour: (r["active_users"], r["retained_users"])
+        for r in hourly_retention(ev).collect()
+    }
+    assert got[0] == (2, 1)
+    assert got[1] == (1, 0)
+    assert got[3] == (1, 0)
