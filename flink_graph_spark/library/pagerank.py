@@ -108,3 +108,85 @@ class PageRank(GraphAlgorithm):
     def run(self, graph: Graph) -> Graph:
         ranks = page_rank(graph, self.beta, self.max_iter, round_to=None)
         return Graph(ranks.withColumnRenamed("rank", "value"), graph.edges)
+
+
+def weighted_page_rank(
+    graph: Graph, beta: float = 0.85, max_iter: int = 10, round_to: int | None = 6
+) -> DataFrame:
+    """Edge-weighted PageRank: each superstep a vertex distributes
+    ``rank * w(e) / Σ_out w`` along its out-edges (the uniform variant is
+    the special case w≡1). Same scale posture as ``page_rank``: the
+    weight normalizer is folded into the VERTEX state (a (rank, wsum)
+    struct), the edge table is consumed untouched so a builder's shared
+    src-partitioned cache serves every superstep; messages are
+    partial-aggregated before the shuffle.
+    """
+    n = graph.vertex_count()
+    teleport = (1.0 - beta) / n
+
+    wsum = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.col("value").cast("double")).alias("wsum")
+    )
+    v0 = graph.vertices.select("id").join(wsum, "id", "left")
+    g = Graph(v0, graph.edges, src_partitioned=graph.src_partitioned)
+
+    res = pregel(
+        g,
+        initial=F.struct(
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce(F.col("wsum"), F.lit(0.0)).alias("ws"),
+        ),
+        msg_to_dst=F.col("src_st")["rank"]
+        * F.col("value").cast("double")
+        / F.col("src_st")["ws"],
+        msg_to_dst_reads=("src",),
+        agg=F.sum("__msg").alias("__agg"),
+        update=F.struct(
+            (
+                F.lit(teleport)
+                + F.lit(beta) * F.coalesce(F.col("__agg"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("st")["ws"].alias("ws"),
+        ),
+        max_iter=max_iter,
+        state_col="st",
+    )
+    out = res.vertices.select("id", F.col("st")["rank"].alias("rank"))
+    if round_to is not None:
+        out = out.select("id", F.round("rank", round_to).alias("rank"))
+    return out
+
+
+def weighted_oracle_ctes(
+    edges_cte: str,
+    vertices_cte: str,
+    beta: float = 0.85,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(extra CTE text, final SELECT) — unrolled weighted PageRank."""
+    ctes = [
+        f"wpr_w AS MATERIALIZED (SELECT src AS id, SUM(CAST(value AS DOUBLE)) AS ws"
+        f" FROM {edges_cte} GROUP BY 1)",
+        f"wpr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {vertices_cte})",
+        f"w0 AS MATERIALIZED (SELECT v.id, 1.0/(SELECT n FROM wpr_n) AS rank"
+        f" FROM {vertices_cte} v)",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {beta!r})/(SELECT n FROM wpr_n)
+           + {beta!r} * COALESCE(m.s, 0.0) AS rank
+  FROM {vertices_cte} v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * CAST(e.value AS DOUBLE) / w.ws) AS s
+    FROM w{i - 1} r
+    JOIN {edges_cte} e ON r.id = e.src
+    JOIN wpr_w w ON w.id = e.src
+    GROUP BY 1
+  ) m ON v.id = m.id
+)"""
+        )
+    final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM w{max_iter}"
+    return ",\n".join(ctes), final

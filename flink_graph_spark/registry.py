@@ -815,6 +815,60 @@ def lpa_cs(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 @_register(
+    "weighted_pagerank_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *pr_mod.weighted_oracle_ctes("cs_edges", "cs_vertices", 0.85, 10),
+    ),
+)
+def weighted_pagerank_cs(spark, sf_dir):
+    return pr_mod.weighted_page_rank(_cs(spark, sf_dir), beta=0.85, max_iter=10)
+
+
+@_register(
+    "degree_histogram",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """dh_deg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT src AS id FROM cs_edges
+    UNION ALL
+    SELECT dst AS id FROM cs_edges
+  ) GROUP BY 1
+)""",
+        """SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM dh_deg GROUP BY 1 ORDER BY 1""",
+    ),
+)
+def degree_histogram(spark, sf_dir):
+    """Log2-bucketed total-degree histogram (power-law shape probe).
+    Bucket = bit-length of the degree minus 1 (integer arithmetic via
+    binary-string length on BOTH engines — no float log2 edge cases)."""
+    g = _cs(spark, sf_dir)
+    deg = g.degrees()
+    return (
+        deg.select(
+            (
+                F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+            ).cast("bigint").alias("log2_bucket"),
+            "degree",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@_register(
     "hits_cs",
     _with(
         CS_EDGES_SQL,
@@ -1423,6 +1477,8 @@ _ROUND1_UNSIGNED = [
 # the round-1-unsigned block so the driver's budget reaches them too.
 _NEW_UNSIGNED = [
     "hits_cs",
+    "weighted_pagerank_cs",
+    "degree_histogram",
     "asof_order_events",
     "contamination_check",
     "stratified_sample",

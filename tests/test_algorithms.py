@@ -245,3 +245,24 @@ def test_k_core_peels_tail(spark):
     assert core2 == {1: 2, 2: 2, 3: 2}  # 4,5 peeled (pendant chain)
     core3 = k_core(g, k=3, max_iter=8).collect()
     assert core3 == []                   # no 3-core in a triangle+tail
+
+
+def test_weighted_pagerank_matches_numpy_twin(golden):
+    import numpy as np
+
+    from flink_graph_spark.library.pagerank import weighted_page_rank
+    from flink_graph_spark.sources.graphs import GOLDEN_EDGES
+
+    got = rows_as_dict(weighted_page_rank(golden, 0.85, 10), "id", "rank")
+
+    W = np.zeros((5, 5))
+    for s, d, w in GOLDEN_EDGES:
+        W[s - 1, d - 1] = float(w)
+    P = W / W.sum(axis=1, keepdims=True)
+    r = np.full(5, 0.2)
+    for _ in range(10):
+        r = 0.15 / 5 + 0.85 * (P.T @ r)
+    for i in range(5):
+        assert got[i + 1] == pytest.approx(r[i], abs=1e-6)
+    # no dangling vertices in the golden graph -> mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
