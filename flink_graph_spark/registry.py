@@ -24,6 +24,7 @@ from .library import hits as hits_mod
 from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
+from .library import mis as mis_mod
 from .library import pagerank as pr_mod
 from .library import sssp as sssp_mod
 from .plans.session import tune_session
@@ -920,6 +921,24 @@ def adamic_adar_pc(spark, sf_dir):
 
 
 @_register(
+    "mis_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_vertices AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id FROM uu_edges UNION SELECT dst AS id FROM uu_edges
+  )
+)""",
+        *mis_mod.oracle_ctes("uu_edges", "uu_vertices", 6),
+    ),
+)
+def mis_uu(spark, sf_dir):
+    tune_session(spark)
+    g = user_cooccurrence_graph(spark, sf_dir)
+    return mis_mod.maximal_independent_set(g, max_iter=6)
+
+
+@_register(
     "kcore_uu",
     _with(
         UU_EDGES_SQL,
@@ -1486,6 +1505,7 @@ _NEW_UNSIGNED = [
     "pack_sequences",
     "adamic_adar_pc",
     "kcore_uu",
+    "mis_uu",
     "event_funnel",
     "hourly_retention",
     "length_quantiles",

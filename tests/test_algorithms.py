@@ -266,3 +266,37 @@ def test_weighted_pagerank_matches_numpy_twin(golden):
         assert got[i + 1] == pytest.approx(r[i], abs=1e-6)
     # no dangling vertices in the golden graph -> mass conserved
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_mis_independent_and_maximal(spark):
+    from flink_graph_spark.library.mis import maximal_independent_set
+    from flink_graph_spark.sources.graphs import user_cooccurrence_graph
+
+    g = user_cooccurrence_graph(spark, "/root/testdata/sf0.001")
+    mis = {r["id"] for r in maximal_independent_set(g, max_iter=8).collect()}
+    assert mis
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    sym = edges | {(d, s) for s, d in edges}
+    # independence: no edge inside the set
+    assert not any((a, b) in sym for a in mis for b in mis if a != b)
+    # maximality: every vertex outside the set has a neighbor inside
+    verts = {r["id"] for r in g.vertices.select("id").collect()}
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    assert all(nbrs.get(v, set()) & mis for v in verts - mis)
+
+
+def test_mis_path_graph_exact(spark):
+    from flink_graph_spark.library.mis import maximal_independent_set
+
+    # path 1-2-3-4-5: deterministic priorities fix the exact MIS
+    g = Graph.from_collection(
+        spark,
+        [(i, i) for i in range(1, 6)],
+        [(1, 2, 0), (2, 3, 0), (3, 4, 0), (4, 5, 0)],
+    )
+    mis = {r["id"] for r in maximal_independent_set(g, max_iter=8).collect()}
+    # verify independence + maximality on the path
+    assert not any(a + 1 in mis for a in mis)
+    assert all(v in mis or (v - 1 in mis or v + 1 in mis) for v in range(1, 6))
