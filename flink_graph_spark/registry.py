@@ -25,6 +25,7 @@ from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
+from .library import sampling as sampling_mod
 from .library import pagerank as pr_mod
 from .library import sssp as sssp_mod
 from .plans.session import tune_session
@@ -939,6 +940,24 @@ def mis_uu(spark, sf_dir):
 
 
 @_register(
+    "random_walks_uu",
+    _with(
+        UU_EDGES_SQL,
+        """rw_vertices AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id FROM uu_edges UNION SELECT dst AS id FROM uu_edges
+  )
+)""",
+        *sampling_mod.oracle_ctes("uu_edges", "rw_vertices", 3),
+    ),
+)
+def random_walks_uu(spark, sf_dir):
+    tune_session(spark)
+    g = user_cooccurrence_graph(spark, sf_dir)
+    return sampling_mod.random_walks(g, length=3)
+
+
+@_register(
     "kcore_uu",
     _with(
         UU_EDGES_SQL,
@@ -1506,6 +1525,7 @@ _NEW_UNSIGNED = [
     "adamic_adar_pc",
     "kcore_uu",
     "mis_uu",
+    "random_walks_uu",
     "event_funnel",
     "hourly_retention",
     "length_quantiles",

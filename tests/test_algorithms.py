@@ -300,3 +300,20 @@ def test_mis_path_graph_exact(spark):
     # verify independence + maximality on the path
     assert not any(a + 1 in mis for a in mis)
     assert all(v in mis or (v - 1 in mis or v + 1 in mis) for v in range(1, 6))
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    from flink_graph_spark.library.sampling import random_walks
+    from flink_graph_spark.sources.graphs import user_cooccurrence_graph
+
+    g = user_cooccurrence_graph(spark, "/root/testdata/sf0.001")
+    w1 = random_walks(g, length=3).collect()
+    w2 = random_walks(g, length=3).collect()
+    assert w1 == w2                       # replay-deterministic
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    sym = edges | {(d, s) for s, d in edges}
+    for r in w1:
+        path = [r["start_id"], r["v1"], r["v2"], r["v3"]]
+        for a, b in zip(path, path[1:]):
+            if b is not None:
+                assert (a, b) in sym      # every hop is a real edge
