@@ -89,3 +89,39 @@ def test_embedding_near_dup_pairs_only_ints_in_nested_loop(spark, queries):
     if nl:  # output of the NL join itself must be narrow (ids, no arrays)
         assert "array" not in nl.group(1).lower()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_join_is_merge_shaped_single_window(spark, queries):
+    # the as-of join must be the union+window merge plan: one window
+    # sort, NO join of left rows against right-history rows (which
+    # would appear as a SortMergeJoin/ShuffledHashJoin on the key)
+    plan = _final_plan(spark, queries["asof_order_events"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_contamination_heldout_side_broadcasts(spark, queries):
+    # the held-out shingle vocabulary is the small side and must
+    # broadcast; training shingles must never cross-join
+    plan = _final_plan(spark, queries["contamination_check"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_filter_reaches_scan(spark, queries):
+    # the arithmetic-hash predicate is deterministic in scan columns, so
+    # the filter must run map-side (no shuffle before the filter); the
+    # scan reads only (doc_id, lang)
+    plan = _final_plan(spark, queries["stratified_sample"](spark, SF_DIR))
+    widths = [
+        len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert widths and max(widths) <= 2
+
+
+def test_funnel_stage_filters_push_to_scan(spark, queries):
+    # each funnel stage reads events filtered by event_type at the scan
+    plan = _final_plan(spark, queries["event_funnel"](spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed)
