@@ -90,3 +90,16 @@ def oracle_ctes(edges_cte: str, round_to: int = 6) -> tuple[str, str]:
 FROM {edges_cte} e
 LEFT JOIN aa_s c ON c.src = e.src AND c.dst = e.dst"""
     return ",\n".join(ctes), final
+
+
+class AdamicAdar:
+    """GraphAlgorithm packaging: edge value = Adamic-Adar score."""
+
+    def __init__(self, salt_buckets: int | None = None):
+        self.salt_buckets = salt_buckets
+
+    def run(self, graph: Graph) -> Graph:
+        scored = adamic_adar(
+            graph, round_to=None, salt_buckets=self.salt_buckets
+        ).withColumnRenamed("aa", "value")
+        return Graph(graph.vertices, scored)

@@ -86,3 +86,22 @@ FROM kc_e{max_iter}
 GROUP BY 1 HAVING COUNT(*) >= {k}
 ORDER BY 1"""
     return ",\n".join(ctes), final
+
+
+class KCore:
+    """GraphAlgorithm packaging: result graph = the k-core induced
+    subgraph, vertex value = in-core degree."""
+
+    def __init__(self, k: int = 3, max_iter: int = 8):
+        self.k = k
+        self.max_iter = max_iter
+
+    def run(self, graph: Graph) -> Graph:
+        core = k_core(graph, self.k, self.max_iter).withColumnRenamed(
+            "core_deg", "value"
+        )
+        ids = core.select("id")
+        edges = graph.edges.join(
+            ids.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        return Graph(core, edges)

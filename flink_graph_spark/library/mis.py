@@ -139,3 +139,17 @@ def oracle_ctes(
         )
     final = f"SELECT id FROM mis_m{max_iter} ORDER BY id"
     return ",\n".join(ctes), final
+
+
+class MaximalIndependentSet:
+    """GraphAlgorithm packaging: vertex value = membership flag."""
+
+    def __init__(self, max_iter: int = 6):
+        self.max_iter = max_iter
+
+    def run(self, graph: Graph) -> Graph:
+        members = maximal_independent_set(graph, self.max_iter)
+        v = graph.vertices.select("id").join(
+            members.select("id", F.lit(True).alias("value")), "id", "left"
+        ).select("id", F.coalesce("value", F.lit(False)).alias("value"))
+        return Graph(v, graph.edges)

@@ -1209,6 +1209,28 @@ def asof_order_events(spark, sf_dir):
 
 
 @_register(
+    "streaming_nation_counts",
+    """SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1""",
+)
+def streaming_nation_counts(spark, sf_dir):
+    """Stream-static join snapshot (complete mode) — equals the batch
+    fact-to-dim join + GROUP BY on a fully-arrived input."""
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    snap = stream_mod.run_available_now(
+        stream_mod.streaming_nation_counts(stream, customer),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return snap.orderBy("c_nationkey")
+
+
+@_register(
     "streaming_dedup_keys",
     """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
 )
@@ -1530,6 +1552,7 @@ _NEW_UNSIGNED = [
     "hourly_retention",
     "length_quantiles",
     "streaming_dedup_keys",
+    "streaming_nation_counts",
 ]
 
 

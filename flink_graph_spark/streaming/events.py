@@ -172,3 +172,27 @@ def streaming_dedup_keys(events: DataFrame, watermark: str = "2 hours") -> DataF
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def streaming_nation_counts(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension on user_id = c_custkey, then aggregates per
+    nation — the canonical streaming fact-to-dim pattern. The static
+    side is planned per micro-batch (broadcast for a dim table); no
+    state is kept for the join itself, only for the aggregation.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )

@@ -317,3 +317,21 @@ def test_random_walks_valid_and_deterministic(spark):
         for a, b in zip(path, path[1:]):
             if b is not None:
                 assert (a, b) in sym      # every hop is a real edge
+
+
+def test_round2_algorithm_packaging(golden):
+    from flink_graph_spark.library.adamic_adar import AdamicAdar
+    from flink_graph_spark.library.kcore import KCore
+    from flink_graph_spark.library.mis import MaximalIndependentSet
+
+    core = golden.run(KCore(2, 6))
+    assert core.vertices.count() > 0
+    assert set(core.vertices.columns) == {"id", "value"}
+
+    mis_g = golden.run(MaximalIndependentSet(6))
+    flags = rows_as_dict(mis_g.vertices, "id", "value")
+    assert set(flags) == {1, 2, 3, 4, 5} and any(flags.values())
+
+    aa_g = golden.run(AdamicAdar())
+    assert set(aa_g.edges.columns) == {"src", "dst", "value"}
+    assert aa_g.edges.count() == golden.edges.count()
