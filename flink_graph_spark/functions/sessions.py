@@ -281,3 +281,44 @@ SELECT lang,
 FROM documents
 GROUP BY 1
 ORDER BY 1"""
+
+
+# ---- sliding-window rollup -------------------------------------------
+
+
+def sliding_rollup(events: DataFrame) -> DataFrame:
+    """(w_start, event_type, n_events) over 1-hour windows sliding every
+    30 minutes — each event lands in exactly two windows. Spark's
+    ``window(ts, '1 hour', '30 minutes')`` expands map-side (no join);
+    the DuckDB twin unnests the two candidate window starts per event.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+SLIDING_ROLLUP_SQL = """
+WITH cand AS (
+    SELECT event_type,
+           unnest([
+               to_timestamp(floor(epoch(ts) / 1800) * 1800),
+               to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+           ]) AS w_start,
+           ts
+    FROM events
+)
+SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM cand
+WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+GROUP BY 1, 2
+ORDER BY 1, 2"""

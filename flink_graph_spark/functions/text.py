@@ -431,3 +431,32 @@ SELECT doc_id,
        CAST(length(s) AS BIGINT) AS scrubbed_len
 FROM scrubbed
 ORDER BY doc_id"""
+
+
+# ---- vocabulary heavy hitters ----------------------------------------
+
+
+def top_shingles(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(s, n_docs) — the k most document-frequent word-3-gram shingles
+    (corpus vocabulary heavy hitters; deterministic tie-break on the
+    shingle text). Exact count via one hash agg over the distinct
+    (doc, shingle) frame; at 100 TB swap in a count-min sketch or a
+    two-level (partial top-k per partition, merge) plan — the exact agg
+    is the oracle anchor."""
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s")
+    ).distinct()
+    return (
+        sh.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("s"))
+        .limit(k)
+    )
+
+
+def top_shingles_sql(k: int = 20) -> str:
+    return f"""SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM doc_shingles
+GROUP BY 1
+ORDER BY n_docs DESC, s ASC
+LIMIT {k}"""

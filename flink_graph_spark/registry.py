@@ -1257,6 +1257,23 @@ def hourly_retention(spark, sf_dir):
     return sess_mod.hourly_retention(_events(spark, sf_dir))
 
 
+@_register("sliding_rollup", sess_mod.SLIDING_ROLLUP_SQL)
+def sliding_rollup(spark, sf_dir):
+    return sess_mod.sliding_rollup(_events(spark, sf_dir))
+
+
+@_register(
+    "top_shingles",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        text_mod.top_shingles_sql(20),
+    ),
+)
+def top_shingles(spark, sf_dir):
+    return text_mod.top_shingles(_docs(spark, sf_dir), 20)
+
+
 @_register("length_quantiles", sess_mod.LENGTH_QUANTILES_SQL)
 def length_quantiles(spark, sf_dir):
     return sess_mod.length_quantiles(_docs(spark, sf_dir))
@@ -1553,6 +1570,8 @@ _NEW_UNSIGNED = [
     "length_quantiles",
     "streaming_dedup_keys",
     "streaming_nation_counts",
+    "sliding_rollup",
+    "top_shingles",
 ]
 
 
