@@ -72,6 +72,12 @@ HEADLINE = [
     "stratified_sample",
     "pii_scrub",
     "pack_sequences",
+    "weighted_pagerank_cs",
+    "mis_uu",
+    "random_walks_uu",
+    "event_funnel",
+    "sliding_rollup",
+    "streaming_nation_counts",
 ]
 
 

@@ -1274,6 +1274,17 @@ def top_shingles(spark, sf_dir):
     return text_mod.top_shingles(_docs(spark, sf_dir), 20)
 
 
+@_register("json_source_rollup", sess_mod.HOURLY_ROLLUP_SQL)
+def json_source_rollup(spark, sf_dir):
+    """The hourly rollup computed from the JSON-LINES staging of the
+    events table — proves the JSON source yields byte-identical
+    semantics to the parquet path (same oracle as ``hourly_rollup``)."""
+    from .sources.json_source import read_events_json
+
+    tune_session(spark)
+    return sess_mod.hourly_rollup(read_events_json(spark, sf_dir))
+
+
 @_register("length_quantiles", sess_mod.LENGTH_QUANTILES_SQL)
 def length_quantiles(spark, sf_dir):
     return sess_mod.length_quantiles(_docs(spark, sf_dir))
@@ -1572,6 +1583,7 @@ _NEW_UNSIGNED = [
     "streaming_nation_counts",
     "sliding_rollup",
     "top_shingles",
+    "json_source_rollup",
 ]
 
 
