@@ -46,5 +46,5 @@ def read_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``tables.load_table(..., 'events')`` (ts → timestamp_ntz)."""
     raw = spark.read.schema(EVENTS_JSON_SCHEMA).json(stage_events_json(sf_dir))
     return raw.withColumn(
-        "ts", F.to_timestamp_ntz("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        "ts", F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     )

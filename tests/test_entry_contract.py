@@ -27,9 +27,21 @@ def test_every_oracle_key_has_a_query():
     assert missing <= {"ann_topk_lsh", "ann_topk_ivf"}
 
 
-def test_queries_are_callable_and_lazy(spark):
+def test_every_batch_query_plan_analyzes(spark):
+    """Build (not execute) EVERY batch query's plan at sf0.001: schema
+    access forces Catalyst analysis, so an unresolved column / bad
+    function signature fails here instead of in the driver's gate.
+    Streaming queries are excluded — calling them runs a real stream job;
+    they execute end-to-end in tests/test_streaming.py.
+    """
     qs = entrymod.queries()
-    # spot-check plan construction (no execution) for a sample
-    for name in ["degrees_total", "triplets", "text_stats", "sessionize_events"]:
-        df = qs[name](spark, "/root/testdata/sf0.001")
-        assert df.columns  # plan built, schema resolvable
+    failures = {}
+    for name, fn in qs.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, "/root/testdata/sf0.001")
+            assert df.columns  # plan built, schema resolvable
+        except Exception as exc:  # noqa: BLE001 - collect all, report once
+            failures[name] = repr(exc)[:200]
+    assert not failures, failures
