@@ -1,0 +1,129 @@
+"""Mergeable cardinality sketches as relational algebra — a
+HyperLogLog-style distinct estimate whose every step is a deterministic
+column expression, so DuckDB replays the IDENTICAL arithmetic and the
+oracle hash-matches (north-star extension, SURVEY.md §2.10; the
+reference has no approximate aggregates).
+
+Why this shape at 100 TB: an exact COUNT(DISTINCT user) over a 100 TB
+event log shuffles every distinct key; the sketch reduces each
+partition to m=64 register maxima (map-side combine on (group, bucket)),
+then merges registers — shuffle volume is O(groups × 64) regardless of
+input size, and the registers are mergeable across days/streams. Spark's
+built-in ``approx_count_distinct`` is the production shortcut, but its
+HLL++ internals are engine-private — this implementation exposes the
+register math as plain SQL so the oracle (and any other engine) can
+verify it bit-for-bit.
+
+Hash: the shared md5-prefix ``h32`` from ``functions.hashing`` (exact
+integer parity in both engines). bucket = h mod 64; the remaining 26
+bits feed rho = 1 + count of trailing zero bits, computed as
+log2(x & -x) — exact in IEEE doubles because x & -x is a power of two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h32, h32_sql
+
+HLL_M = 64  # registers (2^6 buckets)
+HLL_REST_BITS = 26  # 32-bit hash minus 6 bucket bits
+HLL_ALPHA = 0.709  # standard alpha_64
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, round_to: int = 4
+) -> DataFrame:
+    """Per-``group_col`` HLL estimate of distinct ``key_col`` values,
+    with the exact count alongside so accuracy is auditable.
+
+    Returns (group, est_distinct, exact_distinct); small-range
+    correction (linear counting) applies below 2.5·m, as in the
+    original Flajolet et al. formulation.
+    """
+    h = h32(F.col(key_col).cast("string"))
+    # floor-division on BOTH sides (a bare cast truncates in Spark but
+    # ROUNDS in DuckDB — a silent parity breaker)
+    rest = F.floor(h / F.lit(HLL_M)).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(HLL_REST_BITS + 1))
+        .otherwise(
+            F.floor(F.log2(rest.bitwiseAND(-rest))).cast("int") + F.lit(1)
+        )
+        .alias("rho")
+    )
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % F.lit(HLL_M)).alias("bucket"),
+            rho,
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # raw estimate: alpha·m² / (Σ_present 2^-M + one 2^0 per EMPTY bucket)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_present"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("n_present"))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    empties = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (empties > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empties),
+    ).otherwise(raw)
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
+    )
+    return (
+        agg.select("grp", F.round(est, round_to).alias("est_distinct"))
+        .join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col), "est_distinct", "exact_distinct"
+        )
+    )
+
+
+def hll_sql(
+    table: str, group_col: str, key_col: str, round_to: int = 4
+) -> str:
+    h = h32_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""WITH hashed AS MATERIALIZED (
+    SELECT {group_col} AS grp,
+           {h} % {HLL_M} AS bucket,
+           CAST(floor({h} / {HLL_M}) AS BIGINT) AS rest
+    FROM {table}
+),
+regs AS MATERIALIZED (
+    SELECT grp, bucket,
+           MAX(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+               ELSE CAST(floor(log2(rest & (-rest))) AS INT) + 1 END) AS m
+    FROM hashed GROUP BY 1, 2
+),
+agg AS (
+    SELECT grp,
+           SUM(power(2.0, -m)) AS z_present,
+           COUNT(*) AS n_present
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT grp,
+           {HLL_ALPHA * HLL_M * HLL_M} /
+               (z_present + ({HLL_M} - n_present)) AS raw,
+           {HLL_M} - n_present AS empties
+    FROM agg
+)
+SELECT e.grp AS {group_col},
+       ROUND(CASE WHEN raw <= {2.5 * HLL_M} AND empties > 0
+             THEN {HLL_M}.0 * ln({HLL_M}.0 / empties)
+             ELSE raw END, {round_to}) AS est_distinct,
+       x.exact_distinct
+FROM est e
+JOIN (
+    SELECT {group_col} AS grp,
+           CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS exact_distinct
+    FROM {table} GROUP BY 1
+) x USING (grp)"""

@@ -90,8 +90,71 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     return corners.groupBy("id").agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def clustering_coefficient(graph: Graph, round_to: int = 6) -> DataFrame:
+    """Local clustering coefficient: (id, degree, coeff) for every
+    vertex, coeff = 2·tri(v) / (deg(v)·(deg(v)−1)), 0.0 below degree 2.
+
+    Composes the O(m^1.5) oriented triangle enumeration with the degree
+    aggregate — the expensive leg is shared machinery, the coefficient
+    itself is one left join and a column expression.
+    """
+    e = graph.edges.select("src", "dst")
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangles_per_vertex(graph)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.round(
+                F.when(F.col("degree") >= 2, 2.0 * t / (d * (d - 1.0)))
+                .otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("coeff"),
+        )
+    )
+
+
 def oracle_sql(edges_cte: str) -> str:
     return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM {edges_cte} ab
 JOIN {edges_cte} bc ON ab.dst = bc.src
 JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst"""
+
+
+def clustering_sql(edges_cte: str, round_to: int = 6) -> str:
+    """DuckDB twin of clustering_coefficient over a canonical
+    (src<dst) edges CTE."""
+    return f"""SELECT d.id, d.degree,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN 2.0 * COALESCE(t.n_triangles, 0)
+                  / (d.degree * (d.degree - 1.0))
+             ELSE 0.0 END, {round_to}) AS coeff
+FROM (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT src AS id FROM {edges_cte}
+    UNION ALL SELECT dst FROM {edges_cte}
+  ) GROUP BY 1
+) d
+LEFT JOIN (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT ab.src AS id FROM {edges_cte} ab
+    JOIN {edges_cte} bc ON ab.dst = bc.src
+    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    UNION ALL
+    SELECT ab.dst FROM {edges_cte} ab
+    JOIN {edges_cte} bc ON ab.dst = bc.src
+    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    UNION ALL
+    SELECT bc.dst FROM {edges_cte} ab
+    JOIN {edges_cte} bc ON ab.dst = bc.src
+    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+  ) GROUP BY 1
+) t USING (id)"""

@@ -1290,6 +1290,44 @@ def length_quantiles(spark, sf_dir):
     return sess_mod.length_quantiles(_docs(spark, sf_dir))
 
 
+# ---- retrieval / LM scoring -------------------------------------------
+
+from .functions import retrieval as ret_mod  # noqa: E402
+from .functions import sketch as sketch_mod  # noqa: E402
+
+
+@_register("tfidf_top_terms", ret_mod.tfidf_sql(3))
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf·idf terms per document (window-ranked, term tie-break)."""
+    tune_session(spark)
+    return ret_mod.tfidf_top_terms(_docs(spark, sf_dir), 3)
+
+
+@_register("bm25_search", ret_mod.bm25_sql())
+def bm25_search(spark, sf_dir):
+    """BM25 top-20 documents for a fixed bag-of-words query."""
+    tune_session(spark)
+    return ret_mod.bm25_search(_docs(spark, sf_dir))
+
+
+@_register("unigram_nll", ret_mod.unigram_nll_sql())
+def unigram_nll(spark, sf_dir):
+    """Per-document unigram-LM negative log-likelihood (quality filter)."""
+    tune_session(spark)
+    return ret_mod.unigram_nll(_docs(spark, sf_dir))
+
+
+@_register(
+    "hll_user_estimate",
+    sketch_mod.hll_sql("events", "event_type", "user_id"),
+)
+def hll_user_estimate(spark, sf_dir):
+    """HLL-style distinct-user estimate per event_type, exact count
+    alongside — register arithmetic identical in Spark and DuckDB."""
+    tune_session(spark)
+    return sketch_mod.hll_distinct(_events(spark, sf_dir), "event_type", "user_id")
+
+
 # ---- multimodal plumbing ----------------------------------------------
 
 @_register("multimodal_features", mm_mod.MULTIMODAL_FEATURES_SQL)
@@ -1333,6 +1371,17 @@ def triangle_count_pc(spark, sf_dir):
 def triangles_per_vertex_uu(spark, sf_dir):
     tune_session(spark)
     return tri_mod.triangles_per_vertex(user_cooccurrence_graph(spark, sf_dir))
+
+
+@_register(
+    "clustering_coeff_uu",
+    _with(UU_EDGES_SQL, tri_mod.clustering_sql("uu_edges")),
+)
+def clustering_coeff_uu(spark, sf_dir):
+    """Local clustering coefficient per vertex of the user-cooccurrence
+    graph — triangle enumeration shared with triangles_per_vertex_uu."""
+    tune_session(spark)
+    return tri_mod.clustering_coefficient(user_cooccurrence_graph(spark, sf_dir))
 
 
 @_register(
@@ -1584,6 +1633,11 @@ _NEW_UNSIGNED = [
     "sliding_rollup",
     "top_shingles",
     "json_source_rollup",
+    "tfidf_top_terms",
+    "bm25_search",
+    "unigram_nll",
+    "hll_user_estimate",
+    "clustering_coeff_uu",
 ]
 
 
