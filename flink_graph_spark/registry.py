@@ -1384,6 +1384,56 @@ def clustering_coeff_uu(spark, sf_dir):
     return tri_mod.clustering_coefficient(user_cooccurrence_graph(spark, sf_dir))
 
 
+# ---- strongly connected components ------------------------------------
+
+from .library import scc as scc_mod  # noqa: E402
+
+# three non-trivial SCCs ({1,2,3}, {4,5}, {6,7,8}), singleton source
+# (10) and sink (9) hanging off SCC A, one self-loop (11): exercises
+# TWO peel rounds (9 and 10 only complete after {1,2,3} peels) and
+# both propagation directions
+SCC_FIXTURE_EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (2, 6),
+    (6, 7), (7, 8), (8, 6), (3, 9), (10, 1), (11, 11),
+]
+
+
+@_register(
+    "scc_fixture",
+    scc_mod.oracle_sql(", ".join(f"({s}, {d})" for s, d in SCC_FIXTURE_EDGES)),
+)
+def scc_fixture(spark, sf_dir):
+    """Strongly connected components (FW-BW-min peel rounds) on a fixed
+    13-edge digraph; the oracle computes exact mutual transitive
+    closure over the same VALUES list.
+
+    Shuffle partitions are sized to the data for the duration of the
+    eager peel loop (the same size-to-keys policy as the streaming
+    snapshots' ``state_partitions``): every superstep materializes a
+    checkpoint, and 32-partition exchanges on an 11-vertex frame are
+    pure scheduler overhead. The result is checkpointed before the conf
+    is restored, so the caller's later action replays nothing heavy.
+    """
+    tune_session(spark)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        g = Graph.from_edges(
+            spark.createDataFrame(
+                [(s, d, 1) for s, d in SCC_FIXTURE_EDGES],
+                "src long, dst long, value long",
+            ).coalesce(4)  # 13 rows over 32 parallelize slices otherwise
+        )
+        # label depth of this fixture is 4 hops → 5 fixed supersteps
+        # cover it; non-delta keeps supersteps lazy (fewer jobs than the
+        # per-superstep frontier checks are worth on 11 vertices)
+        return scc_mod.scc(
+            g, max_rounds=3, max_iter=5, delta=False
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @_register(
     "cc_pc",
     _with(
@@ -1638,6 +1688,7 @@ _NEW_UNSIGNED = [
     "unigram_nll",
     "hll_user_estimate",
     "clustering_coeff_uu",
+    "scc_fixture",
 ]
 
 
