@@ -1247,6 +1247,31 @@ def streaming_dedup_keys(spark, sf_dir):
     return snap.orderBy("user_id", "event_type")
 
 
+@_register(
+    "streaming_click_purchase",
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       a.ts AS click_ts, b.ts AS purchase_ts,
+       CAST(ROUND(b.value * 100, 0) AS BIGINT) AS purchase_cents
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+ORDER BY 1, 2, 3""",
+)
+def streaming_click_purchase(spark, sf_dir):
+    """Stream-stream interval join snapshot (append mode) — each click
+    joined to the same user's purchases within 6 hours; on a fully
+    arrived availableNow input this equals the batch range join."""
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(
+        stream_mod.streaming_click_purchase_join(stream),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return snap.orderBy("user_id", "click_id", "purchase_id")
+
+
 @_register("event_funnel", sess_mod.EVENT_FUNNEL_SQL)
 def event_funnel(spark, sf_dir):
     return sess_mod.event_funnel(_events(spark, sf_dir))
@@ -1432,6 +1457,63 @@ def scc_fixture(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---- graph summarization (condensation by nation) ---------------------
+
+from .library import summarization as summ_mod  # noqa: E402
+from .sources.graphs import SUPPLIER_OFFSET  # noqa: E402
+
+
+def _cs_nation_graph(spark, sf_dir):
+    """Customer–supplier graph relabeled with vertex value = nationkey
+    (customers via c_nationkey, suppliers via s_nationkey) — the input
+    for summarization: condense the bipartite order graph into a
+    25-nation super-graph."""
+    g = _cs(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("value"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).cast("long").alias("id"),
+        F.col("s_nationkey").cast("long").alias("value"),
+    )
+    labels = cust.unionByName(supp)
+    return Graph(g.vertices.select("id").join(labels, "id"), g.edges)
+
+
+@_register(
+    "summarize_nation_vertices",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        summ_mod.NATION_LABELS_SQL,
+        summ_mod.VGROUPS_SQL,
+        summ_mod.SUMMARY_VERTICES_SQL,
+    ),
+)
+def summarize_nation_vertices(spark, sf_dir):
+    """Summary super-vertices: one row per nation group with min-id
+    representative and member count (Gelly Summarization vertex side)."""
+    return summ_mod.summarize_vertices(_cs_nation_graph(spark, sf_dir))
+
+
+@_register(
+    "summarize_nation_edges",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        summ_mod.NATION_LABELS_SQL,
+        summ_mod.VGROUPS_SQL,
+        summ_mod.VMAP_SQL,
+        summ_mod.SUMMARY_EDGES_SQL,
+    ),
+)
+def summarize_nation_edges(spark, sf_dir):
+    """Summary super-edges: customer-nation → supplier-nation pairs with
+    grouped parallel-edge counts (Gelly Summarization edge side)."""
+    return summ_mod.summarize_edges(_cs_nation_graph(spark, sf_dir))
 
 
 @_register(
@@ -1689,6 +1771,9 @@ _NEW_UNSIGNED = [
     "hll_user_estimate",
     "clustering_coeff_uu",
     "scc_fixture",
+    "streaming_click_purchase",
+    "summarize_nation_vertices",
+    "summarize_nation_edges",
 ]
 
 

@@ -174,6 +174,58 @@ def streaming_dedup_keys(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def streaming_click_purchase_join(
+    events: DataFrame,
+    horizon: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click event joins the SAME
+    user's purchase events landing within ``horizon`` after it — the
+    Structured Streaming twin of Flink's DataStream interval join (the
+    reference prototype is batch-only; this is the §2.10 streaming
+    surface's join coverage).
+
+    Both sides carry watermarks and the join predicate carries the
+    time-range condition — that pair is what lets Spark bound the join
+    state: a buffered click can be evicted once the purchase-side
+    watermark passes click_ts + horizon, and vice versa. Inner join →
+    append mode, rows are emitted exactly once; on a fully-arrived
+    availableNow input the result equals the batch range join.
+
+    At 100 TB stream scale the state size is (rate × horizon) per side,
+    partitioned by user_id — the equality key keeps the join a
+    hash-partitioned state lookup, never a broadcast or cross product.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("purchase_cents"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_cents",
+    )
+
+
 def streaming_nation_counts(
     events: DataFrame, customer: DataFrame
 ) -> DataFrame:

@@ -6,6 +6,7 @@ aggregates as the batch plans.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from flink_graph_spark.functions import sessions as sess_mod
@@ -62,6 +63,33 @@ def test_streaming_schema_is_stable(spark):
     assert sess.columns == [
         "user_id", "n_events", "start_ts", "end_ts", "sum_cents"
     ]
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, batch_events):
+    """Stream-stream interval join on a fully-arrived input equals the
+    batch range join; inner-join append mode emits each pair once."""
+    from flink_graph_spark.streaming.events import streaming_click_purchase_join
+
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_available_now(
+        streaming_click_purchase_join(stream), output_mode="append"
+    )
+    e = batch_events
+    a = e.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    b = e.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user_id", "ts AS purchase_ts"
+    )
+    batch = a.join(
+        b,
+        (a.user_id == b.p_user_id)
+        & (b.purchase_ts >= a.click_ts)
+        & (b.purchase_ts <= a.click_ts + F.expr("INTERVAL 6 HOURS")),
+    )
+    g = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    bt = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert g == bt and len(g) == got.count()
 
 
 def test_streaming_degrees_accumulates_across_batches(spark, tmp_path):
