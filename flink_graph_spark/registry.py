@@ -48,9 +48,41 @@ SPARK_QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def _query_begin(spark: SparkSession) -> None:
+    """Reclaim the PREVIOUS query's scratch before this one runs.
+
+    Iterative queries leave localCheckpoint RDD blocks (and finished
+    scratch persists) behind; their Python refs are dead once the query
+    returns, but the blocks are only dropped after a GC cycle reaches
+    the py4j finalizers and the JVM ContextCleaner's weak refs (whose
+    own periodic GC defaults to 30 min — far longer than a gate run).
+    Left alone, a 100-query session accretes hundreds of stale blocks
+    and per-superstep cost degrades ~4x by the end of the gate. The
+    memoized derived-graph caches stay strongly referenced from
+    ``_GRAPH_MEMO``, so they are never collected.
+
+    This runs inside the registry wrapper so EVERY runner (driver gate,
+    local gate, bench, tests) gets the same scratch lifecycle without
+    cooperating.
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # non-py4j session stub (unit tests)
+
+
 def _register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        SPARK_QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _query_begin(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        SPARK_QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn

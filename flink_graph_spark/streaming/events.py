@@ -23,6 +23,7 @@ Design (100 TB / always-on posture):
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -56,10 +57,28 @@ def _stage_dir(sf_dir: str) -> str:
     return stage
 
 
+def _ts_micros_expr(sf_dir: str):
+    """Column expr converting the raw int64 ``ts`` to epoch-micros.
+
+    A streaming reader pins its schema up front ("ts long"), so the
+    parquet TIMESTAMP unit the driver generated the testdata with must
+    be probed from the file footer (driver rounds have shipped both
+    TIMESTAMP(NANOS) and timestamp[us]); the batch loader
+    (``sources.tables.load_table``) makes the same distinction from the
+    materialized dtype instead.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    unit = getattr(t, "unit", "ns")  # plain int64 column → driver's nanos
+    to_us = {"s": "ts * 1000000", "ms": "ts * 1000", "us": "ts", "ns": "ts div 1000"}
+    return F.expr(to_us[unit])
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-stream over the events parquet with the nanos→timestamp
+    """File-stream over the events parquet with the raw-int64→timestamp
     normalization of ``sources.tables.load_table`` applied streaming-side.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,7 +89,7 @@ def read_events_stream(
     )
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the instants match the batch loaders' NTZ values
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.timestamp_micros(_ts_micros_expr(sf_dir)))
 
 
 def streaming_hourly_rollup(
