@@ -76,6 +76,11 @@ def _fwd_bwd_labels(
         ),
         max_iter=max_iter,
         delta=delta,
+        # NOT higher: each lazy superstep references the previous state
+        # twice (message join + update join), so k unmaterialized
+        # supersteps duplicate the subplan 2^k times — every-3 keeps the
+        # blowup at ≤8 copies of a tiny frame, while sweeping it to
+        # max_iter=5 measured 4x slower on the fixture
         checkpoint_every=3,
     )
     return res.vertices.select(
@@ -106,24 +111,35 @@ def scc(
     done: DataFrame | None = None
 
     for _ in range(max_rounds):
-        if v.isEmpty():
+        # The early-exit check is a job per round; in fixed-round mode
+        # (delta=False, rounds sized to the known condensation depth) a
+        # round over an already-empty remainder is a no-op anyway, so
+        # the check is only worth its job when delta mode may exit early.
+        if delta and v.isEmpty():
             break
         labels = _fwd_bwd_labels(v, e, max_iter, delta=delta)
-        completed = (
-            labels.filter(F.col("fwd") == F.col("bwd"))
-            .select("id", F.col("fwd").alias("scc"))
-            .localCheckpoint(eager=True)
+        completed = labels.filter(F.col("fwd") == F.col("bwd")).select(
+            "id", F.col("fwd").alias("scc")
         )
+        if delta:
+            # at scale: pin the peel set before three downstream joins
+            completed = completed.localCheckpoint(eager=True)
         done = completed if done is None else done.unionByName(completed)
-        v = v.join(completed.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        v = v.join(completed.select("id"), "id", "left_anti")
         e = (
             e.join(completed.select(F.col("id").alias("src")), "src", "left_anti")
             .join(completed.select(F.col("id").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        if delta:
+            v = v.localCheckpoint(eager=True)
+            e = e.localCheckpoint(eager=True)
+        # in fixed mode the remainder frames stay lazy: `completed`
+        # derives from the inner Pregel's own final checkpoint, so the
+        # next round's lineage is one filter + two anti-joins deep —
+        # nothing to truncate, and each skipped checkpoint is a job
+        # saved (the 11-vertex fixture spends more on job scheduling
+        # than on data)
 
     assert done is not None, "scc called on an empty graph"
     return done
