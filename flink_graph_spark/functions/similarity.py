@@ -427,3 +427,99 @@ def ann_topk_ivf(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---- semantic dedup (embedding near-dup → clusters) ------------------
+
+def semantic_near_dup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """(va, vb, cosine) — the SCALE path for semantic near-dup pair
+    generation: candidates are pairs sharing a (table, bucket) cell in
+    ≥1 of the multi-table hyperplane signatures (the same bank as
+    ``ann_topk_lsh``), deduped, then cosine-confirmed > threshold.
+    A strict subset of ``embedding_near_dup``'s exact output (bucketing
+    can miss pairs — recall measured in tests), at ~tables/2^planes of
+    the all-pairs cost: candidate generation is one equi-join on narrow
+    (vec_id, table, bucket) rows, never a cross join of vectors.
+    """
+    n = with_norm(emb)
+    b = _bucket_frame(n)
+    cand = (
+        b.select("table", "bucket", F.col("vec_id").alias("va"))
+        .join(
+            b.select("table", "bucket", F.col("vec_id").alias("vb")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    a = n.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    bb = n.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "va")
+        .join(bb, "vb")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") > F.lit(threshold))
+        .select("va", "vb", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def semantic_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    max_iter: int = 4,
+    bucketed: bool = False,
+) -> DataFrame:
+    """(vec_id, cluster_id) for every vector in ≥1 near-dup pair —
+    semantic dedup, the embedding-space twin of the text-side
+    ``dedup_clusters``: near-dup pairs feed ``Graph.from_edges`` and
+    the Spargel delta loop, so transitive chains (A≈B≈C with A̸≈C)
+    collapse into one cluster with the min vec_id as representative.
+
+    ``bucketed=False`` (oracle anchor) uses the exact all-pairs
+    ``embedding_near_dup``; ``bucketed=True`` is the 100 TB path —
+    identical downstream, pairs from ``semantic_near_dup_pairs_lsh``.
+    ``max_iter`` bounds min-label propagation (exact for cluster
+    diameter ≤ max_iter; near-dup clusters are cliques/short chains).
+    """
+    from ..graph import Graph
+    from ..library.connected_components import connected_components
+
+    pairs = (
+        semantic_near_dup_pairs_lsh(emb, threshold)
+        if bucketed
+        else embedding_near_dup(emb, threshold)
+    )
+    edges = pairs.select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    comps = connected_components(Graph.from_edges(edges), max_iter=max_iter)
+    return comps.select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.4, max_iter: int = 4) -> str:
+    """DuckDB twin: exact pairs (emb_norm self-join) + min-label CC."""
+    from ..library.connected_components import oracle_ctes
+
+    pair_ctes = f"""sd_pairs AS MATERIALIZED (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM emb_norm a JOIN emb_norm b ON a.vec_id < b.vec_id
+    WHERE {COS_SQL} > {threshold!r}
+),
+sd_ids AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sd_pairs UNION SELECT dst FROM sd_pairs
+    )
+)"""
+    cc_ctes, _ = oracle_ctes("sd_pairs", "sd_ids", max_iter)
+    return (
+        f"WITH {EMB_NORM_SQL.strip()},\n{pair_ctes},\n{cc_ctes}\n"
+        f"SELECT id AS vec_id, comp AS cluster_id FROM c{max_iter}"
+    )

@@ -325,6 +325,81 @@ WHERE q.quality >= {min_quality!r}"""
     return quality_cte, fp_cte, keep_cte, final
 
 
+# ---- document chunking (context-window preparation) ------------------
+
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # start-to-start distance → 16-token overlap
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_fp) — fixed-size token
+    windows with overlap, the context-window prep step of a pretraining
+    / RAG pipeline. Window starts are 1, 1+stride, … while
+    start ≤ max(n_tokens - overlap, 1), so every token is covered, the
+    final window may run short, and no window is a suffix-subset of its
+    predecessor. ``chunk_fp`` is the same engine-portable rolling hash
+    as ``doc_fingerprint`` over just the window's tokens, so chunks can
+    feed the exact-dedup / contamination joins downstream without
+    carrying text.
+
+    Scale shape: pure per-row expressions (split → windowed slices →
+    posexplode) — a map-side chunker with NO shuffle; output rows ≈
+    input tokens / stride regardless of document skew, since a huge
+    document fans out inside its own partition.
+    """
+    overlap = chunk_tokens - stride
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {overlap}, 1),"
+                f" {stride}), s -> slice(t, s, {chunk_tokens}))"
+            )
+        ).alias("chunk_idx", "ctoks"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate("
+            " transform(ctoks,"
+            "   x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)),"
+            f" 0L, (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})"
+        ).alias("chunk_fp"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL); generate_series is
+    inclusive and list_slice takes begin/end, both 1-based like Spark's
+    sequence/slice."""
+    overlap = chunk_tokens - stride
+    return f"""SELECT doc_id,
+       CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ctoks,
+             x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+         (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})
+       AS chunk_fp
+FROM (
+    SELECT doc_id, s,
+           list_slice(t, s, s + {chunk_tokens} - 1) AS ctoks
+    FROM doc_tok,
+         UNNEST(generate_series(1, greatest(len(t) - {overlap}, 1),
+                                {stride})) AS u(s)
+)"""
+
+
 # ---- deterministic stratified sampling -------------------------------
 
 SAMPLE_KNUTH_MULT = 2654435761  # Knuth multiplicative hash, fits int64 for any doc_id

@@ -1331,6 +1331,26 @@ def top_shingles(spark, sf_dir):
     return text_mod.top_shingles(_docs(spark, sf_dir), 20)
 
 
+@_register(
+    "chunk_documents",
+    _with(text_mod.DOC_TOK_SQL, text_mod.chunk_documents_sql()),
+)
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking: 64-token windows, stride 48 — map-side
+    only (no shuffle at any scale); chunk_fp joins into exact-dedup /
+    contamination downstream."""
+    return text_mod.chunk_documents(_docs(spark, sf_dir))
+
+
+@_register("semantic_dedup_clusters", sim_mod.semantic_dedup_sql(0.4, 4))
+def semantic_dedup_clusters(spark, sf_dir):
+    """Semantic (embedding-space) dedup: near-dup pairs → connected
+    components → min-vec_id cluster representative. Oracle anchors the
+    exact-pairs mode; the bucketed LSH mode is the 100 TB path
+    (equality-vs-exact gated in tests/test_sinks_ann.py)."""
+    return sim_mod.semantic_dedup_clusters(_emb(spark, sf_dir), 0.4, 4)
+
+
 @_register("json_source_rollup", sess_mod.HOURLY_ROLLUP_SQL)
 def json_source_rollup(spark, sf_dir):
     """The hourly rollup computed from the JSON-LINES staging of the
@@ -1806,6 +1826,8 @@ _NEW_UNSIGNED = [
     "streaming_click_purchase",
     "summarize_nation_vertices",
     "summarize_nation_edges",
+    "chunk_documents",
+    "semantic_dedup_clusters",
 ]
 
 

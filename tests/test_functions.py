@@ -553,3 +553,49 @@ def test_hourly_retention(spark):
     assert got[0] == (2, 1)
     assert got[1] == (1, 0)
     assert got[3] == (1, 0)
+
+
+# ---- chunk_documents --------------------------------------------------
+
+def test_chunk_documents_windows(spark):
+    from flink_graph_spark.functions.text import chunk_documents
+
+    # 100 tokens, window 64, stride 48 → starts 1, 49 (84 = n-overlap cap)
+    text100 = " ".join(f"w{i}" for i in range(100))
+    short = "a b c"
+    docs = spark.createDataFrame(
+        [(1, text100), (2, short)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_tokens"]
+        for r in chunk_documents(docs).collect()
+    }
+    assert got == {(1, 0): 64, (1, 1): 52, (2, 0): 3}
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from flink_graph_spark.functions.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    # windows tile the doc: chunk i covers [i*stride+1, i*stride+chunk];
+    # consecutive windows overlap by chunk-stride tokens and the final
+    # window reaches the last token
+    for n in (1, 47, 48, 64, 65, 111, 112, 113, 200):
+        overlap = CHUNK_TOKENS - CHUNK_STRIDE
+        starts = list(range(1, max(n - overlap, 1) + 1, CHUNK_STRIDE))
+        covered = set()
+        for s in starts:
+            covered |= set(range(s, min(s + CHUNK_TOKENS - 1, n) + 1))
+        assert covered == set(range(1, n + 1)), n
+
+
+def test_chunk_fp_matches_doc_fingerprint_for_short_doc(spark):
+    from flink_graph_spark.functions.text import chunk_documents, doc_fingerprint
+
+    # a sub-window-length doc has exactly one chunk whose fingerprint
+    # must equal the whole-document rolling hash
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma")], "doc_id long, text string"
+    )
+    [c] = chunk_documents(docs).collect()
+    [f] = doc_fingerprint(docs).collect()
+    assert c["chunk_fp"] == f["fingerprint"]

@@ -126,3 +126,38 @@ def test_kmeans_centroids_deterministic_and_stable(spark):
     assert _recall_at_k(
         exact, sim_mod.ann_topk_ivf(emb, 5, 10, train_iters=2)
     ) >= 0.8
+
+
+# ---- semantic dedup ---------------------------------------------------
+
+def test_semantic_lsh_pairs_subset_of_exact_with_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["va"], r["vb"]) for r in sim_mod.embedding_near_dup(emb, 0.4).collect()
+    }
+    lsh = {
+        (r["va"], r["vb"])
+        for r in sim_mod.semantic_near_dup_pairs_lsh(emb, 0.4).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"LSH pair recall {recall:.2f} below floor"
+
+
+def test_semantic_dedup_clusters_group_transitive_chains(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = sim_mod.embedding_near_dup(emb, 0.4).collect()
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim_mod.semantic_dedup_clusters(emb, 0.4, 4).collect()
+    }
+    # every paired vector is clustered, pair endpoints share a cluster,
+    # and each representative is its cluster's min member
+    for r in pairs:
+        assert clusters[r["va"]] == clusters[r["vb"]]
+    members: dict[int, list[int]] = {}
+    for v, c in clusters.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
