@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .graph import EdgeDirection, Graph
 from .library import adamic_adar as aa_mod
+from .library import community as community_mod
 from .library import connected_components as cc_mod
 from .library import hits as hits_mod
 from .library import kcore as kcore_mod
@@ -63,15 +64,26 @@ def _query_begin(spark: SparkSession) -> None:
 
     This runs inside the registry wrapper so EVERY runner (driver gate,
     local gate, bench, tests) gets the same scratch lifecycle without
-    cooperating.
+    cooperating. The JVM side is throttled to once per 30 s: the
+    degradation builds over tens of queries, while an unconditional
+    System.gc() inside every timed bench query is measurable overhead.
     """
     import gc
+    import time
 
     gc.collect()
+    global _LAST_JVM_GC
+    now = time.monotonic()
+    if now - _LAST_JVM_GC < 30.0:
+        return
     try:
         spark.sparkContext._jvm.System.gc()
+        _LAST_JVM_GC = now
     except Exception:
         pass  # non-py4j session stub (unit tests)
+
+
+_LAST_JVM_GC = float("-inf")
 
 
 def _register(name: str, oracle: str | None):
@@ -972,6 +984,32 @@ def mis_uu(spark, sf_dir):
 
 
 @_register(
+    "community_detection_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_ue AS MATERIALIZED (
+  SELECT src, dst, value FROM uu_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, value FROM uu_edges
+)""",
+        """cd_vertices AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id FROM uu_edges UNION SELECT dst AS id FROM uu_edges
+  )
+)""",
+        *community_mod.oracle_ctes("uu_ue", "cd_vertices", 4),
+    ),
+)
+def community_detection_uu(spark, sf_dir):
+    """Hop-attenuated label-score community detection (Leung et al. /
+    Gelly CommunityDetection): delta=0.5 keeps every score a dyadic
+    rational so the argmax is bit-exact across engines."""
+    tune_session(spark)
+    g = user_cooccurrence_graph(spark, sf_dir)
+    return community_mod.community_detection(g, max_iter=4)
+
+
+@_register(
     "random_walks_uu",
     _with(
         UU_EDGES_SQL,
@@ -1828,6 +1866,7 @@ _NEW_UNSIGNED = [
     "summarize_nation_edges",
     "chunk_documents",
     "semantic_dedup_clusters",
+    "community_detection_uu",
 ]
 
 

@@ -335,3 +335,48 @@ def test_round2_algorithm_packaging(golden):
     aa_g = golden.run(AdamicAdar())
     assert set(aa_g.edges.columns) == {"src", "dst", "value"}
     assert aa_g.edges.count() == golden.edges.count()
+
+
+# ---- community detection (hop-attenuated label scores) ----------------
+
+def test_community_detection_hand_computed(spark):
+    """Path 1-(w1)-2-(w2)-3, two supersteps, delta=0.5 — worked by hand:
+    s1: 1←(2,1.0)→(2,0.5); 2 picks 3 (w2 vote 2.0 beats 1.0)→(3,1.5);
+        3←(2,2.0)→(2,1.5)
+    s2: 1←(3,1.5)→(3,1.0); 2: label2 sum 0.5+3.0, mx 3.0→(2,2.5);
+        3←(3,3.0)→(3,2.5)
+    """
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.community import community_detection
+
+    g = Graph.from_edges(
+        spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 2)], "src long, dst long, value long"
+        )
+    )
+    got = {
+        r["id"]: (r["label"], r["score"])
+        for r in community_detection(g, max_iter=2).collect()
+    }
+    assert got == {1: (3, 1.0), 2: (2, 2.5), 3: (3, 2.5)}
+
+
+def test_community_detection_attenuation_localizes_labels(spark):
+    """Two triangles bridged by one weak edge: each triangle keeps a
+    label internal to itself (attenuation stops the flood across the
+    bridge), and the GraphAlgorithm packaging preserves the graph."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.community import CommunityDetection
+
+    edges = [(1, 2, 3), (2, 3, 3), (1, 3, 3),
+             (4, 5, 3), (5, 6, 3), (4, 6, 3),
+             (3, 4, 1)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long, value long")
+    )
+    out = CommunityDetection(max_iter=4).run(g)
+    lab = {r["id"]: r["value"] for r in out.vertices.collect()}
+    assert len({lab[1], lab[2], lab[3]}) == 1
+    assert len({lab[4], lab[5], lab[6]}) == 1
+    assert lab[1] != lab[4]
+    assert out.edges.count() == len(edges)
