@@ -78,6 +78,13 @@ HEADLINE = [
     "event_funnel",
     "sliding_rollup",
     "streaming_nation_counts",
+    # round-2 late additions: map-side chunker, LSH-bucketed semantic
+    # dedup (the scale path; the exact all-pairs anchor stays an
+    # sf0.01-only oracle query, never a headline entry), attenuated
+    # community detection
+    "chunk_documents",
+    "semantic_dedup_lsh",
+    "community_detection_uu",
 ]
 
 

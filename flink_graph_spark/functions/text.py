@@ -325,6 +325,68 @@ WHERE q.quality >= {min_quality!r}"""
     return quality_cte, fp_cte, keep_cte, final
 
 
+# ---- boilerplate detection (cross-document repetition) ----------------
+
+BOILER_MIN_DF = 5      # a shingle in ≥ this many docs is boilerplate
+BOILER_FRAC = 0.5      # flag docs whose shingle set is ≥ this much boilerplate
+
+
+def boilerplate_flags(
+    docs: DataFrame, min_df: int = BOILER_MIN_DF, frac: float = BOILER_FRAC
+) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_frac, flagged) — the
+    boilerplate-removal step of corpus cleaning: a shingle occurring in
+    ≥ ``min_df`` distinct documents is template text (headers, nav,
+    license blurbs), and a document mostly made of such shingles is
+    flagged. Docs shorter than one shingle are absent (no signal).
+
+    Scale shape: the same inverted-index pattern as the contamination
+    check — distinct (doc_id, shingle) explode, a vocabulary-bounded
+    document-frequency agg, one equi-join back, one per-doc agg. Hot
+    shingles are exactly the boilerplate being measured; AQE skew-join
+    splits them, and the df table is |vocab|, not |corpus|.
+    """
+    from pyspark.sql import Window
+
+    # document frequency as count-over-window keyed on the shingle: ONE
+    # pass over the exploded frame (the groupBy-df + join-back variant
+    # re-runs the whole scan+explode+distinct pipeline twice — measured
+    # 10 exchanges vs 3 here)
+    sh = doc_shingles(docs).withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler"),
+    )
+    bf = F.col("n_boiler") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(bf, 6).alias("boiler_frac"),
+        (bf >= frac).alias("flagged"),
+    )
+
+
+def boilerplate_sql(min_df: int = BOILER_MIN_DF, frac: float = BOILER_FRAC) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL + DOC_SHINGLES_SQL)."""
+    return f"""SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       ROUND(SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac,
+       (SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE)) >= {frac!r} AS flagged
+FROM doc_shingles d
+JOIN (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+      FROM doc_shingles GROUP BY 1) f ON d.s = f.s
+GROUP BY doc_id"""
+
+
 # ---- document chunking (context-window preparation) ------------------
 
 CHUNK_TOKENS = 64  # window size

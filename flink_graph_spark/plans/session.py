@@ -49,8 +49,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     for sane shuffle behavior on local mode.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    # reader rejects; read as long nanos and convert in the loader.
+    # some driver rounds ship events.parquet as TIMESTAMP(NANOS), which
+    # Spark's vectorized reader otherwise rejects; with this set it reads
+    # as long nanos and the loaders normalize by actual unit (harmless
+    # when the file is timestamp[us], as in round 2)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

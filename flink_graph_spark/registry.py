@@ -1370,6 +1370,20 @@ def top_shingles(spark, sf_dir):
 
 
 @_register(
+    "boilerplate_flags",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        text_mod.boilerplate_sql(),
+    ),
+)
+def boilerplate_flags(spark, sf_dir):
+    """Cross-document repetition: shingle document-frequency →
+    per-doc boilerplate fraction → flag (inverted-index shape)."""
+    return text_mod.boilerplate_flags(_docs(spark, sf_dir))
+
+
+@_register(
     "chunk_documents",
     _with(text_mod.DOC_TOK_SQL, text_mod.chunk_documents_sql()),
 )
@@ -1387,6 +1401,17 @@ def semantic_dedup_clusters(spark, sf_dir):
     exact-pairs mode; the bucketed LSH mode is the 100 TB path
     (equality-vs-exact gated in tests/test_sinks_ann.py)."""
     return sim_mod.semantic_dedup_clusters(_emb(spark, sf_dir), 0.4, 4)
+
+
+@_register("semantic_dedup_lsh", None)  # approximate scale path: rows-only
+def semantic_dedup_lsh(spark, sf_dir):
+    """The 100 TB semantic-dedup path (LSH-bucketed candidates, cosine
+    confirm, CC clusters). Approximate by design (bucketing can miss
+    pairs) → rows-only driver check; pair recall vs the exact anchor is
+    gated in tests/test_sinks_ann.py."""
+    return sim_mod.semantic_dedup_clusters(
+        _emb(spark, sf_dir), 0.4, 4, bucketed=True
+    )
 
 
 @_register("json_source_rollup", sess_mod.HOURLY_ROLLUP_SQL)
@@ -1865,7 +1890,9 @@ _NEW_UNSIGNED = [
     "summarize_nation_vertices",
     "summarize_nation_edges",
     "chunk_documents",
+    "boilerplate_flags",
     "semantic_dedup_clusters",
+    "semantic_dedup_lsh",
     "community_detection_uu",
 ]
 

@@ -24,7 +24,7 @@ def test_every_oracle_key_has_a_query():
     assert set(oracles) <= set(qs)
     # all but the explicitly-approximate ops carry an oracle
     missing = set(qs) - set(oracles)
-    assert missing <= {"ann_topk_lsh", "ann_topk_ivf"}
+    assert missing <= {"ann_topk_lsh", "ann_topk_ivf", "semantic_dedup_lsh"}
 
 
 def test_every_batch_query_plan_analyzes(spark):

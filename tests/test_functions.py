@@ -599,3 +599,23 @@ def test_chunk_fp_matches_doc_fingerprint_for_short_doc(spark):
     [c] = chunk_documents(docs).collect()
     [f] = doc_fingerprint(docs).collect()
     assert c["chunk_fp"] == f["fingerprint"]
+
+
+def test_boilerplate_flags_hand_computed(spark):
+    from flink_graph_spark.functions.text import boilerplate_flags
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_frac"], r["flagged"])
+        for r in boilerplate_flags(docs, min_df=2, frac=0.5).collect()
+    }
+    # "a b c" appears in docs 1+2 (df=2 → boilerplate); each of their
+    # 2-shingle sets is half boilerplate → flagged at frac=0.5
+    assert got == {
+        1: (2, 1, 0.5, True),
+        2: (2, 1, 0.5, True),
+        3: (1, 0, 0.0, False),
+    }
