@@ -523,3 +523,55 @@ sd_ids AS MATERIALIZED (
         f"WITH {EMB_NORM_SQL.strip()},\n{pair_ctes},\n{cc_ctes}\n"
         f"SELECT id AS vec_id, comp AS cluster_id FROM c{max_iter}"
     )
+
+
+# ---- kNN label vote (similarity search applied) ----------------------
+
+def knn_label_vote(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """(query_id, pred_label, votes) — majority label among the exact
+    top-k cosine neighbors of each query vector: the evaluation /
+    weak-labeling loop a similarity index exists to serve. Ties break
+    to the lexicographically smallest label (deterministic across
+    engines). Swap ``ann_topk_bruteforce`` for the LSH/IVF paths at
+    corpus scale — the voting join is identical.
+    """
+    from pyspark.sql import Window
+
+    nb = ann_topk_bruteforce(emb, n_queries, k)
+    votes = (
+        nb.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+def knn_label_vote_sql(n_queries: int = 5, k: int = 10) -> str:
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> q.e[i] * c.e[i])), (acc, x) -> acc + x) / (q.nrm * c.nrm)"
+    )
+    return f"""WITH {EMB_NORM_SQL.strip()},
+knn_topk AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM emb_norm q JOIN emb_norm c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}
+)
+SELECT query_id, label AS pred_label, votes FROM (
+  SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes,
+         ROW_NUMBER() OVER (PARTITION BY t.query_id
+                            ORDER BY COUNT(*) DESC, e.label ASC) AS rn
+  FROM knn_topk t JOIN embeddings e ON t.vec_id = e.vec_id
+  GROUP BY 1, 2
+) WHERE rn = 1"""

@@ -497,6 +497,48 @@ WHERE ((doc_id * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}) % 100 <
 ORDER BY doc_id"""
 
 
+# ---- per-source quota sampling ---------------------------------------
+
+SOURCE_QUOTA = 15  # binds on the uniform 25-docs/source testdata
+
+
+def source_quota_sample(docs: DataFrame, quota: int = SOURCE_QUOTA) -> DataFrame:
+    """(doc_id, source) — cap each source (domain/crawl feed) at
+    ``quota`` documents, keeping a deterministic uniform subset: docs
+    rank within their source by the same Knuth multiplicative hash as
+    ``stratified_sample`` (id-stable, engine-portable), so re-runs and
+    incremental refreshes keep the SAME representatives. This is the
+    per-domain quota step that stops a handful of giant domains from
+    dominating a training mix.
+
+    Scale: one hash-partitioned window per source. For web-scale skew
+    (one source ≫ quota) pre-filter with a per-source hash THRESHOLD
+    (quota / approx count) so only ~quota survivors reach the exact
+    rank — the window then sorts bounded groups, never the raw domain.
+    """
+    from pyspark.sql import Window
+
+    order = (F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "source")
+    )
+
+
+def source_quota_sql(quota: int = SOURCE_QUOTA) -> str:
+    return f"""SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {quota}"""
+
+
 # ---- PII scrub -------------------------------------------------------
 
 # Common-subset regexes (Java regex on Spark, RE2 on DuckDB): no

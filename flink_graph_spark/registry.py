@@ -1403,6 +1403,20 @@ def semantic_dedup_clusters(spark, sf_dir):
     return sim_mod.semantic_dedup_clusters(_emb(spark, sf_dir), 0.4, 4)
 
 
+@_register("source_quota_sample", text_mod.source_quota_sql())
+def source_quota_sample(spark, sf_dir):
+    """Per-source document quota (deterministic hash-ranked survivors) —
+    the domain-balancing step of a training mix."""
+    return text_mod.source_quota_sample(_docs(spark, sf_dir))
+
+
+@_register("knn_label_vote", sim_mod.knn_label_vote_sql(5, 10))
+def knn_label_vote(spark, sf_dir):
+    """Majority label of each query's exact top-10 cosine neighbors —
+    similarity search applied to weak labeling / eval."""
+    return sim_mod.knn_label_vote(_emb(spark, sf_dir), 5, 10)
+
+
 @_register("semantic_dedup_lsh", None)  # approximate scale path: rows-only
 def semantic_dedup_lsh(spark, sf_dir):
     """The 100 TB semantic-dedup path (LSH-bucketed candidates, cosine
@@ -1891,6 +1905,8 @@ _NEW_UNSIGNED = [
     "summarize_nation_edges",
     "chunk_documents",
     "boilerplate_flags",
+    "source_quota_sample",
+    "knn_label_vote",
     "semantic_dedup_clusters",
     "semantic_dedup_lsh",
     "community_detection_uu",

@@ -619,3 +619,19 @@ def test_boilerplate_flags_hand_computed(spark):
         2: (2, 1, 0.5, True),
         3: (1, 0, 0.0, False),
     }
+
+
+def test_source_quota_sample_binds_and_is_deterministic(spark):
+    from conftest import SF_DIR
+    from flink_graph_spark.functions.text import source_quota_sample
+    from flink_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = source_quota_sample(docs, quota=3).collect()
+    per_src: dict[str, int] = {}
+    for r in got:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    n_sources = docs.select("source").distinct().count()
+    assert set(per_src.values()) == {3} and len(per_src) == n_sources
+    again = {(r["doc_id"], r["source"]) for r in source_quota_sample(docs, quota=3).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in got}

@@ -161,3 +161,18 @@ def test_semantic_dedup_clusters_group_transitive_chains(spark):
         members.setdefault(c, []).append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+def test_knn_label_vote_majority_of_neighbors(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    nb = sim_mod.ann_topk_bruteforce(emb, 3, 10)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    neigh: dict[int, list[str]] = {}
+    for r in nb.collect():
+        neigh.setdefault(r["query_id"], []).append(labels[r["vec_id"]])
+    for r in sim_mod.knn_label_vote(emb, 3, 10).collect():
+        votes = neigh[r["query_id"]]
+        assert votes.count(r["pred_label"]) == r["votes"]
+        assert all(
+            votes.count(r["pred_label"]) >= votes.count(l) for l in set(votes)
+        )
