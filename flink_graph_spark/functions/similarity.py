@@ -431,20 +431,58 @@ def ann_topk_ivf(
 
 # ---- semantic dedup (embedding near-dup → clusters) ------------------
 
+def _banded_bucket_frame(n: DataFrame, groups: int = 4) -> DataFrame:
+    """(vec_id, table, bucket) — the SAME 32-hyperplane bank as
+    ``ann_topk_lsh``, regrouped into ``groups`` bands of 32/groups sign
+    bits each. Query probing wants few bits per table (wide cells →
+    high per-table recall); all-pairs candidate generation wants MANY
+    bits per band (small cells → the within-cell quadratic term stays
+    bounded) — the exact banding trade MinHash LSH makes (b×r), applied
+    to hyperplane signatures. No re-hashing: one fold per (vector,
+    plane) either way, only the bit→bucket grouping changes.
+    """
+    planes = _planes_df(n.sparkSession)
+    per = (N_TABLES * N_PLANES) // groups
+    d = F.expr(_fold_sum("zip_with(e, plane, (x, y) -> x * y)"))
+    gidx = (F.col("table") * N_PLANES + F.col("p"))
+    return (
+        n.select(F.col("vec_id").alias("__bid"), "e")
+        .join(F.broadcast(planes), how="cross")
+        .withColumn("__d", d)
+        .withColumn("__g", (gidx / per).cast("int"))
+        .withColumn("__bit", gidx % per)
+        .groupBy(F.col("__bid"), F.col("__g").alias("table"))
+        .agg(
+            F.sum(F.expr("IF(__d > 0, shiftleft(1, __bit), 0)"))
+            .cast("long")
+            .alias("bucket")
+        )
+        .withColumnRenamed("__bid", "vec_id")
+    )
+
+
 def semantic_near_dup_pairs_lsh(
-    emb: DataFrame, threshold: float = 0.4
+    emb: DataFrame, threshold: float = 0.4, groups: int = 8
 ) -> DataFrame:
     """(va, vb, cosine) — the SCALE path for semantic near-dup pair
-    generation: candidates are pairs sharing a (table, bucket) cell in
-    ≥1 of the multi-table hyperplane signatures (the same bank as
-    ``ann_topk_lsh``), deduped, then cosine-confirmed > threshold.
-    A strict subset of ``embedding_near_dup``'s exact output (bucketing
-    can miss pairs — recall measured in tests), at ~tables/2^planes of
-    the all-pairs cost: candidate generation is one equi-join on narrow
-    (vec_id, table, bucket) rows, never a cross join of vectors.
+    generation: candidates are pairs sharing a band cell in ≥1 of the
+    ``groups`` banded hyperplane signatures, deduped, then
+    cosine-confirmed > threshold. A strict subset of
+    ``embedding_near_dup``'s exact output (banding can miss pairs —
+    recall measured in tests); candidate generation is one equi-join on
+    narrow (vec_id, table, bucket) rows, never a cross join of vectors.
+
+    ``groups`` is the precision/recall banding knob: fewer groups →
+    more bits per band → within-cell quadratic work shrinks by
+     2^(32/groups) per band, but per-pair hit probability is p^(32/groups)
+    (p = 1 - θ/π). The default 8×4-bit matches the query-probing bank
+    (measured pair recall 0.71-0.73 on the moderate-similarity testdata,
+    whose max pair cosine is 0.51); for a TRUE near-dup regime
+    (cos ≥ 0.85, p ≥ 0.82 — planted dups in a real corpus) use
+    groups=4: p^8 ≥ 0.2 per band with 256× smaller cells.
     """
     n = with_norm(emb)
-    b = _bucket_frame(n)
+    b = _banded_bucket_frame(n, groups)
     cand = (
         b.select("table", "bucket", F.col("vec_id").alias("va"))
         .join(
