@@ -127,3 +127,93 @@ JOIN (
            CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS exact_distinct
     FROM {table} GROUP BY 1
 ) x USING (grp)"""
+
+
+# ---- count-min sketch (heavy-hitter frequency estimation) -------------
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(token, exact_cnt, cm_est) — build a depth×width count-min sketch
+    over ``key_col`` occurrences, then read back the estimates for the
+    exact top-``top_k`` keys (deterministic: count DESC, key ASC) so the
+    CM guarantee (est ≥ exact, tight for heavy hitters) is auditable in
+    one result. Hash row j of key t = shared md5-prefix h32(j ':' t)
+    mod width — exact integer parity in DuckDB.
+
+    100 TB shape (the SimHash lesson): occurrences are NEVER exploded
+    ×depth. Keys pre-aggregate to (key, cnt) — a vocabulary-bounded,
+    map-side-combined shuffle — and only that frame fans out ×depth to
+    build the depth×width cell matrix, which is ≤ depth·width rows no
+    matter the corpus. Registers are mergeable across shards/days like
+    the HLL registers above.
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+    cnts = keys.groupBy("key").agg(F.count("*").cast("long").alias("cnt"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    cells = cnts.select("key", "cnt", j).select(
+        "j",
+        (
+            h32(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("key")))
+            % F.lit(width)
+        ).alias("col"),
+        "cnt",
+    )
+    sketch = cells.groupBy("j", "col").agg(F.sum("cnt").alias("c"))
+    top = cnts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    probes = top.select("key", "cnt", j).select(
+        "key",
+        "cnt",
+        "j",
+        (
+            h32(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("key")))
+            % F.lit(width)
+        ).alias("col"),
+    )
+    return (
+        probes.join(sketch, ["j", "col"])
+        .groupBy("key", "cnt")
+        .agg(F.min("c").cast("long").alias("cm_est"))
+        .select(
+            F.col("key").alias("token"),
+            F.col("cnt").alias("exact_cnt"),
+            "cm_est",
+        )
+    )
+
+
+def count_min_sql(
+    keys_cte: str,
+    top_k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> tuple[str, str]:
+    """(CTE text, final SELECT); ``keys_cte`` must expose one ``key``
+    row per occurrence."""
+    h = h32_sql("concat(CAST(j AS VARCHAR), ':', key)")
+    ctes = f"""cm_cnt AS MATERIALIZED (
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM {keys_cte} GROUP BY 1
+),
+cm_sketch AS MATERIALIZED (
+    SELECT j, {h} % {width} AS col, CAST(SUM(cnt) AS BIGINT) AS c
+    FROM cm_cnt, UNNEST(generate_series(0, {depth - 1})) AS u(j)
+    GROUP BY 1, 2
+),
+cm_top AS MATERIALIZED (
+    SELECT key, cnt FROM cm_cnt ORDER BY cnt DESC, key ASC LIMIT {top_k}
+)"""
+    final = f"""SELECT t.key AS token, t.cnt AS exact_cnt,
+       CAST(MIN(s.c) AS BIGINT) AS cm_est
+FROM cm_top t, UNNEST(generate_series(0, {depth - 1})) AS u(j), cm_sketch s
+WHERE s.j = u.j
+  AND s.col = {h32_sql("concat(CAST(u.j AS VARCHAR), ':', t.key)")} % {width}
+GROUP BY 1, 2"""
+    return ctes, final

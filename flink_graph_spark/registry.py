@@ -194,6 +194,65 @@ def top_degree_vertices(spark, sf_dir):
 
 
 @_register(
+    "vertex_metrics_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        """vm_deg AS MATERIALIZED (
+  SELECT v.id,
+         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS od,
+         CAST(COALESCE(i.cnt, 0) AS BIGINT) AS idg
+  FROM cs_vertices v
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS cnt FROM cs_edges GROUP BY 1) o
+    ON v.id = o.id
+  LEFT JOIN (SELECT dst AS id, COUNT(*) AS cnt FROM cs_edges GROUP BY 1) i
+    ON v.id = i.id
+)""",
+        """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cs_vertices) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cs_edges) AS n_edges,
+       MAX(od) AS max_out_degree,
+       MAX(idg) AS max_in_degree,
+       MAX(od + idg) AS max_degree,
+       CAST(SUM((od + idg) * (od + idg - 1) // 2) AS BIGINT) AS n_wedges
+FROM vm_deg""",
+    ),
+)
+def vertex_metrics_cs(spark, sf_dir):
+    """Gelly-successor VertexMetrics (directed): per-direction degree
+    maxima plus the wedge/triplet count Σ C(deg,2) — the denominator of
+    global clustering. One degree pass + one global agg (the per-vertex
+    C(d,2) is computed inside the partial agg, so the shuffle carries
+    one row per partition)."""
+    g = _cs(spark, sf_dir)
+    tune_session(spark)
+    out = g.out_degrees().withColumnRenamed("degree", "od")
+    in_ = g.in_degrees().withColumnRenamed("degree", "idg")
+    deg = out.join(in_, "id")
+    m = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.max("od").alias("max_out_degree"),
+        F.max("idg").alias("max_in_degree"),
+        F.max(F.col("od") + F.col("idg")).alias("max_degree"),
+        F.sum(
+            (F.col("od") + F.col("idg"))
+            * (F.col("od") + F.col("idg") - 1)
+            / 2
+        )
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_e = g.edges.count()
+    return m.select(
+        "n_vertices",
+        F.lit(n_e).cast("long").alias("n_edges"),
+        "max_out_degree",
+        "max_in_degree",
+        "max_degree",
+        "n_wedges",
+    )
+
+
+@_register(
     "graph_metrics",
     _with(
         CS_EDGES_SQL,
@@ -1472,6 +1531,25 @@ def unigram_nll(spark, sf_dir):
 
 
 @_register(
+    "count_min_tokens",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        "cm_keys AS MATERIALIZED (SELECT unnest(t) AS key FROM doc_tok)",
+        *sketch_mod.count_min_sql("cm_keys"),
+    ),
+)
+def count_min_tokens(spark, sf_dir):
+    """Count-min sketch over token occurrences, read back at the exact
+    top-20 tokens — est >= exact by construction, tight for heavy
+    hitters; the occurrence frame is never exploded x depth (vocab
+    pre-agg first)."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return sketch_mod.count_min_estimates(toks, "tok", 20)
+
+
+@_register(
     "hll_user_estimate",
     sketch_mod.hll_sql("events", "event_type", "user_id"),
 )
@@ -1905,6 +1983,8 @@ _NEW_UNSIGNED = [
     "summarize_nation_edges",
     "chunk_documents",
     "boilerplate_flags",
+    "vertex_metrics_cs",
+    "count_min_tokens",
     "source_quota_sample",
     "knn_label_vote",
     "semantic_dedup_clusters",

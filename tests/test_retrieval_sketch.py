@@ -96,3 +96,23 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
     assert out[1].coeff == pytest.approx(round(1 / 3, 6))
     assert out[4].coeff == 0.0
     assert out[1].degree == 3
+
+
+# ---- count-min sketch -------------------------------------------------
+
+def test_count_min_never_underestimates_and_is_tight_when_wide(spark):
+    from flink_graph_spark.functions.sketch import count_min_estimates
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    wide = {
+        r["token"]: (r["exact_cnt"], r["cm_est"])
+        for r in count_min_estimates(df, "k", top_k=4, width=256).collect()
+    }
+    assert set(wide) == {"a", "b", "c", "d"}
+    for exact, est in wide.values():
+        assert est == exact  # 4 keys in 256 cells: no collisions
+    # width=1 forces every key into one cell per row: est = total mass
+    narrow = count_min_estimates(df, "k", top_k=4, width=1).collect()
+    for r in narrow:
+        assert r["cm_est"] == 76 and r["cm_est"] >= r["exact_cnt"]
