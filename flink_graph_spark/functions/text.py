@@ -639,3 +639,93 @@ FROM doc_shingles
 GROUP BY 1
 ORDER BY n_docs DESC, s ASC
 LIMIT {k}"""
+
+
+# ---- PMI collocations (phrase mining / tokenizer prep) ----------------
+
+PMI_MIN_PAIR = 5   # ignore bigrams rarer than this (PMI is noise there)
+PMI_TOP_K = 50
+
+
+def collocations_pmi(
+    docs: DataFrame, min_pair: int = PMI_MIN_PAIR, top_k: int = PMI_TOP_K
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — top-k adjacent-token collocations by
+    pointwise mutual information ln(p(w1,w2)/(p(w1)p(w2))): the phrase
+    candidates a tokenizer/vocab builder promotes to merges. Rank is on
+    the ROUNDED pmi with (w1, w2) tie-break, so the top-k cut is
+    deterministic across engines.
+
+    Scale shape: one token explode and one bigram explode over the
+    corpus (map-side), then vocabulary-bounded hash aggs; the two
+    global totals broadcast as literals into the final projection —
+    no corpus-sized join anywhere.
+    """
+    toks = docs.select(_tokens().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1) "
+                    "ELSE array() END"
+                )
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    # two scalar totals in one pass (an eager scalar job, not a data
+    # collect — the totals then fold into the projection as literals)
+    n_tok, n_pairs = toks.agg(
+        F.sum(F.size("t")), F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+    ).collect()[0]
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.lit(float(n_pairs)))
+            / (
+                (F.col("c1") / F.lit(float(n_tok)))
+                * (F.col("c2") / F.lit(float(n_tok)))
+            )
+        ),
+        6,
+    )
+    scored = (
+        pairs.join(uni, pairs["w1"] == uni["w"])
+        .drop("w")
+        .join(
+            uni.select(F.col("w").alias("w2k"), F.col("c1").alias("c2")),
+            F.col("w2") == F.col("w2k"),
+        )
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
+def collocations_sql(min_pair: int = PMI_MIN_PAIR, top_k: int = PMI_TOP_K) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL)."""
+    return f"""SELECT w1, w2, n_pair,
+       ROUND(ln((n_pair / (SELECT SUM(len(t) - 1) FROM doc_tok WHERE len(t) >= 2)::DOUBLE)
+                / ((c1 / (SELECT SUM(len(t)) FROM doc_tok)::DOUBLE)
+                   * (c2 / (SELECT SUM(len(t)) FROM doc_tok)::DOUBLE))), 6) AS pmi
+FROM (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM doc_tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i))
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair}
+) p
+JOIN (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM
+      (SELECT unnest(t) AS w FROM doc_tok) GROUP BY 1) u1 ON p.w1 = u1.w
+JOIN (SELECT w AS wb, CAST(COUNT(*) AS BIGINT) AS c2 FROM
+      (SELECT unnest(t) AS w FROM doc_tok) GROUP BY 1) u2 ON p.w2 = u2.wb
+ORDER BY pmi DESC, w1, w2 LIMIT {top_k}"""

@@ -1531,6 +1531,17 @@ def unigram_nll(spark, sf_dir):
 
 
 @_register(
+    "collocations_pmi",
+    _with(text_mod.DOC_TOK_SQL, text_mod.collocations_sql()),
+)
+def collocations_pmi(spark, sf_dir):
+    """Top-50 adjacent-token collocations by PMI (deterministic rounded
+    rank) — the phrase candidates a tokenizer/vocab builder promotes."""
+    tune_session(spark)
+    return text_mod.collocations_pmi(_docs(spark, sf_dir))
+
+
+@_register(
     "count_min_tokens",
     _with(
         text_mod.DOC_TOK_SQL,
@@ -1985,6 +1996,7 @@ _NEW_UNSIGNED = [
     "boilerplate_flags",
     "vertex_metrics_cs",
     "count_min_tokens",
+    "collocations_pmi",
     "source_quota_sample",
     "knn_label_vote",
     "semantic_dedup_clusters",

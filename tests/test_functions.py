@@ -635,3 +635,20 @@ def test_source_quota_sample_binds_and_is_deterministic(spark):
     assert set(per_src.values()) == {3} and len(per_src) == n_sources
     again = {(r["doc_id"], r["source"]) for r in source_quota_sample(docs, quota=3).collect()}
     assert again == {(r["doc_id"], r["source"]) for r in got}
+
+
+def test_collocations_pmi_hand_computed(spark):
+    from math import log
+
+    from flink_graph_spark.functions.text import collocations_pmi
+
+    # "x y" appears twice adjacent; tokens: x:2 y:2 a:1 b:1 → 6 tokens,
+    # bigrams: (x y),(y a),(x y),(y b) → 4; pmi(x,y)=ln((2/4)/((2/6)^2))
+    docs = spark.createDataFrame(
+        [(1, "x y a"), (2, "x y b")], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in collocations_pmi(docs, min_pair=2, top_k=10).collect()
+    }
+    assert got == {("x", "y"): (2, round(log((2 / 4) / ((2 / 6) ** 2)), 6))}
