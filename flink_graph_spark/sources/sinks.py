@@ -34,3 +34,36 @@ def write_graph_csv(graph: Graph, path: str, mode: str = "overwrite") -> None:
     """writeAsCsv parity (reference test/example sink)."""
     graph.vertices.write.mode(mode).option("header", "true").csv(f"{path}/vertices")
     graph.edges.write.mode(mode).option("header", "true").csv(f"{path}/edges")
+
+
+def write_edges_bucketed(
+    graph: Graph,
+    table: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the edge table BUCKETED by src (Hive-style bucketing via
+    ``bucketBy`` + ``saveAsTable`` — plain ``.parquet(path)`` cannot
+    carry bucket metadata). This is the 100 TB storage posture for a
+    graph at rest: two tables bucketed the same way (same column, same
+    bucket count) join/aggregate WITHOUT ANY EXCHANGE — every Pregel
+    superstep's message join and every src-keyed degree agg starts
+    pre-partitioned straight off disk, superstep after superstep, job
+    after job, which a transient ``repartition()`` cannot provide
+    across sessions. Verified by plan test (no Exchange in a
+    bucketed-bucketed self-join).
+    """
+    (
+        graph.edges.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .saveAsTable(table)
+    )
+
+
+def read_edges_bucketed(spark: SparkSession, table: str):
+    """Read a bucketed edge table back (bucket metadata flows from the
+    catalog; requires ``spark.sql.sources.bucketing.enabled``, on by
+    default)."""
+    return spark.table(table)

@@ -176,3 +176,38 @@ def test_knn_label_vote_majority_of_neighbors(spark):
         assert all(
             votes.count(r["pred_label"]) >= votes.count(l) for l in set(votes)
         )
+
+
+def test_bucketed_edges_join_without_exchange(spark, golden):
+    """Two reads of the same src-bucketed table join with ZERO Exchange
+    operators — the at-rest co-location contract for iterative loads."""
+    import uuid
+
+    from flink_graph_spark.sources.sinks import (
+        read_edges_bucketed,
+        write_edges_bucketed,
+    )
+
+    table = f"bkt_edges_{uuid.uuid4().hex[:8]}"
+    write_edges_bucketed(golden, table, buckets=4)
+    # force the shuffle-join path: on a 7-edge fixture the planner would
+    # broadcast (and rightly disable the bucketed scan); the property
+    # under test is the at-scale one — sort-merge over bucketed tables
+    # with NO shuffle exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e1 = read_edges_bucketed(spark, table)
+        e2 = read_edges_bucketed(spark, table).withColumnRenamed("dst", "dst2")
+        joined = e1.join(e2.select("src", "dst2"), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+        # and the degree agg over the bucketed table needs no shuffle
+        agg = e1.groupBy("src").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
