@@ -85,6 +85,12 @@ HEADLINE = [
     "chunk_documents",
     "semantic_dedup_lsh",
     "community_detection_uu",
+    "boilerplate_flags",
+    "source_quota_sample",
+    "knn_label_vote",
+    "vertex_metrics_cs",
+    "count_min_tokens",
+    "collocations_pmi",
 ]
 
 
