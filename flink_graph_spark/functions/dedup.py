@@ -507,3 +507,45 @@ SELECT t.doc_id,
        ROUND(COALESCE(h.shared, 0) * 1.0 / t.total, 6) AS contamination_score
 FROM contam_tot t LEFT JOIN contam_hit h ON t.doc_id = h.doc_id
 ORDER BY t.doc_id"""
+
+
+def dedup_keep_set(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_iter: int = 4,
+) -> DataFrame:
+    """(doc_id, reason) — the corpus-dedup ENDGAME: every document that
+    survives near-dup collapse, i.e. all docs minus non-representative
+    cluster members. ``reason`` says why a doc survived ('unique' — in
+    no near-dup pair — or 'representative' — the min-id member of its
+    cluster), which is the provenance column a curation pipeline keeps.
+
+    One anti-join over the cluster assignment; at 100 TB the cluster
+    frame is bounded by the number of near-dup docs, not the corpus.
+    """
+    clusters = dedup_clusters(docs, threshold, bands, rows, max_iter)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .otherwise(F.lit("representative"))
+            .alias("reason"),
+        )
+    )
+
+
+def dedup_keep_sql(max_iter: int = 4) -> str:
+    """Final SELECT composing after dedup_clusters_sql's CTEs."""
+    return f"""SELECT d.doc_id,
+       CASE WHEN c.id IS NULL THEN 'unique' ELSE 'representative' END AS reason
+FROM documents d
+LEFT JOIN c{max_iter} c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.comp = d.doc_id"""

@@ -1247,6 +1247,23 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_register(
+    "dedup_keep_set",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.PAIR_JACCARD_SQL,
+        dedup_mod.minhash_sql_parts(),
+        dedup_mod.dedup_clusters_sql(4)[0],
+        dedup_mod.dedup_keep_sql(4),
+    ),
+)
+def dedup_keep_set(spark, sf_dir):
+    """The kept corpus after near-dup collapse, with survival
+    provenance ('unique' / 'representative')."""
+    return dedup_mod.dedup_keep_set(_docs(spark, sf_dir))
+
+
+@_register(
     "simhash_docs",
     _with(
         text_mod.DOC_TOK_SQL,
@@ -1997,6 +2014,7 @@ _NEW_UNSIGNED = [
     "vertex_metrics_cs",
     "count_min_tokens",
     "collocations_pmi",
+    "dedup_keep_set",
     "source_quota_sample",
     "knn_label_vote",
     "semantic_dedup_clusters",

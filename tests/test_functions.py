@@ -652,3 +652,22 @@ def test_collocations_pmi_hand_computed(spark):
         for r in collocations_pmi(docs, min_pair=2, top_k=10).collect()
     }
     assert got == {("x", "y"): (2, round(log((2 / 4) / ((2 / 6) ** 2)), 6))}
+
+
+def test_dedup_keep_set_drops_only_nonrepresentatives(spark):
+    from conftest import SF_DIR
+    from flink_graph_spark.functions.dedup import dedup_clusters, dedup_keep_set
+    from flink_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    clusters = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    kept = {r["doc_id"]: r["reason"] for r in dedup_keep_set(docs).collect()}
+    n_docs = docs.count()
+    dropped = {d for d, c in clusters.items() if c != d}
+    assert set(kept) == {r["doc_id"] for r in docs.select("doc_id").collect()} - dropped
+    assert len(kept) == n_docs - len(dropped)
+    for d, reason in kept.items():
+        if d in clusters:
+            assert reason == "representative" and clusters[d] == d
+        else:
+            assert reason == "unique"
