@@ -799,6 +799,29 @@ def sssp_golden(spark, sf_dir):
 
 
 @_register(
+    "incremental_sssp_golden",
+    _with(
+        GOLDEN_SQL,
+        "inc_edges AS (SELECT * FROM golden_edges"
+        " WHERE NOT (src = 3 AND dst = 5))",
+        *sssp_mod.oracle_ctes("inc_edges", "golden_vertices", 1, 5),
+    ),
+)
+def incremental_sssp_golden(spark, sf_dir):
+    """Incremental SSSP maintenance: remove edge (3,5) from the golden
+    fixture and repair the prior result via tight-DAG invalidation +
+    delta Bellman-Ford. The ORACLE is a full recompute on the modified
+    edges — the incremental path must land on the identical answer
+    (vertex 5 reroutes 48 → 92 via 4)."""
+    tune_session(spark)
+    from .library import incremental as inc_mod
+
+    g = golden_graph(spark)
+    prior = sssp_mod.shortest_paths(g, 1, max_iter=5)
+    return inc_mod.incremental_sssp_remove_edge(g, prior, 1, 3, 5, max_iter=5)
+
+
+@_register(
     "cc_golden",
     _golden_algo_sql(cc_mod.oracle_ctes("golden_edges", "golden_vertices", 5)),
 )
@@ -2015,6 +2038,7 @@ _NEW_UNSIGNED = [
     "count_min_tokens",
     "collocations_pmi",
     "dedup_keep_set",
+    "incremental_sssp_golden",
     "source_quota_sample",
     "knn_label_vote",
     "semantic_dedup_clusters",

@@ -380,3 +380,66 @@ def test_community_detection_attenuation_localizes_labels(spark):
     assert len({lab[4], lab[5], lab[6]}) == 1
     assert lab[1] != lab[4]
     assert out.edges.count() == len(edges)
+
+
+# ---- incremental SSSP -------------------------------------------------
+
+def test_incremental_sssp_equals_full_recompute(spark):
+    """Remove a TIGHT edge (one on a shortest path) from the cs graph:
+    the tight-DAG invalidation + delta repair must land on exactly the
+    full-recompute answer; removing a NON-tight edge must be a no-op."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.incremental import (
+        incremental_sssp_remove_edge,
+    )
+    from flink_graph_spark.library.sssp import shortest_paths
+    from flink_graph_spark.sources.graphs import (
+        customer_supplier_undirected_graph,
+    )
+
+    g = customer_supplier_undirected_graph(spark, SF_DIR)
+    src = g.edges.select(F.min("src")).collect()[0][0]
+    prior = shortest_paths(g, src, max_iter=8)
+
+    d = prior
+    tight = (
+        g.edges.join(d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src")
+        .join(d.select(F.col("id").alias("dst"), F.col("dist").alias("dd")), "dst")
+        .filter(F.col("sd") + F.col("value") == F.col("dd"))
+        .filter(F.col("sd") > 0)  # not source-adjacent: forces a real reroute
+        .orderBy("src", "dst")
+        .limit(1)
+        .collect()
+    )
+    assert tight, "cs graph should have a non-trivial tight edge"
+    u, v = tight[0]["src"], tight[0]["dst"]
+
+    got = {
+        r["id"]: r["dist"]
+        for r in incremental_sssp_remove_edge(g, prior, src, u, v, max_iter=8).collect()
+    }
+    g2 = Graph(
+        g.vertices,
+        g.edges.filter(~((F.col("src") == u) & (F.col("dst") == v))),
+    )
+    want = {r["id"]: r["dist"] for r in shortest_paths(g2, src, max_iter=8).collect()}
+    assert got == want
+
+    # non-tight removal: nothing invalidated, result equals the prior
+    non_tight = (
+        g.edges.join(d.select(F.col("id").alias("src"), F.col("dist").alias("sd")), "src")
+        .join(d.select(F.col("id").alias("dst"), F.col("dist").alias("dd")), "dst")
+        .filter(F.col("sd") + F.col("value") != F.col("dd"))
+        .orderBy("src", "dst")
+        .limit(1)
+        .collect()
+    )
+    u2, v2 = non_tight[0]["src"], non_tight[0]["dst"]
+    got2 = {
+        r["id"]: r["dist"]
+        for r in incremental_sssp_remove_edge(g, prior, src, u2, v2, max_iter=8).collect()
+    }
+    assert got2 == {r["id"]: r["dist"] for r in prior.collect()}
