@@ -225,9 +225,28 @@ def vertex_metrics_cs(spark, sf_dir):
     one row per partition)."""
     g = _cs(spark, sf_dir)
     tune_session(spark)
-    out = g.out_degrees().withColumnRenamed("degree", "od")
-    in_ = g.in_degrees().withColumnRenamed("degree", "idg")
-    deg = out.join(in_, "id")
+    # direct aggs over the cached edge table rather than joining the
+    # out_degrees()/in_degrees() frames (each of which re-derives the
+    # vertex set — the composed plan carried 82 exchanges cold vs 8
+    # here; warm-cache runtime was fine either way, but the plan should
+    # be the one you'd want)
+    e = g.edges
+    o = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("od")
+    )
+    i = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").cast("long").alias("idg")
+    )
+    deg = (
+        g.vertices.select("id")
+        .join(o, "id", "left")
+        .join(i, "id", "left")
+        .select(
+            "id",
+            F.coalesce("od", F.lit(0)).alias("od"),
+            F.coalesce("idg", F.lit(0)).alias("idg"),
+        )
+    )
     m = deg.agg(
         F.count("*").alias("n_vertices"),
         F.max("od").alias("max_out_degree"),
