@@ -267,3 +267,44 @@ def streaming_nation_counts(
             ),
         )
     )
+
+
+def stream_to_bucketed_table(
+    stream_df: DataFrame,
+    table: str,
+    bucket_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Land a stream into a src-of-truth BUCKETED table via
+    ``foreachBatch`` — the ingest→at-rest bridge: micro-batches append
+    into one Hive-bucketed parquet table, so every downstream consumer
+    (including the next round of batch graph builds) starts its
+    ``bucket_col``-keyed joins WITHOUT a shuffle, straight off disk.
+    ``writeStream.format('parquet')`` cannot carry bucket metadata;
+    foreachBatch reuses the batch writer, which can. Runs one
+    availableNow pass and returns the resulting table as a DataFrame.
+
+    At scale this is the continuous version of
+    ``sources.sinks.write_edges_bucketed``: the per-batch write cost is
+    one local sort per bucket file; no global shuffle is added to the
+    stream, because bucketing hashes rows at WRITE time.
+    """
+    spark = stream_df.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fgs_bkt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
