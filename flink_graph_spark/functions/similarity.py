@@ -535,6 +535,12 @@ def semantic_dedup_clusters(
         if bucketed
         else embedding_near_dup(emb, threshold)
     )
+    # Pin the pair frame: downstream it is scanned twice (vertex
+    # derivation in Graph.from_edges + the Pregel edge-cache fill), and
+    # without this the all-pairs cosine join (exact path) or the banded
+    # candidate join (LSH path) re-runs per scan. The confirmed-pair
+    # set is tiny relative to the corpus, so the checkpoint is cheap.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(F.col("va").alias("src"), F.col("vb").alias("dst"))
     comps = connected_components(Graph.from_edges(edges), max_iter=max_iter)
     return comps.select(

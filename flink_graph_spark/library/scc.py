@@ -91,14 +91,20 @@ def _fwd_bwd_labels(
 def scc(
     graph: Graph,
     max_rounds: int = 5,
-    max_iter: int = 10,
+    max_iter: "int | tuple[int, ...]" = 10,
     delta: bool = True,
 ) -> DataFrame:
     """(id, scc) — scc = min vertex id of each strongly connected
     component. ``max_rounds`` bounds the peel loop (unpeeled leftovers
     keep scc = their round-final fwd label only if fwd==bwd, so with
     enough rounds the result is exact; fixture queries size the bound
-    to the condensation depth), ``max_iter`` each inner fixpoint.
+    to the condensation depth), ``max_iter`` each inner fixpoint — a
+    tuple gives a per-round schedule (last entry repeats), letting
+    fixed-round callers size later rounds to the shrinking remainder:
+    after a peel the remaining label depth only ever decreases, and in
+    non-delta mode every budgeted superstep runs whether needed or not,
+    so each superstep trimmed from a late round is a scheduler-floor
+    job saved.
 
     ``delta=True`` (the scale default) messages only changed vertices
     and exits each fixpoint early, at the cost of one materialize + one
@@ -109,15 +115,18 @@ def scc(
     v = graph.vertices.select("id")
     e = graph.edges.select("src", "dst")
     done: DataFrame | None = None
+    iters = (max_iter,) if isinstance(max_iter, int) else tuple(max_iter)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # The early-exit check is a job per round; in fixed-round mode
         # (delta=False, rounds sized to the known condensation depth) a
         # round over an already-empty remainder is a no-op anyway, so
         # the check is only worth its job when delta mode may exit early.
         if delta and v.isEmpty():
             break
-        labels = _fwd_bwd_labels(v, e, max_iter, delta=delta)
+        labels = _fwd_bwd_labels(
+            v, e, iters[min(rnd, len(iters) - 1)], delta=delta
+        )
         completed = labels.filter(F.col("fwd") == F.col("bwd")).select(
             "id", F.col("fwd").alias("scc")
         )

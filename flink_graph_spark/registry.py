@@ -12,6 +12,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,6 +85,23 @@ def _query_begin(spark: SparkSession) -> None:
 
 
 _LAST_JVM_GC = float("-inf")
+
+
+@contextmanager
+def _fixture_partitions(spark: SparkSession, n: int = 4):
+    """Size shuffle partitions to a hand-built fixture for the duration
+    of an eager iterative loop: 32-partition exchanges on a ≤13-row
+    frame are pure scheduler overhead, and fixture queries are nothing
+    BUT exchanges (every superstep shuffles). The caller must
+    materialize its result (localCheckpoint(eager=True)) before the
+    conf is restored so later actions replay nothing at the wrong
+    partition count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _register(name: str, oracle: str | None):
@@ -835,9 +853,15 @@ def incremental_sssp_golden(spark, sf_dir):
     tune_session(spark)
     from .library import incremental as inc_mod
 
-    g = golden_graph(spark)
-    prior = sssp_mod.shortest_paths(g, 1, max_iter=5)
-    return inc_mod.incremental_sssp_remove_edge(g, prior, 1, 3, 5, max_iter=5)
+    # Three sequential delta Pregels (prior SSSP, tight-DAG reach,
+    # delta repair) over 5 vertices: the query's cost is ~10 supersteps
+    # of pure exchange scheduling, so size the shuffle to the fixture.
+    with _fixture_partitions(spark):
+        g = golden_graph(spark)
+        prior = sssp_mod.shortest_paths(g, 1, max_iter=5)
+        return inc_mod.incremental_sssp_remove_edge(
+            g, prior, 1, 3, 5, max_iter=5
+        ).localCheckpoint(eager=True)
 
 
 @_register(
@@ -1717,23 +1741,25 @@ def scc_fixture(spark, sf_dir):
     is restored, so the caller's later action replays nothing heavy.
     """
     tune_session(spark)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _fixture_partitions(spark):
         g = Graph.from_edges(
             spark.createDataFrame(
                 [(s, d, 1) for s, d in SCC_FIXTURE_EDGES],
                 "src long, dst long, value long",
             ).coalesce(4)  # 13 rows over 32 parallelize slices otherwise
         )
-        # label depth of this fixture is 4 hops → 5 fixed supersteps
-        # cover it; non-delta keeps supersteps lazy (fewer jobs than the
-        # per-superstep frontier checks are worth on 11 vertices)
+        # Fixture condensation completes in exactly 2 peel rounds
+        # ({1,2,3} + {11} first, then {4,5}/{6,7,8}/9/10); label depth
+        # is 4 hops in round 1 (f(5) via 1→2→3→4→5) and 2 in round 2
+        # (the 6→7→8 cycle), so the schedule (5,3) keeps one superstep
+        # of margin per round while cutting the superstep total from
+        # 15 to 8 — this query's cost is pure per-superstep scheduler
+        # floor, so that's directly ~half the gate wall. Non-delta
+        # keeps supersteps lazy (fewer jobs than the per-superstep
+        # frontier checks are worth on 11 vertices).
         return scc_mod.scc(
-            g, max_rounds=3, max_iter=5, delta=False
+            g, max_rounds=2, max_iter=(5, 3), delta=False
         ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # ---- graph summarization (condensation by nation) ---------------------
@@ -1981,16 +2007,36 @@ def streaming_degrees(spark, sf_dir):
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
-# The driver walks queries() in dict order under a time budget; round 1
-# truncated at entry 50, leaving the 23 queries registered after
-# `dedup_exact` (every LLM-pipeline, similarity, triangle, pc-stressor,
-# music-profiles and streaming entry) without a driver-signed
-# correctness row even though all pass the identical gate locally.
-# Those 23 therefore run FIRST; the 50 queries the round-1 artifact
-# already signed follow in their original order, so whatever the budget
-# covers, every query ends up driver-signed in some round's artifact.
+# The driver walks queries() in dict order under a ~50-query time
+# budget. Rounds 1+2 together signed 100/116 queries; the 16 late
+# round-2 additions (CORRECTNESS_r02 stopped right before them) have
+# never appeared in a driver artifact. Those 16 — plus anything new
+# this round — run FIRST so round 3's budget signs them; the already-
+# signed queries follow (r2-signed before r1-signed, so re-signing
+# touches the most recently verified code paths first).
 
-_ROUND1_UNSIGNED = [
+# Never driver-signed (r2 budget cut off at 50): highest priority.
+_NEVER_SIGNED = [
+    "scc_fixture",
+    "streaming_click_purchase",
+    "summarize_nation_vertices",
+    "summarize_nation_edges",
+    "chunk_documents",
+    "boilerplate_flags",
+    "vertex_metrics_cs",
+    "count_min_tokens",
+    "collocations_pmi",
+    "dedup_keep_set",
+    "incremental_sssp_golden",
+    "source_quota_sample",
+    "knn_label_vote",
+    "semantic_dedup_clusters",
+    "semantic_dedup_lsh",
+    "community_detection_uu",
+]
+
+# Signed in CORRECTNESS_r02 (round-2 driver artifact).
+_SIGNED_R2_A = [
     "sessionize_events",
     "json_k_stats",
     "hourly_rollup",
@@ -2019,9 +2065,9 @@ _ROUND1_UNSIGNED = [
 ]
 
 
-# Queries added in round 2+ (never driver-signed yet) run right after
-# the round-1-unsigned block so the driver's budget reaches them too.
-_NEW_UNSIGNED = [
+# Also signed in CORRECTNESS_r02 (registered after the r1-unsigned
+# block, before the r2 budget ran out).
+_SIGNED_R2_B = [
     "hits_cs",
     "weighted_pagerank_cs",
     "degree_histogram",
@@ -2047,27 +2093,11 @@ _NEW_UNSIGNED = [
     "unigram_nll",
     "hll_user_estimate",
     "clustering_coeff_uu",
-    "scc_fixture",
-    "streaming_click_purchase",
-    "summarize_nation_vertices",
-    "summarize_nation_edges",
-    "chunk_documents",
-    "boilerplate_flags",
-    "vertex_metrics_cs",
-    "count_min_tokens",
-    "collocations_pmi",
-    "dedup_keep_set",
-    "incremental_sssp_golden",
-    "source_quota_sample",
-    "knn_label_vote",
-    "semantic_dedup_clusters",
-    "semantic_dedup_lsh",
-    "community_detection_uu",
 ]
 
 
 def _apply_priority_order() -> None:
-    front = _ROUND1_UNSIGNED + _NEW_UNSIGNED
+    front = _NEVER_SIGNED + _SIGNED_R2_B + _SIGNED_R2_A
     assert set(front) <= set(SPARK_QUERIES), set(front) - set(SPARK_QUERIES)
     order = front + [n for n in SPARK_QUERIES if n not in front]
     for d in (SPARK_QUERIES, ORACLE_SQL):
