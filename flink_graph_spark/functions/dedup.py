@@ -88,10 +88,30 @@ FROM documents"""
 
 # ---- exact n-gram Jaccard (inverted index) ---------------------------
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """(da, db, jaccard) for all pairs sharing ≥1 shingle — inverted
-    index join, intersection counts, |A|+|B|-∩ union sizes.
+# Document-frequency ceiling for the inverted-index pair join: a
+# shingle appearing in m documents contributes m·(m-1)/2 candidate
+# pairs, so one boilerplate shingle (a nav bar, a license header) in a
+# million web docs is a cartesian-class blowup all by itself. Shingles
+# with df > this cap are dropped from the Jaccard UNIVERSE (both the
+# intersection join and the per-doc sizes), which (a) bounds the pair
+# join at df_cap·|distinct shingles| rows and (b) makes the score a
+# Jaccard over *discriminative* shingles — near-ubiquitous shingles
+# carry ~no ranking signal for top-k similarity anyway.
+NGRAM_MAX_DF = 100
+
+
+def _pair_jaccard(sh: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """(da, db, jaccard) for all pairs sharing ≥1 surviving shingle —
+    df-capped inverted index join, intersection counts, |A|+|B|-∩
+    union sizes (sizes over the same capped universe).
     """
+    hot = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") > F.lit(max_df)
+    )
+    # anti-join against the (small: ≤ occurrences/max_df rows) hot set;
+    # not force-broadcast — AQE picks broadcast when it fits, and at
+    # corpus scale the hot set can itself exceed driver memory
+    sh = sh.join(hot.select("s"), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -128,6 +148,10 @@ def dedup_ngram_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+# Uncapped pair-Jaccard CTE chain — the oracle twin for the LSH paths,
+# whose Spark side confirms candidates with exact Jaccard over the FULL
+# shingle sets (array_intersect on per-doc arrays). Fine for DuckDB at
+# oracle scale; the Spark engine never builds this join uncapped.
 PAIR_JACCARD_SQL = """
 sh_sizes AS MATERIALIZED (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM doc_shingles GROUP BY 1
@@ -147,8 +171,35 @@ pair_jaccard AS MATERIALIZED (
     JOIN sh_sizes sb ON p.db = sb.doc_id
 )"""
 
+# df-capped twin of the above — mirrors _pair_jaccard exactly (same
+# NGRAM_MAX_DF, same capped universe for sizes AND intersections).
+PAIR_JACCARD_CAPPED_SQL = f"""
+sh_capped AS MATERIALIZED (
+    SELECT doc_id, s FROM doc_shingles
+    WHERE s NOT IN (
+        SELECT s FROM doc_shingles GROUP BY s HAVING COUNT(*) > {NGRAM_MAX_DF}
+    )
+),
+shc_sizes AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh_capped GROUP BY 1
+),
+pairc_inter AS MATERIALIZED (
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM sh_capped a
+    JOIN sh_capped b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pair_jaccard_capped AS MATERIALIZED (
+    SELECT p.da, p.db,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6)
+               AS jaccard
+    FROM pairc_inter p
+    JOIN shc_sizes sa ON p.da = sa.doc_id
+    JOIN shc_sizes sb ON p.db = sb.doc_id
+)"""
+
 DEDUP_NGRAM_TOPK_SQL = """
-SELECT da, db, jaccard FROM pair_jaccard
+SELECT da, db, jaccard FROM pair_jaccard_capped
 ORDER BY jaccard DESC, da ASC, db ASC LIMIT 50"""
 
 

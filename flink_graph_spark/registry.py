@@ -1274,7 +1274,7 @@ def dedup_exact(spark, sf_dir):
     _with(
         text_mod.DOC_TOK_SQL,
         text_mod.DOC_SHINGLES_SQL,
-        dedup_mod.PAIR_JACCARD_SQL,
+        dedup_mod.PAIR_JACCARD_CAPPED_SQL,
         dedup_mod.DEDUP_NGRAM_TOPK_SQL,
     ),
 )

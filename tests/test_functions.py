@@ -123,6 +123,35 @@ def test_ngram_jaccard_ranks_near_dup_first(docs):
     assert {top[1]["da"], top[1]["db"]} <= {1, 2, 4}  # near-dup pair next
 
 
+def test_ngram_pair_join_caps_hot_shingles(spark):
+    # A boilerplate shingle shared by MANY docs must not reach the
+    # inverted-index pair join: with max_df below the boilerplate's
+    # document frequency, pairs related ONLY through it vanish, while
+    # pairs sharing a rare shingle survive with Jaccard computed over
+    # the capped universe. This is the 100 TB guard — one hot shingle
+    # in m docs otherwise contributes m·(m-1)/2 pairs.
+    boiler = "shared nav bar"
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}") for i in range(1, 9)]
+    rows += [
+        (100, f"{boiler} rare gem alpha beta"),
+        (101, f"{boiler} rare gem alpha gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup_mod._pair_jaccard(text_mod.doc_shingles(docs), max_df=5)
+    pairs = {(r["da"], r["db"]): r["jaccard"] for r in got.collect()}
+    # every boilerplate-only pair is gone (docs 1..8 share nothing else)
+    assert all(not (da <= 8 and db <= 8) for da, db in pairs)
+    # the rare-shingle pair survives; its Jaccard is over the capped
+    # universe: docs 100/101 keep 3 non-boilerplate shingles each
+    # ("rare gem alpha", "gem alpha beta|gamma", and the boundary
+    # shingles containing boilerplate words with df ≤ cap), sharing
+    # exactly the ones not containing their distinct last word
+    assert (100, 101) in pairs
+    # plan shape: the hot-set anti-join guards the pair join input
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+
+
 def test_minhash_similar_docs_share_buckets(docs):
     sh = text_mod.doc_shingles(docs)
     sig = dedup_mod.minhash_signatures(sh)
