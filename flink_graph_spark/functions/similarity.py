@@ -300,6 +300,57 @@ def ann_topk_lsh(
 
 # ---- IVF (inverted-file) approximate top-k ---------------------------
 
+def _centroid_bank(cent: DataFrame) -> DataFrame:
+    """One-row frame ``(__cents: array<struct<list_id, ce, cn>>)``,
+    sorted by list_id — the whole centroid bank as a single broadcast
+    value, so assignment is a per-row fold on the corpus side: no
+    corpus×nlist row blowup, no shuffle, no window. ``sort_array`` on
+    the struct sorts by its first field (list_id), which makes the
+    fold's first-max-wins tie rule equal to the old
+    ``row_number() over (order by sim desc, list_id asc)`` rule."""
+    return cent.agg(
+        F.sort_array(
+            F.collect_list(F.struct("list_id", "ce", "cn"))
+        ).alias("__cents")
+    )
+
+
+def _assigned_list_expr() -> Column:
+    """Map-side cosine-argmax over the broadcast ``__cents`` bank for a
+    row with (e, nrm): one sim fold per centroid (computed once, via
+    transform), then a running max. Ties keep the earlier (smaller)
+    list_id; a zero-norm vector (all sims NaN — any comparison false)
+    falls to the first centroid via the ``lid = -1`` initial-accumulator
+    guard, deterministically."""
+    sims = (
+        "transform(__cents, c -> named_struct("
+        f"'s', {_fold_sum('zip_with(e, c.ce, (x, y) -> x * y)')}"
+        " / (nrm * c.cn), 'lid', c.list_id))"
+    )
+    return F.expr(
+        f"aggregate({sims},"
+        " named_struct('s', cast('-Infinity' as double),"
+        " 'lid', cast(-1 as bigint)),"
+        " (acc, c) -> IF(c.s > acc.s OR acc.lid = -1L, c, acc),"
+        " acc -> acc.lid)"
+    )
+
+
+def assign_lists(n: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, e, nrm, list_id): nearest-centroid assignment as a pure
+    map over the corpus — broadcast the nlist-row bank as ONE array
+    value and fold per row. The old shape (cross join to corpus×nlist
+    rows + row_number window partitioned by vec_id) shuffled the
+    entire blown-up corpus just to pick a max; at 100 TB that window
+    exchange IS the job. This shape reads the corpus once, writes the
+    corpus once, and shuffles nothing."""
+    return (
+        n.join(F.broadcast(_centroid_bank(cent)), how="cross")
+        .withColumn("list_id", _assigned_list_expr())
+        .select("vec_id", "e", "nrm", "list_id")
+    )
+
+
 def kmeans_centroids(
     n: DataFrame, nlist: int = 16, iters: int = 2
 ) -> DataFrame:
@@ -321,16 +372,8 @@ def kmeans_centroids(
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sim = dot_expr("e", "ce") / (F.col("nrm") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("list_id"))
     for _ in range(iters):
-        assigned = (
-            n.join(F.broadcast(cent), how="cross")
-            .withColumn("__sim", sim)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("list_id", "e")
-        )
+        assigned = assign_lists(n, cent).select("list_id", "e")
         means = (
             assigned.select("list_id", F.posexplode("e").alias("pos", "x"))
             .groupBy("list_id", "pos")
@@ -388,26 +431,28 @@ def ann_topk_ivf(
             F.col("e").alias("ce"),
             F.col("nrm").alias("cn"),
         )
-    sim = dot_expr("e", "ce") / (F.col("nrm") * F.col("cn"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("__sim"), F.asc("list_id")
-    )
-    assigned = (
-        n.join(F.broadcast(cent), how="cross")
-        .withColumn("__sim", sim)
-        .withColumn("__rn", F.row_number().over(w_assign))
-    )
-    lists = assigned.filter(F.col("__rn") == 1).select(
-        "vec_id", "e", "nrm", "list_id"
-    )
-    probes = assigned.filter(
-        (F.col("vec_id") < n_queries) & (F.col("__rn") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"), "list_id")
-
+    # Corpus-side assignment: map-side argmax fold over the broadcast
+    # centroid bank (see assign_lists) — no corpus×nlist rows, no
+    # window, no shuffle before the list-keyed search join.
+    lists = assign_lists(n, cent)
+    # Probe selection needs top-nprobe lists PER QUERY — a ranking, so
+    # keep the explicit cross join + window, but ONLY over the tiny
+    # query subset (n_queries × nlist rows), never the corpus.
+    sim = dot_expr("eq", "ce") / (F.col("nq") * F.col("cn"))
     q = n.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("eq"),
         F.col("nrm").alias("nq"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("list_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "list_id")
     )
     cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
     scored = (

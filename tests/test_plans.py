@@ -79,6 +79,29 @@ def test_ann_lsh_joins_are_bucketed_not_all_pairs(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_ivf_assignment_is_map_side_no_corpus_window(spark, queries):
+    # Nearest-centroid assignment must be a per-row fold over the
+    # broadcast centroid bank — never the old corpus×nlist cross join
+    # whose row_number window shuffled the whole blown-up corpus. The
+    # assignment subplan (lists frame) must therefore contain no Window
+    # and no shuffle Exchange at all.
+    from flink_graph_spark.functions import similarity as sim_mod
+    from flink_graph_spark.sources.tables import load_table
+
+    n = sim_mod.with_norm(load_table(spark, SF_DIR, "embeddings"))
+    cent = n.filter("vec_id < 16").selectExpr(
+        "vec_id AS list_id", "e AS ce", "nrm AS cn"
+    )
+    plan = _final_plan(spark, sim_mod.assign_lists(n, cent))
+    assert "Window" not in plan
+    # the only exchange allowed is the broadcast of the 1-row bank
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan)
+    # the full query keeps windows only on bounded frames (probe
+    # ranking over n_queries×nlist rows, final per-query top-k)
+    full = _final_plan(spark, queries["ann_topk_ivf"](spark, SF_DIR))
+    assert "CartesianProduct" not in full
+
+
 def test_embedding_near_dup_pairs_only_ints_in_nested_loop(spark, queries):
     # The quadratic pair generation must stay id-only; the vectors attach
     # via broadcast hash joins above it (see functions/similarity.py).
