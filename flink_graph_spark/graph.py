@@ -79,7 +79,12 @@ class Graph:
         #: 100 TB posture is an edge table bucketed by src, so iterative
         #: consumers (pregel, LPA) must not re-shuffle or re-cache it.
         self.src_partitioned = src_partitioned
-        self._n_vertices: int | None = None  # memoized scalar count
+        # Memoized scalar vertex count, held in a one-slot list so
+        # vertex-preserving derivations (reverse, edge maps/joins,
+        # partition_by_src, the symmetrized view) SHARE the memo with
+        # their parent: whichever graph counts first, the whole family
+        # is filled — one count job per distinct vertex set per session.
+        self._n_cell: list[int | None] = [None]
         self._schema = GraphSchema(
             vertex_value_cols=tuple(c for c in vcols if c != "id"),
             edge_value_cols=tuple(c for c in ecols if c not in ("src", "dst")),
@@ -151,9 +156,9 @@ class Graph:
         a plan constant (PageRank's 1/n teleport) pay the eager count job
         once per Graph object, not once per call.
         """
-        if self._n_vertices is None:
-            self._n_vertices = self._vertices.count()
-        return self._n_vertices
+        if self._n_cell[0] is None:
+            self._n_cell[0] = self._vertices.count()
+        return self._n_cell[0]
 
     def num_edges(self) -> DataFrame:
         return self._edges.agg(F.count("*").alias("n_edges"))
@@ -162,31 +167,48 @@ class Graph:
     # §2.2 per-element transforms
     # ------------------------------------------------------------------
 
+    def _count_preserved(self, g: "Graph") -> "Graph":
+        """Share the vertex-count memo cell with a derived graph whose
+        vertex SET is unchanged (edge rewrites, value rewrites, edge
+        filters, re-partitionings): whichever family member counts
+        first fills the memo for all — one count job per distinct
+        vertex set per session, not per derived Graph object."""
+        g._n_cell = self._n_cell
+        return g
+
     def map_vertices(self, expr: Column, out_col: str = "value") -> "Graph":
         """Rewrite every vertex value, id preserved (mapVertices ~L140-170).
 
         ``expr`` is a Column over the vertex row (may reference ``id`` and
         any value column) — stays in whole-stage codegen.
         """
-        return Graph(self._vertices.select("id", expr.alias(out_col)), self._edges)
+        return self._count_preserved(
+            Graph(self._vertices.select("id", expr.alias(out_col)), self._edges)
+        )
 
     def map_edges(self, expr: Column, out_col: str = "value") -> "Graph":
         """Rewrite every edge value, endpoints preserved (mapEdges ~L175-205)."""
-        return Graph(self._vertices, self._edges.select("src", "dst", expr.alias(out_col)))
+        return self._count_preserved(
+            Graph(self._vertices, self._edges.select("src", "dst", expr.alias(out_col)))
+        )
 
     def reverse(self) -> "Graph":
         """Swap src/dst of every edge (reverse ~L380-400)."""
         others = [c for c in self._edges.columns if c not in ("src", "dst")]
-        return Graph(
-            self._vertices,
-            self._edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), *others
-            ),
+        return self._count_preserved(
+            Graph(
+                self._vertices,
+                self._edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+                ),
+            )
         )
 
     def get_undirected(self) -> "Graph":
         """Edges ∪ reversed edges, duplicates kept (getUndirected ~L360-378)."""
-        return Graph(self._vertices, self._edges.unionByName(self.reverse().edges))
+        return self._count_preserved(
+            Graph(self._vertices, self._edges.unionByName(self.reverse().edges))
+        )
 
     # ------------------------------------------------------------------
     # §2.3 filters / subgraph
@@ -214,7 +236,9 @@ class Graph:
 
     def filter_on_edges(self, edge_pred: Column) -> "Graph":
         """Filter edges only; vertex set unchanged (filterOnEdges ~L305-330)."""
-        return Graph(self._vertices, self._edges.filter(edge_pred))
+        return self._count_preserved(
+            Graph(self._vertices, self._edges.filter(edge_pred))
+        )
 
     # ------------------------------------------------------------------
     # §2.4 joins with external datasets (left-outer, merge on match)
@@ -249,7 +273,9 @@ class Graph:
                 .alias(value_col),
             )
         )
-        return Graph(merged.select(*self._vertices.columns), self._edges)
+        return self._count_preserved(
+            Graph(merged.select(*self._vertices.columns), self._edges)
+        )
 
     def _join_with_edges_on(
         self,
@@ -277,7 +303,9 @@ class Graph:
             .otherwise(F.col(value_col))
             .alias(value_col),
         )
-        return Graph(self._vertices, merged.select(*self._edges.columns))
+        return self._count_preserved(
+            Graph(self._vertices, merged.select(*self._edges.columns))
+        )
 
     def join_with_edges(
         self, other: DataFrame, merge: Callable[[Column, Column], Column]
@@ -678,7 +706,9 @@ class Graph:
         cond = (F.col("src") == F.lit(src)) & (F.col("dst") == F.lit(dst))
         if value is not None:
             cond = cond & (F.col(value_col) == F.lit(value))
-        return Graph(self._vertices, self._edges.filter(~cond))
+        return self._count_preserved(
+            Graph(self._vertices, self._edges.filter(~cond))
+        )
 
     def intersect(self, other: "Graph", distinct_edges: bool = True) -> "Graph":
         """Edges present in BOTH graphs (matched on src, dst and every
@@ -759,10 +789,14 @@ class Graph:
             if num_partitions
             else self._edges.repartition("src")
         )
-        return Graph(self._vertices, e.persist(), src_partitioned=True)
+        return self._count_preserved(
+            Graph(self._vertices, e.persist(), src_partitioned=True)
+        )
 
     def persist(self) -> "Graph":
-        return Graph(self._vertices.persist(), self._edges.persist())
+        return self._count_preserved(
+            Graph(self._vertices.persist(), self._edges.persist())
+        )
 
     def unpersist(self) -> "Graph":
         self._vertices.unpersist()

@@ -106,7 +106,9 @@ def customer_supplier_undirected_graph(spark: SparkSession, sf_dir: str) -> Grap
         .repartition("src")
         .persist()
     )
-    return Graph(g.vertices, ue, src_partitioned=True)
+    # shares the directed graph's vertex-count memo (same vertex set):
+    # pagerank-over-undirected issues no second count job
+    return g._count_preserved(Graph(g.vertices, ue, src_partitioned=True))
 
 
 # --- C.2 user–user co-occurrence graph --------------------------------
