@@ -932,6 +932,29 @@ def pagerank_cs(spark, sf_dir):
 
 
 @_register(
+    "pagerank_bucketed_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *pr_mod.oracle_ctes("cs_edges", "cs_vertices", 0.85, 10),
+    ),
+)
+def pagerank_bucketed_cs(spark, sf_dir):
+    """PageRank over the SAME cs graph read back from a src-bucketed
+    parquet table (write_edges_bucketed round trip) — proves the
+    at-rest bucketed posture end-to-end through a full iterative
+    algorithm: identical ranks to pagerank_cs (same oracle), with the
+    edge side of every superstep's message join pre-partitioned by the
+    bucketed scan instead of a transient repartition (plan-asserted in
+    tests/test_plans.py: zero Exchange above the edge scan)."""
+    from .sources.graphs import customer_supplier_bucketed_graph
+
+    return pr_mod.page_rank(
+        customer_supplier_bucketed_graph(spark, sf_dir), beta=0.85, max_iter=10
+    )
+
+
+@_register(
     "sssp_cs",
     _with(
         CS_EDGES_SQL,
@@ -2015,8 +2038,10 @@ def streaming_degrees(spark, sf_dir):
 # signed queries follow (r2-signed before r1-signed, so re-signing
 # touches the most recently verified code paths first).
 
-# Never driver-signed (r2 budget cut off at 50): highest priority.
+# Never driver-signed (r2 budget cut off at 50, plus round-3
+# additions): highest priority.
 _NEVER_SIGNED = [
+    "pagerank_bucketed_cs",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

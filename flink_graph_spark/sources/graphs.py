@@ -111,6 +111,34 @@ def customer_supplier_undirected_graph(spark: SparkSession, sf_dir: str) -> Grap
     return g._count_preserved(Graph(g.vertices, ue, src_partitioned=True))
 
 
+@_memo_graph("cs_bucketed")
+def customer_supplier_bucketed_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Customer–supplier graph whose edge table is read back from a
+    src-BUCKETED parquet table (the at-rest 100 TB posture,
+    SCALING.md §7): bucket metadata flows from the catalog, so every
+    src-keyed consumer — degree aggs, each Pregel superstep's message
+    join — starts co-located straight off disk with ZERO Exchange on
+    the edge side, across sessions, which a transient ``repartition()``
+    cannot provide. Written once per (session, sf) by the memo; the
+    table is external at a scratch path so the gate never writes into a
+    cwd-relative warehouse dir.
+    """
+    import re as _re
+
+    from .sinks import read_edges_bucketed, write_edges_bucketed
+
+    g = customer_supplier_graph(spark, sf_dir)
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    table = f"cs_edges_by_src_{tag}"
+    write_edges_bucketed(
+        g, table, buckets=32, path=f"/tmp/spark_graft_bucketed/{table}"
+    )
+    e = read_edges_bucketed(spark, table)
+    # src_partitioned=True: pregel must NOT re-shuffle/re-cache — the
+    # bucketed scan IS the partitioning; count memo shared (same set)
+    return g._count_preserved(Graph(g.vertices, e, src_partitioned=True))
+
+
 # --- C.2 user–user co-occurrence graph --------------------------------
 
 UU_CELL_CAP = 512

@@ -41,6 +41,7 @@ def write_edges_bucketed(
     table: str,
     buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist the edge table BUCKETED by src (Hive-style bucketing via
     ``bucketBy`` + ``saveAsTable`` — plain ``.parquet(path)`` cannot
@@ -53,13 +54,18 @@ def write_edges_bucketed(
     across sessions. Verified by plan test (no Exchange in a
     bucketed-bucketed self-join).
     """
-    (
+    w = (
         graph.edges.write.mode(mode)
         .format("parquet")
         .bucketBy(buckets, "src")
         .sortBy("src")
-        .saveAsTable(table)
     )
+    if path is not None:
+        # external table at an explicit location — callers that must not
+        # write into the session's warehouse dir (whose default is
+        # cwd-relative) pass a scratch path
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def read_edges_bucketed(spark: SparkSession, table: str):

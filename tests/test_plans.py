@@ -79,6 +79,41 @@ def test_ann_lsh_joins_are_bucketed_not_all_pairs(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_bucketed_graph_feeds_superstep_join_without_edge_exchange(spark):
+    # The bucketed-at-rest posture must hold THROUGH an algorithm: the
+    # src-keyed shapes page_rank runs every superstep — the out-degree
+    # agg and the message join — read the bucketed edge table with no
+    # Exchange above the edge scan (only the small state side may
+    # shuffle, into the edge table's bucketing).
+    from pyspark.sql import functions as F
+
+    from flink_graph_spark.sources.graphs import (
+        customer_supplier_bucketed_graph,
+    )
+
+    g = customer_supplier_bucketed_graph(spark, SF_DIR)
+    outdeg = g.edges.groupBy("src").count()
+    outdeg.write.format("noop").mode("overwrite").save()
+    oplan = outdeg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in oplan, oplan
+    assert "Bucketed: true" in oplan, oplan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # a plan-trivial state side isolates the edge-side property:
+        # the ONLY exchange allowed is the state aligning to the
+        # buckets — an edge-side shuffle would make it two
+        state = spark.range(2000).select(
+            F.col("id"), F.lit(1.0).alias("rank")
+        )
+        j = g.edges.join(state, F.col("src") == F.col("id"))
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in jplan, jplan
+        assert jplan.count("Exchange hashpartitioning") == 1, jplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_ivf_assignment_is_map_side_no_corpus_window(spark, queries):
     # Nearest-centroid assignment must be a per-row fold over the
     # broadcast centroid bank — never the old corpus×nlist cross join
