@@ -20,9 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flink_graph_spark import registry  # noqa: E402
 from flink_graph_spark.plans.session import get_spark, tune_session  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+# This harness times queries: own the JVM-GC cadence (see jvm_gc) so
+# the ContextCleaner nudge never pauses a timed window.
+registry.EXTERNAL_JVM_GC = True
 
 # Headline set: one representative per operator family (SURVEY.md §2) —
 # degrees/aggs, subgraph, triplets/joins, iterative algorithms, Jaccard,
@@ -91,6 +96,10 @@ HEADLINE = [
     "vertex_metrics_cs",
     "count_min_tokens",
     "collocations_pmi",
+    # round-3 addition: the at-rest bucketed posture driven end-to-end
+    # (bucketed table write amortizes across the two passes via the
+    # builder memo; steady-state cost is the algorithm itself)
+    "pagerank_bucketed_cs",
 ]
 
 
@@ -151,6 +160,11 @@ def main() -> int:
         import gc
 
         gc.collect()
+        # JVM-side GC runs HERE (outside the timing windows), not in
+        # _query_begin: this harness owns the cadence via
+        # registry.EXTERNAL_JVM_GC, so no System.gc pause can land
+        # inside a timed query.
+        registry.jvm_gc(spark)
 
     def _timed(fn) -> float:
         t0 = time.time()

@@ -486,6 +486,14 @@ def _banded_bucket_frame(n: DataFrame, groups: int = 4) -> DataFrame:
     to hyperplane signatures. No re-hashing: one fold per (vector,
     plane) either way, only the bit→bucket grouping changes.
     """
+    if groups < 1 or (N_TABLES * N_PLANES) % groups != 0:
+        # a non-divisor (e.g. 3, 5, 7) would leave a short leftover
+        # band of as few as 2 bits whose huge cells defeat the banding
+        # cost bound — the within-cell join goes quadratic
+        raise ValueError(
+            f"groups must divide {N_TABLES * N_PLANES} (supported: "
+            f"1, 2, 4, 8, 16, 32), got {groups}"
+        )
     planes = _planes_df(n.sparkSession)
     per = (N_TABLES * N_PLANES) // groups
     d = F.expr(_fold_sum("zip_with(e, plane, (x, y) -> x * y)"))

@@ -413,6 +413,12 @@ def chunk_documents(
     input tokens / stride regardless of document skew, since a huge
     document fans out inside its own partition.
     """
+    if stride > chunk_tokens or stride < 1:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: stride={stride}, "
+            f"chunk_tokens={chunk_tokens} (stride > chunk_tokens would "
+            "skip tokens, breaking the every-token-covered guarantee)"
+        )
     overlap = chunk_tokens - stride
     toks = docs.select("doc_id", _tokens().alias("t"))
     chunks = toks.select(
@@ -443,6 +449,11 @@ def chunk_documents_sql(
     """DuckDB twin (composes after DOC_TOK_SQL); generate_series is
     inclusive and list_slice takes begin/end, both 1-based like Spark's
     sequence/slice."""
+    if stride > chunk_tokens or stride < 1:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
     overlap = chunk_tokens - stride
     return f"""SELECT doc_id,
        CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,

@@ -70,12 +70,24 @@ def _query_begin(spark: SparkSession) -> None:
     System.gc() inside every timed bench query is measurable overhead.
     """
     import gc
-    import time
 
     gc.collect()
+    if not EXTERNAL_JVM_GC:
+        jvm_gc(spark)
+
+
+def jvm_gc(spark: SparkSession, throttle_s: float = 30.0) -> None:
+    """Throttled JVM System.gc() — the ContextCleaner nudge described in
+    ``_query_begin``. Public so a harness that TIMES queries (bench.py)
+    can trigger it between queries, outside the timing windows, instead
+    of eating an unpredictable JVM pause inside one: such a harness
+    sets ``EXTERNAL_JVM_GC = True`` and calls this after each timed
+    query."""
     global _LAST_JVM_GC
+    import time
+
     now = time.monotonic()
-    if now - _LAST_JVM_GC < 30.0:
+    if now - _LAST_JVM_GC < throttle_s:
         return
     try:
         spark.sparkContext._jvm.System.gc()
@@ -85,6 +97,12 @@ def _query_begin(spark: SparkSession) -> None:
 
 
 _LAST_JVM_GC = float("-inf")
+
+# When True, the harness owns the JVM-GC cadence (calls jvm_gc itself
+# between timed queries); _query_begin then skips it so no System.gc
+# pause lands inside a timed window. Default False: gate/test runners
+# get the full scratch lifecycle without cooperating.
+EXTERNAL_JVM_GC = False
 
 
 @contextmanager
@@ -270,11 +288,11 @@ def vertex_metrics_cs(spark, sf_dir):
         F.max("od").alias("max_out_degree"),
         F.max("idg").alias("max_in_degree"),
         F.max(F.col("od") + F.col("idg")).alias("max_degree"),
-        F.sum(
-            (F.col("od") + F.col("idg"))
-            * (F.col("od") + F.col("idg") - 1)
-            / 2
-        )
+        # integer DIV, not /2-then-cast: d*(d-1) is always even, so
+        # floordiv is exact, and the sum stays in long arithmetic —
+        # a double SUM loses exactness past 2^53 total wedges, silently
+        # breaking oracle parity at real-graph scale
+        F.sum(F.expr("(od + idg) * (od + idg - 1) div 2"))
         .cast("long")
         .alias("n_wedges"),
     )
