@@ -100,6 +100,15 @@ HEADLINE = [
     # (bucketed table write amortizes across the two passes via the
     # builder memo; steady-state cost is the algorithm itself)
     "pagerank_bucketed_cs",
+    # round-3 additions: quality-filter suite, passage dedup, skip-gram
+    # pair generation, Zipf fit, bigram LM (all documents-table; the
+    # fixture-scale gsa_sssp_golden stays out — fixture queries measure
+    # scheduler floor, not data cost)
+    "quality_filters",
+    "passage_dedup",
+    "skipgram_pairs",
+    "zipf_slope",
+    "bigram_nll",
 ]
 
 

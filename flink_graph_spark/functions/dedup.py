@@ -600,3 +600,76 @@ def dedup_keep_sql(max_iter: int = 4) -> str:
 FROM documents d
 LEFT JOIN c{max_iter} c ON d.doc_id = c.id
 WHERE c.id IS NULL OR c.comp = d.doc_id"""
+
+
+# ---- exact substring (passage) dedup ---------------------------------
+#
+# Duplicated n-token passages ACROSS documents, in the spirit of
+# "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al., 2021): their suffix-array ExactSubstr pass finds verbatim spans
+# repeated anywhere in the corpus. A distributed suffix array is the
+# wrong tool on Spark; the equivalent hash-shaped plan is a rolling
+# n-token window fingerprint + one hash-groupBy:
+#
+#   1. map-side: per doc, hash every n-token window (explode bounded by
+#      doc length — only the 64-bit hash crosses the shuffle, never the
+#      passage text);
+#   2. one exchange: groupBy(window_hash), keep hashes seen in >= 2
+#      distinct docs.
+#
+# At 100 TB this is a single corpus-token-count-sized shuffle of longs
+# with map-side partial aggregation — the same shape as exact dedup,
+# not pairwise. (Window hash collisions are the standard trade: with
+# 32-bit md5-prefix hashes and ~corpus-token windows, collisions are
+# possible at extreme scale; widen to two hash columns if that bites.)
+
+PASSAGE_N = 8
+
+
+def passage_windows(docs_with_dups: DataFrame, n: int = PASSAGE_N) -> DataFrame:
+    """(doc_id, h) — one 32-bit hash per n-token window, map-side."""
+    hashes = (
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+        f"slice(split(text, ' '), i, {n}))), 1, 8), 16, 10) AS BIGINT)) "
+        "ELSE array() END"
+    )
+    return docs_with_dups.select(
+        "doc_id", F.explode(F.expr(hashes)).alias("h")
+    )
+
+
+def passage_dedup(docs_with_dups: DataFrame, n: int = PASSAGE_N) -> DataFrame:
+    """Passages (by window hash) appearing in >= 2 distinct documents:
+    (passage_hash, n_docs, n_occ, first_doc)."""
+    return (
+        passage_windows(docs_with_dups, n)
+        .groupBy(F.col("h").alias("passage_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("passage_hash"))
+    )
+
+
+def passage_dedup_sql(n: int = PASSAGE_N) -> str:
+    """DuckDB twin (composes after DD_SQL; tokenizes dd inline)."""
+    return f"""SELECT passage_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {n} THEN
+               list_transform(generate_series(1, len(t) - {n - 1}),
+                   i -> CAST(concat('0x', substr(md5(array_to_string(
+                       list_slice(t, i, i + {n - 1}), ' ')), 1, 8)) AS BIGINT))
+               ELSE [] END) AS passage_hash
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dd)
+)
+GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, passage_hash ASC"""

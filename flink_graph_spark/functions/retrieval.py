@@ -212,3 +212,95 @@ SELECT t.doc_id,
              {round_to}) AS nll
 FROM tok t JOIN counts c USING (term)
 GROUP BY 1"""
+
+
+# ---- interpolated bigram LM ------------------------------------------
+
+BIGRAM_LAMBDA = 0.75
+
+
+def bigram_nll(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-document mean NLL under a Jelinek–Mercer interpolated bigram
+    model trained on the corpus itself — the step up from
+    ``unigram_nll`` as a cheap LM-quality / domain-shift filter:
+
+        p(cur | prev) = l * c(prev,cur)/c(prev) + (1-l) * c(cur)/T
+
+    Plan shape: bigram pairs are generated map-side per row (no
+    self-join), both count tables are vocabulary-bounded aggregates
+    (auto-broadcast at any corpus scale with a bounded vocab), and the
+    per-doc agg is one exchange on doc_id. Returns
+    (doc_id, n_bigrams, nll).
+    """
+    pairs_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(element_at(split(text, ' '), i) AS prev, "
+        "element_at(split(text, ' '), i + 1) AS cur)) "
+        "ELSE array() END"
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.expr(pairs_expr)).alias("p")
+    ).select("doc_id", "p.prev", "p.cur")
+    toks = _doc_tokens(docs)
+    uni = toks.groupBy(F.col("term")).agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("__t"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    # history count = #bigrams starting with prev (NOT the unigram count:
+    # tokens with no successor would deflate the lambda term and p(.|prev)
+    # would not sum to 1)
+    hist = bi.groupBy("prev").agg(F.sum("c2").alias("ch"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    return (
+        pairs.join(bi, ["prev", "cur"])
+        .join(hist, "prev")
+        .join(
+            uni.selectExpr("term AS cur", "c1 AS c1_cur"),
+            "cur",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        lam * F.col("c2") / F.col("ch")
+                        + (F.lit(1.0) - lam) * F.col("c1_cur") / F.col("__t")
+                    )
+                ),
+                round_to,
+            ).alias("nll"),
+        )
+    )
+
+
+def bigram_nll_sql(round_to: int = 6) -> str:
+    return f"""WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+pairs AS MATERIALIZED (
+    SELECT doc_id, p.prev AS prev, p.cur AS cur FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                       i -> {{'prev': t[i], 'cur': t[i + 1]}})
+                   ELSE [] END) AS p
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+),
+uni AS MATERIALIZED (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY 1),
+bi AS MATERIALIZED (
+    SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2
+),
+hist AS MATERIALIZED (SELECT prev, SUM(c2) AS ch FROM bi GROUP BY 1)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(ln({BIGRAM_LAMBDA} * b.c2 * 1.0 / h.ch
+                     + {1.0 - BIGRAM_LAMBDA} * u2.c1
+                       / (SELECT SUM(c1) FROM uni))), {round_to}) AS nll
+FROM pairs p
+JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+JOIN hist h ON p.prev = h.prev
+JOIN uni u2 ON p.cur = u2.term
+GROUP BY 1"""

@@ -740,3 +740,195 @@ JOIN (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM
 JOIN (SELECT w AS wb, CAST(COUNT(*) AS BIGINT) AS c2 FROM
       (SELECT unnest(t) AS w FROM doc_tok) GROUP BY 1) u2 ON p.w2 = u2.wb
 ORDER BY pmi DESC, w1, w2 LIMIT {top_k}"""
+
+
+# ---- quality filter suite (Gopher/C4-style rules) --------------------
+#
+# Multi-rule document filtering in the style of Gopher (Rae et al. 2021,
+# table A1) and C4 (Raffel et al. 2020): each rule is a named boolean
+# column and `keep` is their conjunction, so downstream pipelines can
+# audit WHY a document was dropped, re-weight individual rules, or
+# aggregate violation rates per source. Every rule is a pure per-row
+# column expression — embarrassingly parallel, no shuffle, fully inside
+# whole-stage codegen; at 100 TB this is a single scan at parquet read
+# speed. Thresholds are module constants so the suite is tunable; the
+# comparisons are on integer-derived doubles computed identically in
+# Spark and DuckDB (sum-of-ints / int), so the oracle match is exact,
+# not rounding-dependent.
+
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 5000
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 10.0
+QF_MAX_WORD_LEN = 20
+QF_MIN_STOPWORDS = 2
+QF_MIN_TTR = 0.2
+QF_MAX_REP = 0.3
+QF_MIN_ALPHA_FRAC = 0.8
+
+
+def quality_filters(docs: DataFrame) -> DataFrame:
+    """Per-doc named rule flags (True = rule VIOLATED) + `keep`."""
+    n = "size(split(text, ' '))"
+    lens = "transform(split(text, ' '), x -> length(x))"
+    mean_len = f"aggregate({lens}, 0L, (a, x) -> a + x) / {n}"
+    stop_occ = f"size(filter(split(text, ' '), x -> x in ({_STOP_IN})))"
+    ttr = f"size(array_distinct(split(text, ' '))) / {n}"
+    rep = (
+        f"CASE WHEN {n} >= 3 THEN "
+        f"(size({SHINGLES_EXPR}) - size(array_distinct({SHINGLES_EXPR})))"
+        f" / CAST(size({SHINGLES_EXPR}) AS DOUBLE) ELSE 0.0 END"
+    )
+    alpha = f"size(filter(split(text, ' '), x -> x rlike '[a-z]')) / {n}"
+    flags = {
+        "f_too_short": f"{n} < {QF_MIN_TOKENS}",
+        "f_too_long": f"{n} > {QF_MAX_TOKENS}",
+        "f_mean_word_len": (
+            f"({mean_len}) < {QF_MIN_MEAN_WORD_LEN}"
+            f" OR ({mean_len}) > {QF_MAX_MEAN_WORD_LEN}"
+        ),
+        "f_long_word": (
+            f"array_max(transform(split(text, ' '), x -> length(x)))"
+            f" > {QF_MAX_WORD_LEN}"
+        ),
+        "f_low_stopword": f"{stop_occ} < {QF_MIN_STOPWORDS}",
+        "f_low_ttr": f"({ttr}) < {QF_MIN_TTR}",
+        "f_repetitive": f"({rep}) > {QF_MAX_REP}",
+        "f_nonalpha": f"({alpha}) < {QF_MIN_ALPHA_FRAC}",
+    }
+    cols = [F.expr(e).alias(name) for name, e in flags.items()]
+    keep = F.expr(" AND ".join(f"NOT ({e})" for e in flags.values()))
+    return docs.select("doc_id", *cols, keep.alias("keep"))
+
+
+def quality_filters_sql() -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL)."""
+    n = "len(t)"
+    mean_len = f"list_aggregate(list_transform(t, x -> length(x)), 'sum') / {n}"
+    stop_occ = f"len(list_filter(t, x -> x IN ({_STOP_IN})))"
+    ttr = f"len(list_distinct(t)) / {n}"
+    tri = (
+        "list_transform(generate_series(1, len(t) - 2),"
+        " i -> array_to_string(list_slice(t, i, i + 2), ' '))"
+    )
+    rep = (
+        f"CASE WHEN {n} >= 3 THEN "
+        f"(len({tri}) - len(list_distinct({tri})))"
+        f" / CAST(len({tri}) AS DOUBLE) ELSE 0.0 END"
+    )
+    alpha = f"len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / {n}"
+    flags = {
+        "f_too_short": f"{n} < {QF_MIN_TOKENS}",
+        "f_too_long": f"{n} > {QF_MAX_TOKENS}",
+        "f_mean_word_len": (
+            f"({mean_len}) < {QF_MIN_MEAN_WORD_LEN}"
+            f" OR ({mean_len}) > {QF_MAX_MEAN_WORD_LEN}"
+        ),
+        "f_long_word": (
+            f"list_max(list_transform(t, x -> length(x))) > {QF_MAX_WORD_LEN}"
+        ),
+        "f_low_stopword": f"{stop_occ} < {QF_MIN_STOPWORDS}",
+        "f_low_ttr": f"({ttr}) < {QF_MIN_TTR}",
+        "f_repetitive": f"({rep}) > {QF_MAX_REP}",
+        "f_nonalpha": f"({alpha}) < {QF_MIN_ALPHA_FRAC}",
+    }
+    cols = ",\n       ".join(f"{e} AS {name}" for name, e in flags.items())
+    keep = " AND ".join(f"NOT ({e})" for e in flags.values())
+    return f"SELECT doc_id,\n       {cols},\n       {keep} AS keep\nFROM doc_tok"
+
+
+# ---- skip-gram training pairs ----------------------------------------
+#
+# word2vec-style (center, context) pair extraction — the map stage of a
+# skip-gram training-data pipeline. Forward-directed pairs within a
+# ±SKIPGRAM_WINDOW token window, generated entirely map-side as a
+# per-row nested-list expression (no self-join, no shuffle until the
+# final vocabulary-bounded count). At 100 TB the explode output is
+# ~window × corpus tokens, all map-local; the only exchange is the
+# groupBy on a vocabulary² -bounded key space.
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_TOP_K = 100
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = SKIPGRAM_WINDOW, top_k: int = SKIPGRAM_TOP_K
+) -> DataFrame:
+    pairs = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "flatten(transform(sequence(1, size(split(text, ' ')) - 1), "
+        f"i -> transform(sequence(i + 1, least(i + {window}, "
+        "size(split(text, ' ')))), "
+        "j -> struct(element_at(split(text, ' '), i) AS w1, "
+        "element_at(split(text, ' '), j) AS w2)))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def skipgram_sql(
+    window: int = SKIPGRAM_WINDOW, top_k: int = SKIPGRAM_TOP_K
+) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL)."""
+    return f"""SELECT sub.p.w1 AS w1, sub.p.w2 AS w2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+    SELECT unnest(flatten(list_transform(
+        generate_series(1, len(t) - 1),
+        i -> list_transform(
+            generate_series(i + 1, least(i + {window}, len(t))),
+            j -> {{'w1': t[i], 'w2': t[j]}})))) AS p
+    FROM doc_tok WHERE len(t) >= 2
+) sub GROUP BY 1, 2
+ORDER BY n_pairs DESC, w1, w2 LIMIT {top_k}"""
+
+
+# ---- Zipf fit --------------------------------------------------------
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """Corpus token-frequency power-law probe: OLS slope of ln(freq)
+    vs ln(rank) over the ranked vocabulary (Zipf's law predicts ≈ −1
+    for natural text; strong deviation flags synthetic/degenerate
+    corpora). The vocabulary agg is the only shuffle; the regression
+    is one tiny aggregate over |vocab| rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("term"))
+        ),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.expr("regr_slope(ln(c), ln(r))"), 6
+        ).alias("zipf_slope"),
+    )
+
+
+ZIPF_SLOPE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(regr_slope(ln(c), ln(r)), 6) AS zipf_slope
+FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+    FROM (
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS term FROM doc_tok)
+        GROUP BY 1
+    )
+)"""

@@ -35,6 +35,29 @@ def shortest_paths(graph: Graph, source_id, max_iter: int = 10) -> DataFrame:
     return res.vertices
 
 
+def shortest_paths_gsa(graph: Graph, source_id, max_iter: int = 10) -> DataFrame:
+    """Same SSSP expressed on the gather–sum–apply surface (Gelly's
+    `GSASingleSourceShortestPaths`): gather = src dist + edge weight,
+    sum = min, apply = min(old, summed). Bit-identical results to
+    ``shortest_paths`` — the two operators share one physical loop —
+    so the same unrolled Bellman-Ford oracle verifies both.
+    """
+    from ..operators.gsa import gather_sum_apply
+
+    res = gather_sum_apply(
+        graph,
+        initial=F.when(F.col("id") == F.lit(source_id), F.lit(0).cast("long")),
+        gather=F.col("src_dist") + F.col("value"),
+        gather_reads=("src",),
+        sum_agg=F.min("__msg").alias("__agg"),
+        apply=F.least(F.col("dist"), F.col("__agg")),
+        max_iter=max_iter,
+        state_col="dist",
+        delta=True,
+    )
+    return res.vertices
+
+
 def oracle_ctes(
     edges_cte: str, vertices_cte: str, source_id, max_iter: int = 10
 ) -> tuple[str, str]:

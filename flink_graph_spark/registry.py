@@ -2045,6 +2045,67 @@ def streaming_degrees(spark, sf_dir):
     )
 
 
+
+
+# ---- round-3 additions: quality filters, passage dedup, skip-gram,
+# Zipf, bigram LM, GSA parity ------------------------------------------
+
+@_register(
+    "quality_filters",
+    _with(text_mod.DOC_TOK_SQL, text_mod.quality_filters_sql()),
+)
+def quality_filters(spark, sf_dir):
+    """Gopher/C4-style multi-rule filter: named per-rule violation
+    flags + keep decision, all map-side column expressions."""
+    return text_mod.quality_filters(_docs(spark, sf_dir))
+
+
+@_register(
+    "passage_dedup",
+    _with(dedup_mod.DD_SQL, dedup_mod.passage_dedup_sql()),
+)
+def passage_dedup(spark, sf_dir):
+    """Exact duplicated n-token passages across docs (Lee et al. 2021
+    ExactSubstr, re-expressed as rolling-hash + one hash-groupBy)."""
+    return dedup_mod.passage_dedup(
+        dedup_mod.with_synthetic_dups(_docs(spark, sf_dir))
+    )
+
+
+@_register(
+    "skipgram_pairs", _with(text_mod.DOC_TOK_SQL, text_mod.skipgram_sql())
+)
+def skipgram_pairs(spark, sf_dir):
+    """word2vec skip-gram (center, context) training-pair counts —
+    map-side nested-list generation, vocabulary-bounded agg."""
+    return text_mod.skipgram_pairs(_docs(spark, sf_dir))
+
+
+@_register("zipf_slope", _with(text_mod.DOC_TOK_SQL, text_mod.ZIPF_SLOPE_SQL))
+def zipf_slope(spark, sf_dir):
+    """Zipf power-law fit over the ranked vocabulary (corpus probe)."""
+    return text_mod.zipf_slope(_docs(spark, sf_dir))
+
+
+@_register("bigram_nll", ret_mod.bigram_nll_sql())
+def bigram_nll(spark, sf_dir):
+    """Per-doc NLL under a Jelinek-Mercer interpolated bigram LM."""
+    return ret_mod.bigram_nll(_docs(spark, sf_dir))
+
+
+@_register(
+    "gsa_sssp_golden",
+    _golden_algo_sql(
+        sssp_mod.oracle_ctes("golden_edges", "golden_vertices", 1, 5)
+    ),
+)
+def gsa_sssp_golden(spark, sf_dir):
+    """SSSP on the gather-sum-apply surface (Gelly GSA parity) — same
+    unrolled Bellman-Ford oracle as the vertex-centric sssp_golden."""
+    tune_session(spark)
+    return sssp_mod.shortest_paths_gsa(golden_graph(spark), 1, max_iter=5)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2060,6 +2121,12 @@ def streaming_degrees(spark, sf_dir):
 # additions): highest priority.
 _NEVER_SIGNED = [
     "pagerank_bucketed_cs",
+    "quality_filters",
+    "passage_dedup",
+    "skipgram_pairs",
+    "zipf_slope",
+    "bigram_nll",
+    "gsa_sssp_golden",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

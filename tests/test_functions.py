@@ -700,3 +700,86 @@ def test_dedup_keep_set_drops_only_nonrepresentatives(spark):
             assert reason == "representative" and clusters[d] == d
         else:
             assert reason == "unique"
+
+
+# --- round-3 additions -------------------------------------------------
+
+def test_quality_filters_flags(spark):
+    docs2 = spark.createDataFrame(
+        [
+            # 25 tokens, stopwords present, varied -> keep
+            (1, "the quick brown fox jumps over a lazy dog and then the "
+                "other animals watch it run far away into the green quiet "
+                "woods today"),
+            # too short (5 tokens) + no stopword pair
+            (2, "tiny doc of a thing"),
+            # repetitive: one trigram over and over -> f_repetitive + low ttr
+            (3, " ".join(["a b c"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           text_mod.quality_filters(docs2).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["f_too_short"] is True and got[2]["keep"] is False
+    assert got[3]["f_repetitive"] is True and got[3]["f_low_ttr"] is True
+
+
+def test_passage_dedup_finds_shared_span(spark):
+    shared = "one two three four five six seven eight"
+    docs2 = spark.createDataFrame(
+        [
+            (1, shared + " tail x y"),
+            (2, "head z " + shared),
+            (3, "completely unrelated words with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_mod.passage_dedup(docs2).collect()
+    # exactly the 8-token window 'one two three four five six seven eight'
+    # is shared (docs 1+2); every other window is unique to its doc.
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["n_occ"] == 2
+    assert out[0]["first_doc"] == 1
+
+
+def test_skipgram_pairs_window(spark):
+    docs2 = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r["n_pairs"]
+           for r in text_mod.skipgram_pairs(docs2).collect()}
+    # window 3 over 4 tokens: ab ac ad bc bd cd
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 1,
+                   ("b", "c"): 1, ("b", "d"): 1, ("c", "d"): 1}
+
+
+def test_zipf_slope_exact_two_types(spark):
+    import math
+    # freq 4 rank 1, freq 2 rank 2: slope = (ln4-ln2)/(ln1-ln2) = -1
+    docs2 = spark.createDataFrame(
+        [(1, "x x x x y y")], "doc_id long, text string"
+    )
+    row = text_mod.zipf_slope(docs2).collect()[0]
+    assert row["n_types"] == 2
+    assert abs(row["zipf_slope"] - (-1.0)) < 1e-6
+
+
+def test_bigram_nll_uniform_chain(spark):
+    import math
+    from flink_graph_spark.functions import retrieval as ret_mod
+    # corpus 'a b a b a': bigrams ab ba ab ba; p(b|a)=1 via bigram term,
+    # unigram backoff p(b)=2/5, p(a)=3/5
+    docs2 = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    row = ret_mod.bigram_nll(docs2).collect()[0]
+    lam = 0.75
+    p_ab = lam * 1.0 + (1 - lam) * (2 / 5)   # c2(a,b)/c1(a)=2/2
+    p_ba = lam * 1.0 + (1 - lam) * (3 / 5)   # c2(b,a)/c1(b)=2/2
+    want = -(2 * math.log(p_ab) + 2 * math.log(p_ba)) / 4
+    assert row["n_bigrams"] == 4
+    assert abs(row["nll"] - want) < 1e-6
+
+
+def test_gsa_sssp_matches_vertex_centric(golden):
+    from flink_graph_spark.library import sssp as sssp_mod
+    a = rows_as_dict(sssp_mod.shortest_paths(golden, 1, 5), "id", "dist")
+    b = rows_as_dict(sssp_mod.shortest_paths_gsa(golden, 1, 5), "id", "dist")
+    assert a == b

@@ -183,3 +183,31 @@ def test_funnel_stage_filters_push_to_scan(spark, queries):
     plan = _final_plan(spark, queries["event_funnel"](spark, SF_DIR))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("event_type" in p for p in pushed)
+
+
+def test_quality_filters_is_pure_map_no_exchange(spark, queries):
+    # The whole rule suite must be a single map-side projection over the
+    # scan: any Exchange would mean a rule accidentally aggregates.
+    plan = _final_plan(spark, queries["quality_filters"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_passage_dedup_single_shuffle_hashes_only(spark, queries):
+    # One explode (windows) + hash aggregate; the shuffle must carry the
+    # 64-bit window hash, never the passage text (no concat_ws above the
+    # exchange), and there is no pairwise join anywhere.
+    plan = _final_plan(spark, queries["passage_dedup"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # partial agg below the exchange -> map-side combine on the hash
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_skipgram_pairs_no_self_join(spark, queries):
+    # Pair generation is a per-row nested-list expression: the only
+    # acceptable plan is explode + agg; a token-table self-join would
+    # be quadratic in doc length at corpus scale.
+    plan = _final_plan(spark, queries["skipgram_pairs"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
