@@ -109,6 +109,11 @@ HEADLINE = [
     "skipgram_pairs",
     "zipf_slope",
     "bigram_nll",
+    "mixture_weights",
+    "token_budget_select",
+    "corpus_report",
+    "embedding_outliers",
+    "edge_support_uu",
 ]
 
 

@@ -672,3 +672,78 @@ SELECT query_id, label AS pred_label, votes FROM (
   FROM knn_topk t JOIN embeddings e ON t.vec_id = e.vec_id
   GROUP BY 1, 2
 ) WHERE rn = 1"""
+
+
+# ---- embedding outlier detection -------------------------------------
+#
+# Per-label centroid distance — the standard embedding-space filter for
+# mislabeled / out-of-distribution examples in a training set: compute
+# each label's centroid, score every vector by cosine to its own
+# centroid, flag the bottom-k per label. Plan shape for 100 TB:
+# the centroid is a (label, dim)-keyed avg (labels x dims rows — tiny),
+# scoring re-joins it to the exploded vectors on (label, dim) so no
+# vector array ever crosses a shuffle whole, and the final bottom-k is
+# a per-label window over scored ids only.
+
+OUTLIER_K = 5
+
+
+def embedding_outliers(
+    emb: DataFrame, k: int = OUTLIER_K, round_to: int = 6
+) -> DataFrame:
+    """(label, vec_id, cos_centroid): k lowest-cosine vectors per label."""
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    scored = (
+        dims.join(cent, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("n1"),
+            F.sum(F.col("cval") * F.col("cval")).alias("n2"),
+        )
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), round_to
+            ).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("label", "vec_id", "cos_centroid")
+    )
+
+
+def embedding_outliers_sql(k: int = OUTLIER_K, round_to: int = 6) -> str:
+    return f"""WITH dims AS MATERIALIZED (
+    SELECT vec_id, label, g.i AS pos, embedding[g.i] AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+),
+cent AS MATERIALIZED (
+    SELECT label, pos, AVG(val) AS cval FROM dims GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.label, d.vec_id,
+           ROUND(SUM(d.val * c.cval)
+                 / (SQRT(SUM(d.val * d.val)) * SQRT(SUM(c.cval * c.cval))),
+                 {round_to}) AS cos_centroid
+    FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+    GROUP BY 1, 2
+)
+SELECT label, vec_id, cos_centroid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {k}"""

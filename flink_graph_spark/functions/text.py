@@ -767,8 +767,8 @@ QF_MAX_REP = 0.3
 QF_MIN_ALPHA_FRAC = 0.8
 
 
-def quality_filters(docs: DataFrame) -> DataFrame:
-    """Per-doc named rule flags (True = rule VIOLATED) + `keep`."""
+def _qf_spark_flags() -> dict[str, str]:
+    """Named rule → Spark SQL boolean expression (True = VIOLATED)."""
     n = "size(split(text, ' '))"
     lens = "transform(split(text, ' '), x -> length(x))"
     mean_len = f"aggregate({lens}, 0L, (a, x) -> a + x) / {n}"
@@ -780,7 +780,7 @@ def quality_filters(docs: DataFrame) -> DataFrame:
         f" / CAST(size({SHINGLES_EXPR}) AS DOUBLE) ELSE 0.0 END"
     )
     alpha = f"size(filter(split(text, ' '), x -> x rlike '[a-z]')) / {n}"
-    flags = {
+    return {
         "f_too_short": f"{n} < {QF_MIN_TOKENS}",
         "f_too_long": f"{n} > {QF_MAX_TOKENS}",
         "f_mean_word_len": (
@@ -796,13 +796,25 @@ def quality_filters(docs: DataFrame) -> DataFrame:
         "f_repetitive": f"({rep}) > {QF_MAX_REP}",
         "f_nonalpha": f"({alpha}) < {QF_MIN_ALPHA_FRAC}",
     }
+
+
+def qf_keep_expr_spark() -> str:
+    """`keep` conjunction as one Spark SQL expression (shared by
+    ``quality_filters`` and ``corpus_report``)."""
+    return " AND ".join(f"NOT ({e})" for e in _qf_spark_flags().values())
+
+
+def quality_filters(docs: DataFrame) -> DataFrame:
+    """Per-doc named rule flags (True = rule VIOLATED) + `keep`."""
+    flags = _qf_spark_flags()
     cols = [F.expr(e).alias(name) for name, e in flags.items()]
-    keep = F.expr(" AND ".join(f"NOT ({e})" for e in flags.values()))
-    return docs.select("doc_id", *cols, keep.alias("keep"))
+    return docs.select(
+        "doc_id", *cols, F.expr(qf_keep_expr_spark()).alias("keep")
+    )
 
 
-def quality_filters_sql() -> str:
-    """DuckDB twin (composes after DOC_TOK_SQL)."""
+def _qf_sql_flags() -> dict[str, str]:
+    """Named rule → DuckDB boolean expression over doc_tok's `t`."""
     n = "len(t)"
     mean_len = f"list_aggregate(list_transform(t, x -> length(x)), 'sum') / {n}"
     stop_occ = f"len(list_filter(t, x -> x IN ({_STOP_IN})))"
@@ -817,7 +829,7 @@ def quality_filters_sql() -> str:
         f" / CAST(len({tri}) AS DOUBLE) ELSE 0.0 END"
     )
     alpha = f"len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / {n}"
-    flags = {
+    return {
         "f_too_short": f"{n} < {QF_MIN_TOKENS}",
         "f_too_long": f"{n} > {QF_MAX_TOKENS}",
         "f_mean_word_len": (
@@ -832,9 +844,20 @@ def quality_filters_sql() -> str:
         "f_repetitive": f"({rep}) > {QF_MAX_REP}",
         "f_nonalpha": f"({alpha}) < {QF_MIN_ALPHA_FRAC}",
     }
+
+
+def qf_keep_expr_sql() -> str:
+    return " AND ".join(f"NOT ({e})" for e in _qf_sql_flags().values())
+
+
+def quality_filters_sql() -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL)."""
+    flags = _qf_sql_flags()
     cols = ",\n       ".join(f"{e} AS {name}" for name, e in flags.items())
-    keep = " AND ".join(f"NOT ({e})" for e in flags.values())
-    return f"SELECT doc_id,\n       {cols},\n       {keep} AS keep\nFROM doc_tok"
+    return (
+        f"SELECT doc_id,\n       {cols},\n"
+        f"       {qf_keep_expr_sql()} AS keep\nFROM doc_tok"
+    )
 
 
 # ---- skip-gram training pairs ----------------------------------------
@@ -932,3 +955,212 @@ FROM (
         GROUP BY 1
     )
 )"""
+
+
+# ---- domain mixture weights ------------------------------------------
+#
+# Pretraining data-mixing: per-source token inventory + the sampling
+# rate that moves the corpus toward a uniform target mixture (the
+# degenerate-but-canonical target; swap the target vector for tuned
+# weights in production). rate = min(1, target_share / natural_share).
+# One groupBy on source (bounded key space) + a 1-row scalar aggregate
+# broadcast back — no data-sized collect, no second scan.
+
+
+def mixture_weights(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__t"), F.count("*").alias("__s")
+    )
+    share = F.col("n_tokens") / F.col("__t")
+    target = F.lit(1.0) / F.col("__s")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, round_to).alias("natural_share"),
+            F.round(target, round_to).alias("target_share"),
+            F.round(
+                F.least(F.lit(1.0), target / share), round_to
+            ).alias("sample_rate"),
+        )
+    )
+
+
+def mixture_weights_sql(round_to: int = 6) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL)."""
+    return f"""SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / __t, {round_to}) AS natural_share,
+       ROUND(1.0 / __s, {round_to}) AS target_share,
+       ROUND(LEAST(1.0, (1.0 / __s) / (n_tokens / __t)), {round_to})
+           AS sample_rate
+FROM (
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+    FROM doc_tok dt JOIN documents d USING (doc_id)
+    GROUP BY 1
+) per
+CROSS JOIN (
+    SELECT SUM(len(t))::DOUBLE AS __t,
+           COUNT(DISTINCT source) AS __s
+    FROM doc_tok dt2 JOIN documents d2 USING (doc_id)
+) tot"""
+
+
+# ---- token-budget selection ------------------------------------------
+#
+# "Best docs until the token budget runs out": rank by quality, keep
+# the prefix whose cumulative token count fits TOKEN_BUDGET. The naive
+# plan (global sort + running sum) funnels the corpus through one
+# partition; the scale shape used here aggregates per quality LEVEL
+# first (quality is rounded to 1e-6, so the level table is bounded at
+# ~1e6 rows regardless of corpus size), runs the cumulative window on
+# that small frame, and joins the two resulting scalars back:
+# whole levels above the boundary are kept outright map-side, and only
+# the single boundary level pays a per-doc running sum (window over
+# that one level's docs).
+
+TOKEN_BUDGET = 10_000
+
+
+def token_budget_select(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, round_to: int = 6
+) -> DataFrame:
+    """(doc_id, quality, n_tokens) of the selected docs."""
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(0.7)
+            * (F.size(F.array_distinct(_tokens())) / F.size(_tokens()))
+            + F.lit(0.3)
+            * (
+                F.lit(1.0)
+                - F.expr(
+                    f"size(filter(split(text, ' '), x -> x in ({_STOP_IN})))"
+                )
+                / F.size(_tokens())
+            ),
+            round_to,
+        ).alias("quality"),
+    )
+    levels = scored.groupBy("quality").agg(
+        F.sum("n_tokens").alias("lvl_tokens")
+    )
+    w = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lv = levels.select(
+        "quality",
+        (F.sum("lvl_tokens").over(w) - F.col("lvl_tokens")).alias("prev_cum"),
+        F.sum("lvl_tokens").over(w).alias("cum"),
+    )
+    full = lv.filter(F.col("cum") <= budget).select("quality")
+    boundary = lv.filter(
+        (F.col("cum") > budget) & (F.col("prev_cum") < budget)
+    ).select("quality", "prev_cum")
+    kept_full = scored.join(F.broadcast(full), "quality", "left_semi")
+    wb = Window.partitionBy("quality").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), "quality")
+        .withColumn("run", F.sum("n_tokens").over(wb))
+        .filter(F.col("prev_cum") + F.col("run") <= budget)
+        .select("doc_id", "n_tokens", "quality")
+    )
+    return kept_full.select("doc_id", "n_tokens", "quality").unionByName(
+        kept_boundary
+    )
+
+
+def token_budget_sql(
+    budget: int = TOKEN_BUDGET, round_to: int = 6
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — DuckDB twin, composes after
+    DOC_TOK_SQL."""
+    ctes = f"""scored AS MATERIALIZED (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           ROUND(0.7 * (len(list_distinct(t)) / len(t))
+                 + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({_STOP_IN})))
+                                / len(t)), {round_to}) AS quality
+    FROM doc_tok
+),
+lv AS MATERIALIZED (
+    SELECT quality,
+           SUM(lvl_tokens) OVER (ORDER BY quality DESC) - lvl_tokens
+               AS prev_cum,
+           SUM(lvl_tokens) OVER (ORDER BY quality DESC) AS cum
+    FROM (SELECT quality, SUM(n_tokens) AS lvl_tokens
+          FROM scored GROUP BY 1)
+)"""
+    final = f"""SELECT s.doc_id, s.n_tokens, s.quality
+FROM scored s JOIN lv ON s.quality = lv.quality
+WHERE lv.cum <= {budget}
+UNION ALL
+SELECT doc_id, n_tokens, quality FROM (
+    SELECT s.doc_id, s.n_tokens, s.quality,
+           lv.prev_cum
+               + SUM(s.n_tokens) OVER (
+                   PARTITION BY s.quality ORDER BY s.doc_id) AS run_tot
+    FROM scored s JOIN lv ON s.quality = lv.quality
+    WHERE lv.cum > {budget} AND lv.prev_cum < {budget}
+)
+WHERE run_tot <= {budget}"""
+    return ctes, final
+
+
+# ---- corpus report ---------------------------------------------------
+#
+# The "dataset card" rollup: per (source, lang) — docs, tokens, mean
+# quality, quality-filter keep rate. All signals are computed in ONE
+# map-side projection (no per-signal joins), then a single bounded
+# groupBy. This is the shape of a 100 TB corpus health dashboard: one
+# scan, one small exchange.
+
+
+def corpus_report(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    n_tok = F.size(_tokens())
+    quality = F.lit(0.7) * (
+        F.size(F.array_distinct(_tokens())) / n_tok
+    ) + F.lit(0.3) * (
+        F.lit(1.0)
+        - F.expr(f"size(filter(split(text, ' '), x -> x in ({_STOP_IN})))")
+        / n_tok
+    )
+    keep = F.expr(qf_keep_expr_spark())
+    per_doc = docs.select(
+        "source",
+        "lang",
+        n_tok.alias("n_tok"),
+        quality.alias("q"),
+        keep.cast("int").alias("k"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), round_to).alias("mean_quality"),
+        F.round(F.avg("k"), round_to).alias("keep_rate"),
+    )
+
+
+def corpus_report_sql(round_to: int = 6) -> str:
+    """DuckDB twin (composes after DOC_TOK_SQL; joins back to documents
+    for source/lang)."""
+    return f"""SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+       ROUND(AVG(0.7 * (len(list_distinct(t)) / len(t))
+                 + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({_STOP_IN})))
+                                / len(t))), {round_to}) AS mean_quality,
+       ROUND(AVG(CAST({qf_keep_expr_sql()} AS INT)), {round_to})
+           AS keep_rate
+FROM doc_tok dt JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""

@@ -158,3 +158,57 @@ LEFT JOIN (
     JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
   ) GROUP BY 1
 ) t USING (id)"""
+
+
+def edge_support(graph: Graph) -> DataFrame:
+    """Per-edge triangle support (the k-truss building block):
+    (src, dst, support) for every canonical (src<dst) edge, support =
+    number of triangles containing it. Reuses the O(m^1.5) oriented
+    wedge enumeration; each triangle contributes its three canonical
+    edges via a 3-element map-side explode, then one hash agg + a left
+    join back to the edge list (edges in no triangle report 0).
+    """
+    e = graph.edges.select("src", "dst")
+    tri = _closed_wedges(e)
+    mm = lambda x, y: F.struct(  # noqa: E731 — canonical (min,max) pair
+        F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                mm(F.col("a"), F.col("b")),
+                mm(F.col("a"), F.col("c")),
+                mm(F.col("b"), F.col("c")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    sup = tri_edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return e.join(sup, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def edge_support_sql(edges_cte: str) -> str:
+    """DuckDB twin over a canonical (src<dst) edges CTE."""
+    return f"""SELECT e.src, e.dst,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM {edges_cte} e
+LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS support FROM (
+        SELECT ab.src AS src, ab.dst AS dst FROM {edges_cte} ab
+        JOIN {edges_cte} bc ON ab.dst = bc.src
+        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        UNION ALL
+        SELECT ab.src, bc.dst FROM {edges_cte} ab
+        JOIN {edges_cte} bc ON ab.dst = bc.src
+        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        UNION ALL
+        SELECT ab.dst, bc.dst FROM {edges_cte} ab
+        JOIN {edges_cte} bc ON ab.dst = bc.src
+        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ) GROUP BY 1, 2
+) s ON e.src = s.src AND e.dst = s.dst"""

@@ -2106,6 +2106,56 @@ def gsa_sssp_golden(spark, sf_dir):
     return sssp_mod.shortest_paths_gsa(golden_graph(spark), 1, max_iter=5)
 
 
+
+
+@_register(
+    "mixture_weights",
+    _with(text_mod.DOC_TOK_SQL, text_mod.mixture_weights_sql()),
+)
+def mixture_weights(spark, sf_dir):
+    """Per-source token inventory + sampling rate toward a uniform
+    target mixture (pretraining data-mixing)."""
+    return text_mod.mixture_weights(_docs(spark, sf_dir))
+
+
+@_register(
+    "token_budget_select",
+    _with(text_mod.DOC_TOK_SQL, *text_mod.token_budget_sql()),
+)
+def token_budget_select(spark, sf_dir):
+    """Quality-ranked doc selection under a global token budget via the
+    bounded quality-level CDF (no global per-doc running sum)."""
+    return text_mod.token_budget_select(_docs(spark, sf_dir))
+
+
+@_register(
+    "corpus_report",
+    _with(text_mod.DOC_TOK_SQL, text_mod.corpus_report_sql()),
+)
+def corpus_report(spark, sf_dir):
+    """Dataset-card rollup per (source, lang): docs, tokens, mean
+    quality, quality-filter keep rate — one scan, one bounded agg."""
+    return text_mod.corpus_report(_docs(spark, sf_dir))
+
+
+@_register("embedding_outliers", sim_mod.embedding_outliers_sql())
+def embedding_outliers(spark, sf_dir):
+    """Bottom-k per-label centroid-cosine outliers (mislabel / OOD
+    screen over the embedding table)."""
+    return sim_mod.embedding_outliers(_emb(spark, sf_dir))
+
+
+@_register(
+    "edge_support_uu",
+    _with(UU_EDGES_SQL, tri_mod.edge_support_sql("uu_edges")),
+)
+def edge_support_uu(spark, sf_dir):
+    """Per-edge triangle support (k-truss building block) on the user
+    co-occurrence graph."""
+    tune_session(spark)
+    return tri_mod.edge_support(user_cooccurrence_graph(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2127,6 +2177,11 @@ _NEVER_SIGNED = [
     "zipf_slope",
     "bigram_nll",
     "gsa_sssp_golden",
+    "mixture_weights",
+    "token_budget_select",
+    "corpus_report",
+    "embedding_outliers",
+    "edge_support_uu",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -783,3 +783,78 @@ def test_gsa_sssp_matches_vertex_centric(golden):
     a = rows_as_dict(sssp_mod.shortest_paths(golden, 1, 5), "id", "dist")
     b = rows_as_dict(sssp_mod.shortest_paths_gsa(golden, 1, 5), "id", "dist")
     assert a == b
+
+
+def test_mixture_weights_two_sources(spark):
+    docs2 = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "s1"),   # 6 tokens
+            (2, "a b", "en", "s2"),            # 2 tokens
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r.asDict()
+           for r in text_mod.mixture_weights(docs2).collect()}
+    assert got["s1"]["n_tokens"] == 6 and got["s2"]["n_tokens"] == 2
+    assert abs(got["s1"]["natural_share"] - 0.75) < 1e-6
+    # target 0.5: oversampled source capped at 1.0, undersampled scaled up
+    assert abs(got["s1"]["sample_rate"] - 0.5 / 0.75) < 1e-6
+    assert got["s2"]["sample_rate"] == 1.0
+
+
+def test_token_budget_select_boundary(spark):
+    # 3 quality levels; budget splits the middle level.
+    # quality = 0.7*ttr + 0.3*(1 - stop_ratio); craft distinct ttrs.
+    docs2 = spark.createDataFrame(
+        [
+            (1, "u v w x y z"),        # ttr 1.0 -> q = 1.0 (6 tokens)
+            (2, "m n o p q q"),        # ttr 5/6 (6 tokens)
+            (3, "g h i j k k"),        # ttr 5/6 (6 tokens)
+            (4, "c c c c c c"),        # ttr 1/6 (6 tokens)
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in
+                 text_mod.token_budget_select(docs2, budget=14).collect())
+    # level 1.0 (6 tok) fits; boundary level 5/6: doc 2 fits (12<=14),
+    # doc 3 would reach 18 > 14; level 1/6 never reached.
+    assert got == [1, 2]
+
+
+def test_corpus_report_rolls_up(spark):
+    docs2 = spark.createDataFrame(
+        [
+            (1, "the a of and is x y z w v u t s r q p o n m l", "en", "s1"),
+            (2, "b b b", "en", "s1"),
+            (3, "c d e", "fr", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {(r["source"], r["lang"]): r.asDict()
+           for r in text_mod.corpus_report(docs2).collect()}
+    assert got[("s1", "en")]["n_docs"] == 2
+    assert got[("s1", "en")]["n_tokens"] == 23
+    assert got[("s2", "fr")]["n_docs"] == 1
+
+
+def test_embedding_outliers_flags_flipped_vector(spark):
+    import pyspark.sql.functions as FF
+    rows = [(i, [1.0, 0.1 * i], 0) for i in range(1, 5)]
+    rows.append((99, [-1.0, -0.05], 0))   # anti-aligned outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sim_mod.embedding_outliers(emb, k=1).collect()
+    assert len(got) == 1 and got[0]["vec_id"] == 99
+
+
+def test_edge_support_triangle_plus_tail(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library import triangles as tri_mod
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in tri_mod.edge_support(Graph(v, e)).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
