@@ -628,16 +628,18 @@ PASSAGE_N = 8
 
 def passage_windows(docs_with_dups: DataFrame, n: int = PASSAGE_N) -> DataFrame:
     """(doc_id, h) — one 32-bit hash per n-token window, map-side."""
+    # token array bound in a lower projection: split() inside the
+    # window lambda would re-tokenize per window (O(len^2) per doc)
     hashes = (
-        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}), "
         f"i -> CAST(conv(substring(md5(concat_ws(' ', "
-        f"slice(split(text, ' '), i, {n}))), 1, 8), 16, 10) AS BIGINT)) "
+        f"slice(t, i, {n}))), 1, 8), 16, 10) AS BIGINT)) "
         "ELSE array() END"
     )
     return docs_with_dups.select(
-        "doc_id", F.explode(F.expr(hashes)).alias("h")
-    )
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", F.explode(F.expr(hashes)).alias("h"))
 
 
 def passage_dedup(docs_with_dups: DataFrame, n: int = PASSAGE_N) -> DataFrame:

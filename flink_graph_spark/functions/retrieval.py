@@ -232,16 +232,20 @@ def bigram_nll(docs: DataFrame, round_to: int = 6) -> DataFrame:
     per-doc agg is one exchange on doc_id. Returns
     (doc_id, n_bigrams, nll).
     """
+    # bind the token array below the lambda (split() in the lambda
+    # body re-tokenizes per bigram position — O(len^2) per doc)
     pairs_expr = (
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> struct(element_at(split(text, ' '), i) AS prev, "
-        "element_at(split(text, ' '), i + 1) AS cur)) "
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS prev, "
+        "element_at(t, i + 1) AS cur)) "
         "ELSE array() END"
     )
-    pairs = docs.select(
-        "doc_id", F.explode(F.expr(pairs_expr)).alias("p")
-    ).select("doc_id", "p.prev", "p.cur")
+    pairs = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("doc_id", "p.prev", "p.cur")
+    )
     toks = _doc_tokens(docs)
     uni = toks.groupBy(F.col("term")).agg(F.count("*").alias("c1"))
     total = uni.agg(F.sum("c1").alias("__t"))

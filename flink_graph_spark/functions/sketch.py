@@ -217,3 +217,107 @@ WHERE s.j = u.j
   AND s.col = {h32_sql("concat(CAST(u.j AS VARCHAR), ':', t.key)")} % {width}
 GROUP BY 1, 2"""
     return ctes, final
+
+
+# ---- mergeable histogram quantile sketch -----------------------------
+#
+# Fixed-width-bin histogram quantiles — the mergeable alternative to an
+# exact global sort when "p50/p90/p99 of doc length over 100 TB" only
+# needs bin-width resolution. Per partition the input reduces to
+# (bin, count) pairs (map-side combine), the merged histogram is
+# O(range/width) rows regardless of input size, and histograms from
+# different days/shards merge by adding counts. The quantile read-out
+# interpolates linearly inside the target bin; every step is integer or
+# plain double arithmetic, so DuckDB replays it exactly (same contract
+# as the HLL sketch above). Spark's approx_percentile is the production
+# shortcut; this exposes the math for cross-engine verification.
+
+HIST_BIN_W = 10  # token-count bin width
+
+
+def histogram_quantiles(
+    docs: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_w: int = HIST_BIN_W,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row per requested quantile: (q, n, est) where est is the
+    interpolated token-count quantile from the binned histogram."""
+    from pyspark.sql import Window
+
+    binned = (
+        docs.select(
+            F.expr(f"size(split(text, ' ')) div {bin_w}").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [(q,) for q in quantiles], "q double"
+    )
+    # target rank q*n; first bin whose cumulative count reaches it
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum", "n"), F.col("bin")
+            ).alias("s")
+        )
+        .select("q", "s.bin", "s.cnt", "s.cum", "s.n")
+    )
+    frac = (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col(
+        "cnt"
+    )
+    return hit.select(
+        "q",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("bin") * F.lit(float(bin_w)) + frac * F.lit(float(bin_w)),
+            round_to,
+        ).alias("est"),
+    )
+
+
+def histogram_quantiles_sql(
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_w: int = HIST_BIN_W,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — composes after DOC_TOK_SQL."""
+    qvals = ", ".join(f"({q})" for q in quantiles)
+    ctes = f"""hq_cum AS MATERIALIZED (
+    SELECT bin, cnt,
+           SUM(cnt) OVER (ORDER BY bin) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM (
+        SELECT len(t) // {bin_w} AS bin, COUNT(*) AS cnt
+        FROM doc_tok GROUP BY 1
+    )
+),
+hq_q AS (SELECT * FROM (VALUES {qvals}) AS t(q))"""
+    final = f"""SELECT q, CAST(n AS BIGINT) AS n,
+       ROUND(bin * {float(bin_w)}
+             + ((q * n - (cum - cnt)) / cnt) * {float(bin_w)},
+             {round_to}) AS est
+FROM (
+    SELECT q, bin, cnt, cum, n,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+    FROM hq_cum CROSS JOIN hq_q
+    WHERE cum >= q * n
+) WHERE rn = 1"""
+    return ctes, final

@@ -212,3 +212,73 @@ LEFT JOIN (
         JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
     ) GROUP BY 1, 2
 ) s ON e.src = s.src AND e.dst = s.dst"""
+
+
+def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
+    """k-truss edge set: iteratively peel edges whose triangle support
+    is < k-2 until stable (bounded by ``max_rounds`` so the unrolled
+    oracle matches round-for-round; the Spark loop early-stops via an
+    ``isEmpty`` on the peeled set, so extra oracle rounds are no-ops).
+    Returns (src, dst, support) of surviving edges with their support
+    in the FINAL surviving subgraph. Each round reuses the O(m^1.5)
+    oriented support computation; the edge frame shrinks monotonically.
+    """
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    thresh = k - 2
+    for _ in range(max_rounds):
+        sup = edge_support(Graph(graph.vertices, e)).localCheckpoint(
+            eager=True
+        )
+        dropped = sup.filter(F.col("support") < thresh)
+        if dropped.isEmpty():
+            break
+        e = (
+            sup.filter(F.col("support") >= thresh)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edge_support(Graph(graph.vertices, e)).filter(
+        F.col("support") >= thresh
+    )
+
+
+def k_truss_ctes(
+    edges_cte: str, k: int = 3, max_rounds: int = 3
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — unrolled peel rounds. Each round
+    recomputes per-edge support over the surviving edge set."""
+    thresh = k - 2
+
+    def support_sql(e: str) -> str:
+        return f"""SELECT e.src, e.dst,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM {e} e
+LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS support FROM (
+        SELECT ab.src AS src, ab.dst AS dst FROM {e} ab
+        JOIN {e} bc ON ab.dst = bc.src
+        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        UNION ALL
+        SELECT ab.src, bc.dst FROM {e} ab
+        JOIN {e} bc ON ab.dst = bc.src
+        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        UNION ALL
+        SELECT ab.dst, bc.dst FROM {e} ab
+        JOIN {e} bc ON ab.dst = bc.src
+        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ) GROUP BY 1, 2
+) s ON e.src = s.src AND e.dst = s.dst"""
+
+    ctes = [f"kt_e0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})"]
+    for i in range(1, max_rounds + 1):
+        ctes.append(
+            f"""kt_e{i} AS MATERIALIZED (
+  SELECT src, dst FROM ({support_sql(f'kt_e{i - 1}')})
+  WHERE support >= {thresh}
+)"""
+        )
+    final = (
+        f"SELECT * FROM ({support_sql(f'kt_e{max_rounds}')})"
+        f" WHERE support >= {thresh}"
+    )
+    return ",\n".join(ctes), final
