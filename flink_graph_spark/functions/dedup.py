@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import MINHASH_A, MINHASH_B, MINHASH_P, NUM_MINHASHES, h32
-from .text import DOC_SHINGLES_SQL, DOC_TOK_SQL, SHINGLES_EXPR, doc_shingles
+from .text import (
+    DOC_SHINGLES_SQL,
+    DOC_TOK_SQL,
+    doc_shingles,
+    exploded_shingles,
+)
 
 # ---- exact dedup -----------------------------------------------------
 
@@ -302,7 +307,7 @@ def dedup_minhash_lsh(
     checkpoint (same note as the Pregel loop, SCALING.md §7).
     """
     arrs = (
-        docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
+        exploded_shingles(docs)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
         .persist()

@@ -26,14 +26,6 @@ doc_tok AS MATERIALIZED (
     SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
 )"""
 
-# 3-token shingles
-SHINGLES_EXPR = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
-    "ELSE array() END"
-)
-
 DOC_SHINGLES_SQL = """
 doc_shingles AS MATERIALIZED (
     SELECT DISTINCT doc_id, s FROM (
@@ -47,12 +39,30 @@ doc_shingles AS MATERIALIZED (
 )"""
 
 
+# 3-token shingles over a pre-bound token array column `t`.
+# Tokenizing INSIDE the transform lambda instead —
+# Spark evaluates lambda-body subexpressions per iteration, making the
+# shingle build O(len^2) per doc. Every consumer binds `t` in a lower
+# projection first (multi-referenced non-cheap alias, so
+# CollapseProject keeps it) and shingles via this expression.
+SHINGLES_T_EXPR = (
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', slice(t, i, 3))) "
+    "ELSE array() END"
+)
+
+
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per shingle OCCURRENCE, tokens bound once."""
+    return docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", F.explode(F.expr(SHINGLES_T_EXPR)).alias("s")
+    )
+
+
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, s) — distinct word-3-gram shingles per document."""
-    return (
-        docs.select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s"))
-        .distinct()
-    )
+    return exploded_shingles(docs).distinct()
 
 
 # ---- stats / quality -------------------------------------------------
@@ -155,13 +165,17 @@ def repetition_ratio(docs: DataFrame) -> DataFrame:
     signal ((total − distinct) / total shingles; 0 when < 3 tokens).
     Pure per-row projection: embarrassingly parallel, no shuffle.
     """
-    total = F.expr(f"size({SHINGLES_EXPR})")
-    distinct = F.expr(f"size(array_distinct({SHINGLES_EXPR}))")
-    return docs.select(
-        "doc_id",
-        F.when(total > 0, F.round((total - distinct) / total, 6))
-        .otherwise(F.lit(0.0))
-        .alias("rep_ratio"),
+    total = F.expr("size(tri)")
+    distinct = F.expr("size(array_distinct(tri))")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(SHINGLES_T_EXPR).alias("tri"))
+        .select(
+            "doc_id",
+            F.when(total > 0, F.round((total - distinct) / total, 6))
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
     )
 
 
@@ -633,9 +647,7 @@ def top_shingles(docs: DataFrame, k: int = 20) -> DataFrame:
     (doc, shingle) frame; at 100 TB swap in a count-min sketch or a
     two-level (partial top-k per partition, merge) plan — the exact agg
     is the oracle anchor."""
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("s")
-    ).distinct()
+    sh = exploded_shingles(docs).distinct()
     return (
         sh.groupBy("s")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
@@ -775,11 +787,7 @@ QF_MIN_ALPHA_FRAC = 0.8
 # `t` and `tri` as multi-referenced non-cheap aliases in a LOWER
 # projection defeats CollapseProject, so each is computed exactly once
 # per row.
-_QF_TRI_OVER_T = (
-    "CASE WHEN size(t) >= 3 THEN "
-    "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3))) "
-    "ELSE array() END"
-)
+_QF_TRI_OVER_T = SHINGLES_T_EXPR
 
 
 def _qf_spark_flags() -> dict[str, str]:
