@@ -114,6 +114,9 @@ HEADLINE = [
     "corpus_report",
     "embedding_outliers",
     "edge_support_uu",
+    "histogram_quantiles",
+    "closeness_sample_uu",
+    "ktruss_uu",
 ]
 
 

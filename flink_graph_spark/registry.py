@@ -28,6 +28,7 @@ from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
+from .library import closeness as closeness_mod
 from .library import pagerank as pr_mod
 from .library import sssp as sssp_mod
 from .plans.session import tune_session
@@ -2156,6 +2157,60 @@ def edge_support_uu(spark, sf_dir):
     return tri_mod.edge_support(user_cooccurrence_graph(spark, sf_dir))
 
 
+
+
+@_register(
+    "histogram_quantiles",
+    _with(text_mod.DOC_TOK_SQL, *sketch_mod.histogram_quantiles_sql()),
+)
+def histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin histogram quantiles (p50/p90/p99 of doc
+    token count) — the sketch alternative to an exact global sort."""
+    return sketch_mod.histogram_quantiles(_docs(spark, sf_dir))
+
+
+CLOSENESS_SEEDS = (1, 2, 3, 4)
+
+
+@_register(
+    "closeness_sample_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_vertices AS (
+  SELECT src AS id FROM uu_edges UNION SELECT dst FROM uu_edges)""",
+        *closeness_mod.oracle_ctes(
+            "uu_edges", "uu_vertices", CLOSENESS_SEEDS, max_iter=6
+        ),
+    ),
+)
+def closeness_sample_uu(spark, sf_dir):
+    """Sampled harmonic closeness via BATCHED multi-source BFS: all 4
+    seeds run as ONE delta Pregel over a seed-replicated encoded graph
+    (one join+agg per superstep regardless of seed count)."""
+    tune_session(spark)
+    return closeness_mod.closeness_sample(
+        user_cooccurrence_graph(spark, sf_dir), CLOSENESS_SEEDS, max_iter=6
+    )
+
+
+@_register(
+    "ktruss_uu",
+    _with(UU_EDGES_SQL, *tri_mod.k_truss_ctes("uu_edges", 60, 1)),
+)
+def ktruss_uu(spark, sf_dir):
+    """60-truss edge set (support-peeled, 1 bounded round) on the user
+    co-occurrence graph — reuses the O(m^1.5) oriented support pass.
+    k=60 sits inside the dense uu support distribution (min 41, median
+    73 at sf0.01) so the peel removes real edges. One bounded round =
+    two support passes; the uu graph is small enough that the cost is
+    pure exchange scheduling, so the shuffle is sized down for the
+    duration (same rationale as _fixture_partitions for golden-scale
+    Pregel queries)."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 8):
+        return tri_mod.k_truss(user_cooccurrence_graph(spark, sf_dir), 60, 1)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2182,6 +2237,9 @@ _NEVER_SIGNED = [
     "corpus_report",
     "embedding_outliers",
     "edge_support_uu",
+    "histogram_quantiles",
+    "closeness_sample_uu",
+    "ktruss_uu",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -443,3 +443,35 @@ def test_incremental_sssp_equals_full_recompute(spark):
         for r in incremental_sssp_remove_edge(g, prior, src, u2, v2, max_iter=8).collect()
     }
     assert got2 == {r["id"]: r["dist"] for r in prior.collect()}
+
+
+def test_closeness_sample_path_graph(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.closeness import closeness_sample
+    import pyspark.sql.functions as F
+    # path 1-2-3-4 (undirected BFS): dists from seeds (1, 4)
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, value long"
+    )
+    got = {r["id"]: r for r in
+           closeness_sample(Graph(v, e), (1, 4), max_iter=5).collect()}
+    # vertex 2: d(1)=1, d(4)=2 -> harmonic 1 + 0.5
+    assert got[2]["n_reached"] == 2
+    assert abs(got[2]["closeness"] - 1.5) < 1e-6
+    # vertex 1: d(1)=0 (self, contributes 0), d(4)=3
+    assert abs(got[1]["closeness"] - (1 / 3)) < 1e-6
+
+
+def test_k_truss_peels_tail_edge(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.triangles import k_truss
+    # triangle 1-2-3 plus tail 3-4: 3-truss (thresh 1) drops the tail,
+    # survivors keep support 1
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in k_truss(Graph(v, e), k=3, max_rounds=2).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}

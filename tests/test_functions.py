@@ -858,3 +858,18 @@ def test_edge_support_triangle_plus_tail(spark):
     got = {(r["src"], r["dst"]): r["support"]
            for r in tri_mod.edge_support(Graph(v, e)).collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+
+
+def test_histogram_quantiles_interpolation(spark):
+    from flink_graph_spark.functions import sketch as sketch_mod
+    # 4 docs with 5, 15, 25, 35 tokens -> bins 0,1,2,3 each count 1
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate((5, 15, 25, 35))],
+        "doc_id long, text string",
+    )
+    got = {r["q"]: r for r in
+           sketch_mod.histogram_quantiles(docs2, (0.5, 1.0)).collect()}
+    # q=0.5: target rank 2 -> bin 1 (cum 2), frac (2-1)/1=1 -> est 20
+    assert got[0.5]["n"] == 4 and abs(got[0.5]["est"] - 20.0) < 1e-6
+    # q=1.0: rank 4 -> bin 3, est 40
+    assert abs(got[1.0]["est"] - 40.0) < 1e-6
