@@ -117,6 +117,8 @@ HEADLINE = [
     "histogram_quantiles",
     "closeness_sample_uu",
     "ktruss_uu",
+    "ppr_cs",
+    "neighborhood_function_uu",
 ]
 
 

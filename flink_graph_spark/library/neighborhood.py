@@ -1,0 +1,156 @@
+"""Approximate neighborhood function N(r) — HyperANF (Boldi, Rosa &
+Vigna, WWW 2011) re-expressed relationally: every vertex carries an
+HLL register set sketching its ball of radius r; one round merges each
+vertex's registers with its neighbors' (elementwise max), so after r
+rounds the registers sketch ball(v, r). The per-vertex ball-size
+estimates yield the neighborhood function / effective-diameter curve —
+THE scalable way to measure distance distributions on graphs where
+all-pairs BFS is impossible (100 TB-scale: per round one join + one
+(id, bucket)-keyed max agg; state is n×m rows of longs, never a
+frontier explosion).
+
+Register layout is ROWS, not arrays: (id, bucket, rho) with absent
+buckets meaning rho=0. Elementwise max across neighbors is then a
+plain groupBy max — no array zip aggregate — and map-side partial
+aggregation compresses each partition to at most n×m rows before the
+shuffle. Hash/rank arithmetic is the engine-portable HLL math from
+``functions.sketch`` (md5-prefix h32; rho = 1 + trailing zeros via
+log2(x & -x), exact in IEEE doubles), so the DuckDB oracle replays the
+whole computation bit-for-bit.
+
+m = 16 registers (alpha = 0.673): ±26% per-vertex error — the
+standard HyperANF trade where the AVERAGED curve is far tighter than
+any single sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, h32_sql
+from ..graph import Graph
+
+NF_M = 16  # registers per vertex (2^4 buckets)
+NF_REST_BITS = 28  # 32-bit hash minus 4 bucket bits
+NF_ALPHA = 0.673  # standard alpha_16
+
+
+def _init_registers(vertices: DataFrame) -> DataFrame:
+    """(id, b, rho) — one register row per vertex from its own id hash."""
+    h = h32(F.col("id").cast("string"))
+    rest = (h / F.lit(NF_M)).cast("long") + F.lit(1)  # avoid rho on 0
+    rho = (
+        F.lit(1)
+        + F.log2(rest.bitwiseAND(-rest))
+    ).cast("long")
+    return vertices.select(
+        "id", (h % F.lit(NF_M)).alias("b"), rho.alias("rho")
+    )
+
+
+def _estimates(reg: DataFrame, r: int, round_to: int) -> DataFrame:
+    """One row: (r, avg_ball_est) from the register rows."""
+    per_v = reg.groupBy("id").agg(
+        F.count("*").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("psum"),
+    )
+    raw = (
+        F.lit(NF_ALPHA * NF_M * NF_M)
+        / (F.lit(float(NF_M)) - F.col("present") + F.col("psum"))
+    )
+    # standard HLL small-range correction: raw alpha*m^2/psum
+    # overestimates tiny balls ~10x; below 2.5m with empty registers,
+    # linear counting m*ln(m/V) is the right estimator (same branch in
+    # the oracle, so parity is exact)
+    zeros = F.lit(float(NF_M)) - F.col("present")
+    est = F.when(
+        (raw <= F.lit(2.5 * NF_M)) & (zeros > 0),
+        F.lit(float(NF_M)) * F.log(F.lit(float(NF_M)) / zeros),
+    ).otherwise(raw)
+    return per_v.agg(
+        F.lit(r).cast("long").alias("r"),
+        F.round(F.avg(est), round_to).alias("avg_ball_est"),
+    )
+
+
+def neighborhood_function(
+    graph: Graph, max_r: int = 2, round_to: int = 6
+) -> DataFrame:
+    """(r, avg_ball_est) for r = 0..max_r over the undirected view."""
+    sym = graph.edges.select("src", "dst").unionByName(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    reg = _init_registers(graph.vertices).localCheckpoint(eager=True)
+    out = [_estimates(reg, 0, round_to)]
+    for r in range(1, max_r + 1):
+        from_nbrs = (
+            sym.join(reg.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "b", "rho")
+        )
+        reg = (
+            reg.unionByName(from_nbrs)
+            .groupBy("id", "b")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(_estimates(reg, r, round_to))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def oracle_ctes(
+    edges_cte: str,
+    vertices_cte: str,
+    max_r: int = 2,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — same register arithmetic, unrolled."""
+    h = h32_sql("CAST(v.id AS VARCHAR)")
+    ctes = [
+        f"""nf_r0 AS MATERIALIZED (
+  SELECT v.id,
+         {h} % {NF_M} AS b,
+         CAST(1 + log2(
+             (({h} // {NF_M}) + 1) & (-(({h} // {NF_M}) + 1))
+         ) AS BIGINT) AS rho
+  FROM {vertices_cte} v)""",
+        f"""nf_sym AS MATERIALIZED (
+  SELECT src, dst FROM {edges_cte}
+  UNION ALL SELECT dst AS src, src AS dst FROM {edges_cte})""",
+    ]
+    for r in range(1, max_r + 1):
+        ctes.append(
+            f"""nf_r{r} AS MATERIALIZED (
+  SELECT id, b, MAX(rho) AS rho FROM (
+    SELECT id, b, rho FROM nf_r{r - 1}
+    UNION ALL
+    SELECT e.dst AS id, s.b, s.rho
+    FROM nf_sym e JOIN nf_r{r - 1} s ON s.id = e.src
+  ) GROUP BY 1, 2
+)"""
+        )
+    selects = []
+    for r in range(max_r + 1):
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS r,
+       ROUND(AVG(CASE WHEN raw <= {2.5 * NF_M}
+                       AND ({float(NF_M)} - present) > 0
+                 THEN {float(NF_M)}
+                      * ln({float(NF_M)} / ({float(NF_M)} - present))
+                 ELSE raw END), {round_to}) AS avg_ball_est
+FROM (
+    SELECT id, present, psum,
+           {NF_ALPHA} * {NF_M} * {NF_M}
+             / ({float(NF_M)} - present + psum) AS raw
+    FROM (
+        SELECT id, COUNT(*) AS present,
+               SUM(POWER(2.0, -rho)) AS psum
+        FROM nf_r{r} GROUP BY 1
+    )
+)"""
+        )
+    final = "\nUNION ALL\n".join(selects)
+    return ",\n".join(ctes), final

@@ -190,3 +190,95 @@ def weighted_oracle_ctes(
         )
     final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM w{max_iter}"
     return ",\n".join(ctes), final
+
+
+def personalized_page_rank(
+    graph: Graph,
+    seeds: tuple[int, ...],
+    beta: float = 0.85,
+    max_iter: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED SET
+    uniformly instead of to all vertices — the standard seed-relative
+    relevance ranking (random walk with restart). rank init = 1/|S| on
+    seeds, 0 elsewhere; update = beta·Σmsgs + (1-beta)/|S|·[v ∈ S].
+    Same scale posture as ``page_rank``: out-degree and the seed flag
+    live in the loop-invariant vertex state, the edge table is consumed
+    untouched from the builder's shared src-partitioned cache.
+    """
+    s = float(len(seeds))
+    restart = (1.0 - beta) / s
+
+    outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    v0 = graph.vertices.select("id").join(outdeg, "id", "left")
+    g = Graph(v0, graph.edges, src_partitioned=graph.src_partitioned)
+    is_seed = F.col("id").isin(*seeds)
+
+    res = pregel(
+        g,
+        initial=F.struct(
+            F.when(is_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("rank"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("double").alias("od"),
+            is_seed.alias("seed"),
+        ),
+        msg_to_dst=F.col("src_st")["rank"] / F.col("src_st")["od"],
+        msg_to_dst_reads=("src",),
+        agg=F.sum("__msg").alias("__agg"),
+        update=F.struct(
+            (
+                F.when(F.col("st")["seed"], F.lit(restart)).otherwise(F.lit(0.0))
+                + F.lit(beta) * F.coalesce(F.col("__agg"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("st")["od"].alias("od"),
+            F.col("st")["seed"].alias("seed"),
+        ),
+        max_iter=max_iter,
+        state_col="st",
+    )
+    out = res.vertices.select("id", F.col("st")["rank"].alias("rank"))
+    if round_to is not None:
+        out = out.select("id", F.round("rank", round_to).alias("rank"))
+    return out
+
+
+def personalized_oracle_ctes(
+    edges_cte: str,
+    vertices_cte: str,
+    seeds: tuple[int, ...],
+    beta: float = 0.85,
+    max_iter: int = 10,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(extra CTE text, final SELECT) — unrolled PPR power iteration."""
+    s = float(len(seeds))
+    in_seeds = ", ".join(str(x) for x in seeds)
+    ctes = [
+        f"ppr_deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE)"
+        f" AS outdeg FROM {edges_cte} GROUP BY 1)",
+        f"""p0 AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN ({in_seeds}) THEN 1.0/{s!r} ELSE 0.0 END AS rank
+  FROM {vertices_cte} v)""",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN ({in_seeds})
+              THEN (1.0 - {beta!r})/{s!r} ELSE 0.0 END
+           + {beta!r} * COALESCE(m.s, 0.0) AS rank
+  FROM {vertices_cte} v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS s
+    FROM p{i - 1} r
+    JOIN {edges_cte} e ON r.id = e.src
+    JOIN ppr_deg d ON d.id = e.src
+    GROUP BY 1
+  ) m ON v.id = m.id
+)"""
+        )
+    final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM p{max_iter}"
+    return ",\n".join(ctes), final

@@ -29,6 +29,7 @@ from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import closeness as closeness_mod
+from .library import neighborhood as nf_mod
 from .library import pagerank as pr_mod
 from .library import sssp as sssp_mod
 from .plans.session import tune_session
@@ -2211,6 +2212,47 @@ def ktruss_uu(spark, sf_dir):
         return tri_mod.k_truss(user_cooccurrence_graph(spark, sf_dir), 60, 1)
 
 
+
+
+PPR_SEEDS = (1, 2, 3)
+
+
+@_register(
+    "ppr_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        *pr_mod.personalized_oracle_ctes(
+            "cs_edges", "cs_vertices", PPR_SEEDS, 0.85, 10
+        ),
+    ),
+)
+def ppr_cs(spark, sf_dir):
+    """Personalized PageRank (random walk with restart to a 3-customer
+    seed set) on the customer-supplier graph."""
+    return pr_mod.personalized_page_rank(
+        _cs(spark, sf_dir), PPR_SEEDS, beta=0.85, max_iter=10
+    )
+
+
+@_register(
+    "neighborhood_function_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_vertices AS (
+  SELECT src AS id FROM uu_edges UNION SELECT dst FROM uu_edges)""",
+        *nf_mod.oracle_ctes("uu_edges", "uu_vertices", max_r=2),
+    ),
+)
+def neighborhood_function_uu(spark, sf_dir):
+    """HyperANF-style approximate neighborhood function N(r), r=0..2:
+    per-vertex HLL ball sketches merged along edges each round."""
+    tune_session(spark)
+    return nf_mod.neighborhood_function(
+        user_cooccurrence_graph(spark, sf_dir), max_r=2
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2240,6 +2282,8 @@ _NEVER_SIGNED = [
     "histogram_quantiles",
     "closeness_sample_uu",
     "ktruss_uu",
+    "ppr_cs",
+    "neighborhood_function_uu",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

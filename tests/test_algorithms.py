@@ -475,3 +475,40 @@ def test_k_truss_peels_tail_edge(spark):
     got = {(r["src"], r["dst"]): r["support"]
            for r in k_truss(Graph(v, e), k=3, max_rounds=2).collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_personalized_pagerank_restarts_at_seeds(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.pagerank import personalized_page_rank
+    # star: 1 -> 2,3 ; 2 -> 1 ; 3 -> 1. Seed {1}.
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, value long",
+    )
+    got = {r["id"]: r["rank"] for r in
+           personalized_page_rank(Graph(v, e), (1,), max_iter=20).collect()}
+    # symmetric non-seeds split the out-mass of 1 equally
+    assert abs(got[2] - got[3]) < 1e-9
+    # seed holds the restart mass: strictly the largest rank
+    assert got[1] > got[2]
+    # walk-with-restart conserves mass (no dangling vertices here)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_neighborhood_function_monotone(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.neighborhood import neighborhood_function
+    # path graph of 6 vertices
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    got = {r["r"]: r["avg_ball_est"] for r in
+           neighborhood_function(Graph(v, e), max_r=2).collect()}
+    assert set(got) == {0, 1, 2}
+    # ball sizes grow with radius (sketch estimates preserve monotonicity
+    # because registers only ever increase)
+    assert got[0] <= got[1] <= got[2]
+    # radius-0 ball is a single vertex; m=16 sketch error is bounded
+    assert 0.4 < got[0] < 2.5
