@@ -119,6 +119,7 @@ HEADLINE = [
     "ktruss_uu",
     "ppr_cs",
     "neighborhood_function_uu",
+    "streaming_quality_by_source",
 ]
 
 

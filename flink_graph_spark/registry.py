@@ -2253,6 +2253,37 @@ def neighborhood_function_uu(spark, sf_dir):
     )
 
 
+
+
+@_register(
+    "streaming_quality_by_source",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        f"""SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {text_mod.qf_keep_expr_sql()} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep
+FROM doc_tok dt JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+    ),
+)
+def streaming_quality_by_source(spark, sf_dir):
+    """Live corpus-health feed: the quality-filter suite scored
+    map-side per micro-batch over a DOCUMENT stream, per-source keep
+    counters as the only streaming state (complete-mode snapshot =
+    the batch oracle on a fully-arrived corpus)."""
+    tune_session(spark)
+    from .streaming import docs as docs_stream_mod
+
+    stream = docs_stream_mod.read_docs_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(
+        docs_stream_mod.streaming_quality_by_source(stream),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return snap.orderBy("source")
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2284,6 +2315,7 @@ _NEVER_SIGNED = [
     "ktruss_uu",
     "ppr_cs",
     "neighborhood_function_uu",
+    "streaming_quality_by_source",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

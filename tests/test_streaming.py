@@ -169,3 +169,34 @@ def test_stream_lands_in_bucketed_table_joinable_without_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_quality_by_source_matches_batch(spark):
+    from flink_graph_spark.functions import text as text_mod
+    from flink_graph_spark.streaming import docs as docs_stream
+    from flink_graph_spark.streaming import events as stream_mod
+    from flink_graph_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = docs_stream.read_docs_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(
+        docs_stream.streaming_quality_by_source(stream),
+        output_mode="complete",
+        state_partitions=4,
+    )
+    got = {r["source"]: (r["n_docs"], r["n_keep"]) for r in snap.collect()}
+    batch = (
+        text_mod.quality_filters(load_table(spark, sf_dir, "documents"))
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        )
+    )
+    want = {r["source"]: (r["n_docs"], r["n_keep"]) for r in batch.collect()}
+    assert got == want
