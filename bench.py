@@ -200,9 +200,27 @@ def main() -> int:
     # in different noise windows, where back-to-back repeats would sample
     # the same burst twice. The min is the reproducible steady-state cost
     # of the plan, not the noise of one sample.
+    # Timeout resilience: an external runner may SIGTERM the bench
+    # (e.g. `timeout N python bench.py`). A silent death would lose
+    # every timing already collected, so on SIGTERM finish the CURRENT
+    # query, stop at the next query boundary, and emit the JSON line
+    # from whatever passes/partial passes exist (marked "partial").
+    import signal
+
+    interrupted = {"flag": False}
+
+    def _on_term(signum, frame):
+        interrupted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # non-main thread (embedded use)
+
     per_pass: list[dict[str, float]] = []
     for _pass in range(2):
         pass_timings: dict[str, float] = {}
+        per_pass.append(pass_timings)
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None:
@@ -210,7 +228,11 @@ def main() -> int:
             pass_timings[name] = round(_timed(fn), 3)
             if _pass:
                 print(f"# {name}: {pass_timings[name]:.2f}s", file=sys.stderr)
-        per_pass.append(pass_timings)
+            if interrupted["flag"]:
+                break
+        if interrupted["flag"]:
+            break
+    per_pass = [p for p in per_pass if p]
     timings = {
         n: min(p[n] for p in per_pass if n in p)
         for n in HEADLINE
@@ -237,6 +259,7 @@ def main() -> int:
                 "r1_set_subtotal": round(
                     sum(t for n, t in timings.items() if n in r1_set), 3
                 ),
+                "partial": interrupted["flag"] or None,
                 "sf": sf,
             }
         )

@@ -30,6 +30,7 @@ from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import closeness as closeness_mod
 from .library import neighborhood as nf_mod
+from .sources import generators as gen_mod
 from .library import pagerank as pr_mod
 from .library import sssp as sssp_mod
 from .plans.session import tune_session
@@ -2284,6 +2285,54 @@ def streaming_quality_by_source(spark, sf_dir):
     return snap.orderBy("source")
 
 
+
+
+RMAT_SCALE = 10
+RMAT_EDGES = 4096
+
+
+@_register(
+    "rmat_degree_histogram",
+    _with(
+        gen_mod.rmat_edges_sql(RMAT_SCALE, RMAT_EDGES),
+        """SELECT CAST(length(bin(od)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(od) AS BIGINT) AS min_degree,
+       CAST(MAX(od) AS BIGINT) AS max_degree
+FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+      FROM rmat_edges GROUP BY 1)
+GROUP BY 1 ORDER BY 1""",
+    ),
+)
+def rmat_degree_histogram(spark, sf_dir):
+    """Out-degree log2 histogram of a GENERATED RMat(2^10 vertices,
+    4096 edges) graph — Gelly-successor generator parity; the whole
+    graph is arithmetic over spark.range (no I/O), and DuckDB replays
+    the identical per-edge bit recursion, so even the generator is
+    oracle-checked. The power-law bucket spread is the RMat signature."""
+    tune_session(spark)
+    deg = (
+        gen_mod.rmat_edges(spark, RMAT_SCALE, RMAT_EDGES)
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("od"))
+    )
+    return (
+        deg.select(
+            (
+                F.length(F.conv(F.col("od").cast("string"), 10, 2)) - 1
+            ).cast("bigint").alias("log2_bucket"),
+            "od",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.min("od").cast("bigint").alias("min_degree"),
+            F.max("od").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2316,6 +2365,7 @@ _NEVER_SIGNED = [
     "ppr_cs",
     "neighborhood_function_uu",
     "streaming_quality_by_source",
+    "rmat_degree_histogram",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

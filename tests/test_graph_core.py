@@ -366,3 +366,42 @@ def test_label_propagation_preserves_shared_edge_cache(spark, golden):
     label_propagation(g, max_iter=2).count()
     assert g.edges.storageLevel.useMemory
     g.edges.unpersist()
+
+
+# ---- graph generators (Gelly-successor parity) ------------------------
+
+def test_generators_structures(spark):
+    from flink_graph_spark.sources import generators as gen
+
+    cyc = gen.cycle_graph(spark, 5)
+    assert cyc.edges.count() == 5
+    assert cyc.vertices.count() == 5
+    # every vertex has out-degree 1 and in-degree 1
+    assert cyc.out_degrees().agg({"degree": "min"}).collect()[0][0] == 1
+    assert cyc.in_degrees().agg({"degree": "max"}).collect()[0][0] == 1
+
+    comp = gen.complete_graph(spark, 4)
+    assert comp.edges.count() == 12  # 4*3 ordered pairs
+
+    star = gen.star_graph(spark, 6)
+    assert star.edges.count() == 5
+    hub_od = {r["id"]: r["degree"] for r in star.out_degrees().collect()}
+    assert hub_od[0] == 5
+
+    grid = gen.grid_graph(spark, 3, 4)
+    # right edges: 3*(4-1)=9, down edges: (3-1)*4=8
+    assert grid.edges.count() == 17
+
+
+def test_rmat_deterministic_and_skewed(spark):
+    from flink_graph_spark.sources import generators as gen
+
+    e1 = {tuple(r) for r in gen.rmat_edges(spark, 8, 512).collect()}
+    e2 = {tuple(r) for r in gen.rmat_edges(spark, 8, 512).collect()}
+    assert e1 == e2  # fully deterministic
+    # all endpoints within [0, 2^8)
+    assert all(0 <= s < 256 and 0 <= d < 256 for s, d in e1)
+    # RMat skew: the max out-degree far exceeds the mean
+    import collections
+    od = collections.Counter(s for s, _ in gen.rmat_edges(spark, 8, 512).collect())
+    assert max(od.values()) >= 4 * (512 / 256)

@@ -118,3 +118,69 @@ def test_intersect_with_disjoint_graph_is_empty(spark, edges):
     got = g.intersect(h)
     assert got.edges.count() == 0
     assert got.vertices.count() == 0
+
+
+# ---- round-3 text/dedup operator invariants ---------------------------
+
+token_docs = st.lists(
+    st.lists(
+        st.sampled_from("a b c d e f g h".split()), min_size=1, max_size=24
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+
+@given(docs=token_docs)
+@SETTINGS
+def test_passage_dedup_counts_consistent(spark, docs):
+    from flink_graph_spark.functions.dedup import passage_dedup
+
+    rows = passage_dedup(_docs_df(spark, docs)).collect()
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["n_occ"] >= r["n_docs"]
+        assert 0 <= r["first_doc"] < len(docs)
+
+
+@given(docs=token_docs)
+@SETTINGS
+def test_token_budget_never_exceeded_and_prefix_closed(spark, docs):
+    from flink_graph_spark.functions.text import token_budget_select
+
+    budget = 30
+    sel = token_budget_select(_docs_df(spark, docs), budget=budget).collect()
+    assert sum(r["n_tokens"] for r in sel) <= budget
+    # prefix property: any unselected doc either has quality below every
+    # selected one, or ties the boundary quality with a later doc_id /
+    # would overflow the budget
+    if sel:
+        qmin = min(r["quality"] for r in sel)
+        picked = {r["doc_id"] for r in sel}
+        from flink_graph_spark.functions.text import quality_score
+
+        allq = {
+            r["doc_id"]: r["quality"]
+            for r in quality_score(_docs_df(spark, docs)).collect()
+        }
+        for d, q in allq.items():
+            if d not in picked:
+                assert q <= qmin
+
+
+@given(docs=token_docs)
+@SETTINGS
+def test_quality_filters_keep_iff_no_flag(spark, docs):
+    from flink_graph_spark.functions.text import quality_filters
+
+    for r in quality_filters(_docs_df(spark, docs)).collect():
+        d = r.asDict()
+        keep, flags = d.pop("keep"), [v for k, v in d.items() if k != "doc_id"]
+        assert keep == (not any(flags))

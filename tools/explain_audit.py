@@ -28,6 +28,12 @@ AUDIT = [
     "dedup_minhash_lsh",
     "sessionize_events",
     "hourly_rollup",
+    # round-3 representatives
+    "quality_filters",
+    "passage_dedup",
+    "skipgram_pairs",
+    "edge_support_uu",
+    "closeness_sample_uu",
 ]
 
 
