@@ -113,10 +113,15 @@ HEADLINE = [
     "token_budget_select",
     "corpus_report",
     "embedding_outliers",
-    "edge_support_uu",
+    # edge_support_uu / ktruss_uu are NOT headline entries: the uu
+    # co-occurrence graph densifies superlinearly with sf (hour-cell
+    # co-occurrence), so triangle-support enumeration on it at sf0.1
+    # measures graph density, not plan quality (200s, vs 1.5s at the
+    # sf0.01 oracle anchor). The dense-graph triangle cost is already
+    # represented by triangle_count_pc; support/truss stay sf0.01
+    # oracle anchors — same policy as embedding_near_dup (r1 verdict).
     "histogram_quantiles",
     "closeness_sample_uu",
-    "ktruss_uu",
     "ppr_cs",
     "neighborhood_function_uu",
     "streaming_quality_by_source",
@@ -226,8 +231,10 @@ def main() -> int:
             if fn is None:
                 continue
             pass_timings[name] = round(_timed(fn), 3)
-            if _pass:
-                print(f"# {name}: {pass_timings[name]:.2f}s", file=sys.stderr)
+            print(
+                f"# p{_pass} {name}: {pass_timings[name]:.2f}s",
+                file=sys.stderr,
+            )
             if interrupted["flag"]:
                 break
         if interrupted["flag"]:
