@@ -122,6 +122,7 @@ HEADLINE = [
     # oracle anchors — same policy as embedding_near_dup (r1 verdict).
     "histogram_quantiles",
     "closeness_sample_uu",
+    "rmat_degree_histogram",
     "ppr_cs",
     "neighborhood_function_uu",
     "streaming_quality_by_source",
