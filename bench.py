@@ -126,6 +126,7 @@ HEADLINE = [
     "ppr_cs",
     "neighborhood_function_uu",
     "streaming_quality_by_source",
+    "winnow_dup_pairs",
 ]
 
 

@@ -680,3 +680,111 @@ FROM (
 )
 GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occ DESC, passage_hash ASC"""
+
+
+# ---- winnowing fingerprints ------------------------------------------
+#
+# Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): hash every k-gram, then keep the MINIMUM hash in
+# each sliding window of w consecutive k-gram hashes. Guarantee: any
+# shared substring of length >= w + k - 1 contributes at least one
+# shared fingerprint, while only ~2/(w+1) of hashes are kept — the
+# classic density/recall trade for plagiarism & near-dup detection.
+#
+# Scale shape: fingerprint selection is PURE map-side (token array and
+# k-gram hash array bound once per row — SCALING.md §11 discipline —
+# then a window-min per position and a distinct); the pair join is an
+# inverted index on the winnowed fingerprints with the same hot-key
+# document-frequency cap as the n-gram path, so a boilerplate
+# fingerprint shared by m docs cannot contribute m^2 pairs.
+
+WINNOW_K = 4   # k-gram (tokens) per hash
+WINNOW_W = 4   # window of consecutive k-gram hashes
+WINNOW_MAX_DF = 100
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp) — distinct winnowed fingerprints per document."""
+    gram_hashes = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {k}))),"
+        f" 1, 8), 16, 10) AS BIGINT)) ELSE array() END"
+    )
+    mins = (
+        f"CASE WHEN size(h) >= {w} THEN "
+        f"transform(sequence(1, size(h) - {w - 1}), "
+        f"j -> array_min(slice(h, j, {w}))) "
+        "WHEN size(h) > 0 THEN array(array_min(h)) ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(gram_hashes).alias("h"))
+        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    docs_with_dups: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top document pairs by shared winnowed-fingerprint count
+    (da < db): the MOSS-style candidate generator, df-capped."""
+    fps = winnow_fingerprints(docs_with_dups, k, w)
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    keep = dfreq.filter(F.col("df") <= max_df).select("fp")
+    capped = fps.join(keep, "fp", "left_semi")
+    a = capped.select(F.col("doc_id").alias("da"), "fp")
+    b = capped.select(F.col("doc_id").alias("db"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "da", "db")
+        .limit(top_k)
+    )
+
+
+def winnow_sql(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    top_k: int = 50,
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — composes after DD_SQL."""
+    ctes = f"""wn_fp AS MATERIALIZED (
+    SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(h) >= {w} THEN
+                   list_transform(generate_series(1, len(h) - {w - 1}),
+                       j -> list_min(list_slice(h, j, j + {w - 1})))
+               WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END) AS fp
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {k} THEN
+                       list_transform(generate_series(1, len(t) - {k - 1}),
+                           i -> CAST(concat('0x', substr(md5(array_to_string(
+                               list_slice(t, i, i + {k - 1}), ' ')), 1, 8))
+                               AS BIGINT))
+                   ELSE [] END AS h
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dd)
+        )
+    )
+),
+wn_keep AS MATERIALIZED (
+    SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM wn_fp GROUP BY 1)
+    WHERE df <= {max_df}
+)"""
+    final = f"""SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM (SELECT * FROM wn_fp WHERE fp IN (SELECT fp FROM wn_keep)) a
+JOIN (SELECT * FROM wn_fp WHERE fp IN (SELECT fp FROM wn_keep)) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared DESC, da, db LIMIT {top_k}"""
+    return ctes, final

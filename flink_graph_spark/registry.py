@@ -2333,6 +2333,22 @@ def rmat_degree_histogram(spark, sf_dir):
     )
 
 
+
+
+@_register(
+    "winnow_dup_pairs",
+    _with(dedup_mod.DD_SQL, *dedup_mod.winnow_sql()),
+)
+def winnow_dup_pairs(spark, sf_dir):
+    """MOSS-style robust winnowing near-dup candidates: min-hash of
+    each sliding window of k-gram hashes (guaranteed shared fingerprint
+    for any shared substring >= w+k-1 tokens), df-capped inverted-index
+    pair join."""
+    return dedup_mod.winnow_dup_pairs(
+        dedup_mod.with_synthetic_dups(_docs(spark, sf_dir))
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2366,6 +2382,7 @@ _NEVER_SIGNED = [
     "neighborhood_function_uu",
     "streaming_quality_by_source",
     "rmat_degree_histogram",
+    "winnow_dup_pairs",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

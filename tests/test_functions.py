@@ -873,3 +873,43 @@ def test_histogram_quantiles_interpolation(spark):
     assert got[0.5]["n"] == 4 and abs(got[0.5]["est"] - 20.0) < 1e-6
     # q=1.0: rank 4 -> bin 3, est 40
     assert abs(got[1.0]["est"] - 40.0) < 1e-6
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # Two docs sharing a long run (>= w+k-1 = 7 tokens) MUST share at
+    # least one winnowed fingerprint; a doc with no overlap shares none.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs2 = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y z " + shared),
+            (3, "p q r s t u v w p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {d: set() for d in (1, 2, 3)}
+    for r in dedup_mod.winnow_fingerprints(docs2).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]          # guarantee on the shared substring
+    assert not (fps[1] & fps[3])    # disjoint vocab -> no shared fp
+    # winnowing keeps a strict subset of all k-gram hashes
+    n_grams_doc1 = 11 - 4 + 1
+    assert 0 < len(fps[1]) < n_grams_doc1
+
+
+def test_winnow_dup_pairs_ranks_injected_dup_first(spark):
+    base = [(i, f"tok{i} " * 1 + "common words here for padding only "
+            + f"suffix{i}") for i in range(6)]
+    docs2 = spark.createDataFrame(
+        [(i, t.strip()) for i, t in base], "doc_id long, text string"
+    )
+    # duplicate doc 0 verbatim as id 100
+    dup = docs2.filter("doc_id = 0").selectExpr("100 AS doc_id", "text")
+    rows = dedup_mod.winnow_dup_pairs(docs2.unionByName(dup)).collect()
+    assert rows, "expected at least one candidate pair"
+    by_pair = {(r["da"], r["db"]): r["n_shared"] for r in rows}
+    # the verbatim dup shares EVERY fingerprint of doc 0 — its count is
+    # maximal (ties possible when winnowing selects only common-region
+    # minima for the other pairs, hence >= not >)
+    assert (0, 100) in by_pair
+    assert by_pair[(0, 100)] == max(by_pair.values())
