@@ -734,20 +734,29 @@ def winnow_dup_pairs(
 ) -> DataFrame:
     """Top document pairs by shared winnowed-fingerprint count
     (da < db): the MOSS-style candidate generator, df-capped."""
-    fps = winnow_fingerprints(docs_with_dups, k, w)
-    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
-    keep = dfreq.filter(F.col("df") <= max_df).select("fp")
-    capped = fps.join(keep, "fp", "left_semi")
-    a = capped.select(F.col("doc_id").alias("da"), "fp")
-    b = capped.select(F.col("doc_id").alias("db"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-        .orderBy(F.desc("n_shared"), "da", "db")
-        .limit(top_k)
-    )
+    # The fingerprint frame feeds three consumers (df count + both pair
+    # sides); unpersisted that is three full corpus scans + three
+    # winnowing passes. Persist for the duration of the call only —
+    # result is materialized eagerly, then the scratch is released
+    # (same lifecycle as the MinHash scratch above).
+    fps = winnow_fingerprints(docs_with_dups, k, w).persist()
+    try:
+        dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        keep = dfreq.filter(F.col("df") <= max_df).select("fp")
+        capped = fps.join(keep, "fp", "left_semi")
+        a = capped.select(F.col("doc_id").alias("da"), "fp")
+        b = capped.select(F.col("doc_id").alias("db"), "fp")
+        return (
+            a.join(b, "fp")
+            .filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .orderBy(F.desc("n_shared"), "da", "db")
+            .limit(top_k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        fps.unpersist()
 
 
 def winnow_sql(
