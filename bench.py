@@ -127,6 +127,7 @@ HEADLINE = [
     "neighborhood_function_uu",
     "streaming_quality_by_source",
     "winnow_dup_pairs",
+    "pretrain_funnel",
 ]
 
 

@@ -1119,27 +1119,31 @@ def token_budget_select(
 
 
 def token_budget_sql(
-    budget: int = TOKEN_BUDGET, round_to: int = 6
+    budget: int = TOKEN_BUDGET,
+    round_to: int = 6,
+    src_cte: str = "doc_tok",
+    prefix: str = "",
 ) -> tuple[str, str]:
-    """(CTE text, final SELECT) — DuckDB twin, composes after
-    DOC_TOK_SQL."""
-    ctes = f"""scored AS MATERIALIZED (
+    """(CTE text, final SELECT) — DuckDB twin. ``src_cte`` must expose
+    (doc_id, t); ``prefix`` namespaces the internal CTEs so the block
+    can be embedded in larger chains (pretrain funnel)."""
+    ctes = f"""{prefix}scored AS MATERIALIZED (
     SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
            ROUND(0.7 * (len(list_distinct(t)) / len(t))
                  + 0.3 * (1.0 - len(list_filter(t, x -> x IN ({_STOP_IN})))
                                 / len(t)), {round_to}) AS quality
-    FROM doc_tok
+    FROM {src_cte}
 ),
-lv AS MATERIALIZED (
+{prefix}lv AS MATERIALIZED (
     SELECT quality,
            SUM(lvl_tokens) OVER (ORDER BY quality DESC) - lvl_tokens
                AS prev_cum,
            SUM(lvl_tokens) OVER (ORDER BY quality DESC) AS cum
     FROM (SELECT quality, SUM(n_tokens) AS lvl_tokens
-          FROM scored GROUP BY 1)
+          FROM {prefix}scored GROUP BY 1)
 )"""
     final = f"""SELECT s.doc_id, s.n_tokens, s.quality
-FROM scored s JOIN lv ON s.quality = lv.quality
+FROM {prefix}scored s JOIN {prefix}lv lv ON s.quality = lv.quality
 WHERE lv.cum <= {budget}
 UNION ALL
 SELECT doc_id, n_tokens, quality FROM (
@@ -1147,7 +1151,7 @@ SELECT doc_id, n_tokens, quality FROM (
            lv.prev_cum
                + SUM(s.n_tokens) OVER (
                    PARTITION BY s.quality ORDER BY s.doc_id) AS run_tot
-    FROM scored s JOIN lv ON s.quality = lv.quality
+    FROM {prefix}scored s JOIN {prefix}lv lv ON s.quality = lv.quality
     WHERE lv.cum > {budget} AND lv.prev_cum < {budget}
 )
 WHERE run_tot <= {budget}"""
@@ -1200,3 +1204,97 @@ def corpus_report_sql(round_to: int = 6) -> str:
            AS keep_rate
 FROM doc_tok dt JOIN documents d USING (doc_id)
 GROUP BY 1, 2"""
+
+
+# ---- pretraining data-prep funnel ------------------------------------
+#
+# The end-to-end corpus funnel as ONE query: raw -> quality-filtered ->
+# exact-deduped -> token-budget-selected, reporting survivor doc/token
+# counts at every stage — the audit table a data-prep run publishes
+# alongside its output. Composes the already-oracle-checked stages
+# (quality_filters, exact dedup keep-min, token_budget_select), so the
+# funnel's DuckDB twin is the same CTE chain; each stage is one scan +
+# bounded aggregation, no new scale shapes.
+
+
+def pretrain_funnel(
+    docs_with_dups: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """(stage, name, n_docs, n_tokens) — 4 rows, ordered by stage."""
+    def _stats(df, stage, name):
+        return df.agg(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+
+    raw = docs_with_dups.select("doc_id", "text")
+    qkeep = quality_filters(raw).filter("keep").select("doc_id")
+    kept = raw.join(qkeep, "doc_id", "left_semi")
+    reps = kept.groupBy("text").agg(F.min("doc_id").alias("__m"))
+    deduped = (
+        kept.join(reps, "text")
+        .filter(F.col("doc_id") == F.col("__m"))
+        .select("doc_id", "text")
+    )
+    sel = token_budget_select(deduped, budget)
+    sel_stats = sel.agg(
+        F.lit(3).cast("long").alias("stage"),
+        F.lit("budget").alias("name"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return (
+        _stats(raw, 0, "raw")
+        .unionByName(_stats(kept, 1, "quality"))
+        .unionByName(_stats(deduped, 2, "dedup"))
+        .unionByName(sel_stats)
+        .orderBy("stage")
+    )
+
+
+def pretrain_funnel_sql(
+    budget: int = TOKEN_BUDGET, round_to: int = 6
+) -> tuple[str, ...]:
+    """CTE chain + final SELECT — composes after DD_SQL."""
+    budget_ctes, budget_final = token_budget_sql(
+        budget, round_to, src_cte="pf_dedup", prefix="pf_"
+    )
+    keep = qf_keep_expr_sql()
+    ctes = (
+        f"""pf_keep AS MATERIALIZED (
+    SELECT doc_id, text, t FROM (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM dd
+    ) WHERE {keep}
+)""",
+        """pf_dedup AS MATERIALIZED (
+    SELECT d.doc_id, d.text, d.t
+    FROM pf_keep d
+    JOIN (SELECT text, MIN(doc_id) AS m FROM pf_keep GROUP BY 1) mm
+      ON d.text = mm.text AND d.doc_id = mm.m
+)""",
+        budget_ctes,
+    )
+    final = f"""SELECT * FROM (
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+           AS n_tokens
+FROM dd
+UNION ALL
+SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(len(t)), 0) AS BIGINT)
+FROM pf_keep
+UNION ALL
+SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(len(t)), 0) AS BIGINT)
+FROM pf_dedup
+UNION ALL
+SELECT 3, 'budget', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+FROM ({budget_final})
+) ORDER BY stage"""
+    return (*ctes, final)

@@ -2349,6 +2349,21 @@ def winnow_dup_pairs(spark, sf_dir):
     )
 
 
+
+
+@_register(
+    "pretrain_funnel",
+    _with(dedup_mod.DD_SQL, *text_mod.pretrain_funnel_sql()),
+)
+def pretrain_funnel(spark, sf_dir):
+    """End-to-end data-prep funnel audit: raw -> quality-filtered ->
+    exact-deduped -> token-budget-selected, survivor doc/token counts
+    per stage (composes the oracle-checked stage operators)."""
+    return text_mod.pretrain_funnel(
+        dedup_mod.with_synthetic_dups(_docs(spark, sf_dir))
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2383,6 +2398,7 @@ _NEVER_SIGNED = [
     "streaming_quality_by_source",
     "rmat_degree_histogram",
     "winnow_dup_pairs",
+    "pretrain_funnel",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -913,3 +913,27 @@ def test_winnow_dup_pairs_ranks_injected_dup_first(spark):
     # minima for the other pairs, hence >= not >)
     assert (0, 100) in by_pair
     assert by_pair[(0, 100)] == max(by_pair.values())
+
+
+def test_pretrain_funnel_monotone_stages(spark):
+    # build a corpus with a guaranteed-keep doc, its exact dup, and a
+    # guaranteed-drop doc (too short)
+    good = ("the quick brown fox jumps over a lazy dog and then all of "
+            "the other animals watch it run far away into green woods")
+    docs2 = spark.createDataFrame(
+        [(1, good), (2, "tiny of a doc"), (100, good)],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in
+            text_mod.pretrain_funnel(docs2, budget=1000).collect()}
+    assert [rows[i]["name"] for i in range(4)] == [
+        "raw", "quality", "dedup", "budget"
+    ]
+    # monotone shrink through the funnel
+    assert (rows[0]["n_docs"], rows[0]["n_tokens"]) == (3, rows[0]["n_tokens"])
+    assert rows[1]["n_docs"] == 2          # short doc dropped
+    assert rows[2]["n_docs"] == 1          # exact dup collapsed
+    assert rows[3]["n_docs"] == 1          # fits budget
+    for i in range(3):
+        assert rows[i]["n_docs"] >= rows[i + 1]["n_docs"]
+        assert rows[i]["n_tokens"] >= rows[i + 1]["n_tokens"]
