@@ -128,6 +128,7 @@ HEADLINE = [
     "streaming_quality_by_source",
     "winnow_dup_pairs",
     "pretrain_funnel",
+    "embedding_quantize",
 ]
 
 

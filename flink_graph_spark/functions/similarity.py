@@ -747,3 +747,80 @@ SELECT label, vec_id, cos_centroid FROM (
         PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
     FROM scored
 ) WHERE rn <= {k}"""
+
+
+# ---- scalar quantization (int8 embedding compression) ----------------
+#
+# Per-dimension min/max scalar quantization to uint8 — the standard 4x
+# embedding storage compression (float32 -> 1 byte/dim) used before
+# IVF/PQ indexing at corpus scale. Plan shape: the calibration table is
+# a DIMENSION-sized aggregate (64 rows regardless of corpus size,
+# broadcast back), codes are computed map-side, and the audit output is
+# per-vector: an integer-exact code checksum (catches any engine
+# disagreement bit-for-bit) plus the reconstruction MSE scaled to ppm
+# so 6-dp rounding keeps signal. All arithmetic is forced to double on
+# both engines (float32 values widen exactly), so the DuckDB twin
+# replays it exactly.
+
+
+def embedding_quantize(emb: DataFrame, round_to: int = 6) -> DataFrame:
+    """(vec_id, code_sum, mse_ppm) for every vector."""
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    cal = dims.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.round(
+            (F.col("val") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")),
+            0,
+        ),
+    ).otherwise(F.lit(0.0))
+    joined = dims.join(F.broadcast(cal), "pos").select(
+        "vec_id", "val", "lo", "hi", code.cast("long").alias("code")
+    )
+    recon = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo")
+        + F.col("code") * (F.col("hi") - F.col("lo")) / 255.0,
+    ).otherwise(F.col("lo"))
+    return (
+        joined.select(
+            "vec_id",
+            "code",
+            ((F.col("val") - recon) * (F.col("val") - recon)).alias("e2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum("code").cast("long").alias("code_sum"),
+            F.round(F.avg("e2") * 1_000_000.0, round_to).alias("mse_ppm"),
+        )
+    )
+
+
+def embedding_quantize_sql(round_to: int = 6) -> str:
+    return f"""WITH dims AS MATERIALIZED (
+    SELECT vec_id, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+),
+cal AS MATERIALIZED (
+    SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM dims GROUP BY 1
+),
+coded AS (
+    SELECT d.vec_id, d.val, c.lo, c.hi,
+           CAST(CASE WHEN c.hi > c.lo
+                THEN ROUND((d.val - c.lo) * 255.0 / (c.hi - c.lo), 0)
+                ELSE 0.0 END AS BIGINT) AS code
+    FROM dims d JOIN cal c USING (pos)
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       ROUND(AVG(
+           POWER(val - (CASE WHEN hi > lo
+                        THEN lo + code * (hi - lo) / 255.0
+                        ELSE lo END), 2)) * 1000000.0, {round_to}) AS mse_ppm
+FROM coded
+GROUP BY 1"""

@@ -2364,6 +2364,16 @@ def pretrain_funnel(spark, sf_dir):
     )
 
 
+
+
+@_register("embedding_quantize", sim_mod.embedding_quantize_sql())
+def embedding_quantize(spark, sf_dir):
+    """int8 scalar quantization audit: per-vector integer-exact code
+    checksum + reconstruction MSE (ppm) against a dimension-sized
+    broadcast calibration table."""
+    return sim_mod.embedding_quantize(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2399,6 +2409,7 @@ _NEVER_SIGNED = [
     "rmat_degree_histogram",
     "winnow_dup_pairs",
     "pretrain_funnel",
+    "embedding_quantize",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

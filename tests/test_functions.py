@@ -937,3 +937,28 @@ def test_pretrain_funnel_monotone_stages(spark):
     for i in range(3):
         assert rows[i]["n_docs"] >= rows[i + 1]["n_docs"]
         assert rows[i]["n_tokens"] >= rows[i + 1]["n_tokens"]
+
+
+def test_embedding_quantize_roundtrip_exact_for_uniform_grid(spark):
+    # values exactly on the 255-step grid reconstruct with zero error
+    grid = [i / 255.0 for i in (0, 51, 102, 204, 255)]
+    emb = spark.createDataFrame(
+        [(i, [float(v)] * 2, 0) for i, v in enumerate(grid)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in sim_mod.embedding_quantize(emb).collect()}
+    # lo=0, hi=1 per dim; code = v*255 exactly; mse = 0
+    assert rows[0]["code_sum"] == 0
+    assert rows[4]["code_sum"] == 2 * 255
+    assert all(abs(r["mse_ppm"]) < 1e-6 for r in rows.values())
+
+
+def test_embedding_quantize_constant_dim_is_safe(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 1.0], 0), (2, [3.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in sim_mod.embedding_quantize(emb).collect()}
+    # dim 0 constant (hi == lo): code 0, reconstructs to lo, zero error
+    assert rows[1]["code_sum"] == 0          # 0 + code(1.0 -> lo) = 0
+    assert rows[2]["code_sum"] == 255        # 0 + code(2.0 -> hi) = 255
