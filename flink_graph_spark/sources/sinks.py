@@ -73,3 +73,18 @@ def read_edges_bucketed(spark: SparkSession, table: str):
     catalog; requires ``spark.sql.sources.bucketing.enabled``, on by
     default)."""
     return spark.table(table)
+
+
+def write_graph_orc(graph: Graph, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — same layout contract as the Parquet sink (edges
+    re-partitioned by src) for deployments standardized on ORC; both
+    columnar formats carry pushdown + pruning on re-read."""
+    graph.vertices.write.mode(mode).orc(f"{path}/vertices")
+    graph.edges.repartition("src").write.mode(mode).orc(f"{path}/edges")
+
+
+def read_graph_orc(spark: SparkSession, path: str) -> Graph:
+    return Graph(
+        spark.read.orc(f"{path}/vertices"),
+        spark.read.orc(f"{path}/edges"),
+    )

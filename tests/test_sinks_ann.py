@@ -211,3 +211,20 @@ def test_bucketed_edges_join_without_exchange(spark, golden):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_orc_graph_round_trip(spark, tmp_path, golden):
+    from flink_graph_spark.sources.sinks import (
+        read_graph_orc,
+        write_graph_orc,
+    )
+
+    path = str(tmp_path / "g_orc")
+    write_graph_orc(golden, path)
+    back = read_graph_orc(spark, path)
+    assert {tuple(r) for r in back.vertices.collect()} == {
+        tuple(r) for r in golden.vertices.collect()
+    }
+    assert {tuple(r) for r in back.edges.collect()} == {
+        tuple(r) for r in golden.edges.collect()
+    }
