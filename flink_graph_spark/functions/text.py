@@ -1233,12 +1233,18 @@ def pretrain_funnel(
 
     raw = docs_with_dups.select("doc_id", "text")
     qkeep = quality_filters(raw).filter("keep").select("doc_id")
-    kept = raw.join(qkeep, "doc_id", "left_semi")
+    # materialize each stage once: the budget selection alone re-derives
+    # its input three times (scored, level CDF, boundary window), and
+    # every stage's stats re-read it — at scale a funnel materializes
+    # stage outputs anyway (they ARE the pipeline's intermediate
+    # datasets). localCheckpoint stands in for the stage sink here.
+    kept = raw.join(qkeep, "doc_id", "left_semi").localCheckpoint(eager=True)
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("__m"))
     deduped = (
         kept.join(reps, "text")
         .filter(F.col("doc_id") == F.col("__m"))
         .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
     sel = token_budget_select(deduped, budget)
     sel_stats = sel.agg(
