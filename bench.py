@@ -129,6 +129,8 @@ HEADLINE = [
     "winnow_dup_pairs",
     "pretrain_funnel",
     "embedding_quantize",
+    "bipartite_projection_cs",
+    "assortativity_uu",
 ]
 
 

@@ -28,6 +28,7 @@ from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
+from .library import bipartite as bip_mod
 from .library import closeness as closeness_mod
 from .library import neighborhood as nf_mod
 from .sources import generators as gen_mod
@@ -2374,6 +2375,69 @@ def embedding_quantize(spark, sf_dir):
     return sim_mod.embedding_quantize(_emb(spark, sf_dir))
 
 
+
+
+@_register(
+    "bipartite_projection_cs",
+    _with(
+        CS_EDGES_SQL,
+        bip_mod.project_top_sql("cs_edges"),
+    ),
+)
+def bipartite_projection_cs(spark, sf_dir):
+    """Gelly BipartiteGraph.projectionTopSimple parity: customers
+    connected by shared suppliers (hub-capped self-join — worst case
+    n_suppliers x cap^2 regardless of skew), deterministic top-k."""
+    return bip_mod.project_top(_cs(spark, sf_dir))
+
+
+@_register(
+    "assortativity_uu",
+    _with(
+        UU_EDGES_SQL,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+       ROUND(corr(du, dv), 6) AS assortativity
+FROM (
+    SELECT d1.deg AS du, d2.deg AS dv
+    FROM (SELECT src, dst FROM uu_edges
+          UNION ALL SELECT dst AS src, src AS dst FROM uu_edges) e
+    JOIN (SELECT id, COUNT(*) AS deg FROM (
+              SELECT src AS id FROM uu_edges
+              UNION ALL SELECT dst FROM uu_edges) GROUP BY 1) d1
+      ON e.src = d1.id
+    JOIN (SELECT id, COUNT(*) AS deg FROM (
+              SELECT src AS id FROM uu_edges
+              UNION ALL SELECT dst FROM uu_edges) GROUP BY 1) d2
+      ON e.dst = d2.id
+)""",
+    ),
+)
+def assortativity_uu(spark, sf_dir):
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over the symmetrized edge list — one scan to the
+    degree table, two dimension joins, a single scalar agg."""
+    tune_session(spark)
+    g = user_cooccurrence_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    pairs = (
+        sym.join(deg.selectExpr("id AS src", "deg AS du"), "src")
+        .join(deg.selectExpr("id AS dst", "deg AS dv"), "dst")
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_edge_ends"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2410,6 +2474,8 @@ _NEVER_SIGNED = [
     "winnow_dup_pairs",
     "pretrain_funnel",
     "embedding_quantize",
+    "bipartite_projection_cs",
+    "assortativity_uu",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -512,3 +512,46 @@ def test_neighborhood_function_monotone(spark):
     assert got[0] <= got[1] <= got[2]
     # radius-0 ball is a single vertex; m=16 sketch error is bounded
     assert 0.4 < got[0] < 2.5
+
+
+def test_bipartite_projection_shared_counts(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.bipartite import project_top
+    # customers 1,2,3 ; suppliers 10,11: 1&2 share both, 1&3 share one
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11)],
+        "src long, dst long",
+    )
+    v = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11)], "id long"
+    )
+    got = {(r["u"], r["v"]): r["shared"]
+           for r in project_top(Graph(v, e)).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_bipartite_projection_cap_bounds_hub(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.bipartite import project_top
+    # hub supplier 99 with 10 customers, cap=3 -> only the 3 lowest ids
+    # join through it: C(3,2)=3 pairs
+    e = spark.createDataFrame(
+        [(c, 99) for c in range(10)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(10)] + [(99,)], "id long")
+    got = project_top(Graph(v, e), cap=3).collect()
+    assert {(r["u"], r["v"]) for r in got} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_assortativity_star_is_negative(spark):
+    # star graphs are maximally disassortative (hub deg n-1 joins leaves
+    # deg 1); compute via the registry's expressions on a local frame
+    import pyspark.sql.functions as F
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    sym = e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    deg = (e.selectExpr("src AS id").unionByName(e.selectExpr("dst AS id"))
+           .groupBy("id").agg(F.count("*").alias("deg")))
+    pairs = (sym.join(deg.selectExpr("id AS src", "deg AS du"), "src")
+             .join(deg.selectExpr("id AS dst", "deg AS dv"), "dst"))
+    r = pairs.agg(F.corr("du", "dv").alias("a")).collect()[0]["a"]
+    assert abs(r - (-1.0)) < 1e-9
