@@ -131,6 +131,7 @@ HEADLINE = [
     "embedding_quantize",
     "bipartite_projection_cs",
     "assortativity_uu",
+    "principal_direction",
 ]
 
 

@@ -824,3 +824,110 @@ SELECT vec_id,
                         ELSE lo END), 2)) * 1000000.0, {round_to}) AS mse_ppm
 FROM coded
 GROUP BY 1"""
+
+
+# ---- top principal direction (power iteration) -----------------------
+#
+# First principal component of the (mean-centered) embedding corpus by
+# POWER ITERATION expressed relationally: each round computes
+# v <- normalize(X^T (X v)) as two vocabulary/dimension-bounded
+# aggregations —
+#   s_i = Σ_d x_id · v_d      (per-vector dot with the current
+#                              direction; v is a dims-sized broadcast)
+#   w_d = Σ_i s_i · x_id      (dimension-keyed agg — dims rows out)
+# so no matrix is ever materialized and the only corpus-sized frame is
+# the exploded (vec_id, pos, val) view. This is how a first PC /
+# corpus-drift probe runs at 100 TB: two scans per iteration, all
+# state dimension-sized. Deterministic start vector (1/sqrt(dim) on
+# every coordinate) and a fixed iteration count make the DuckDB twin
+# an unrolled CTE chain with identical arithmetic.
+
+PCA_ITER = 4
+
+
+def principal_direction(
+    emb: DataFrame, max_iter: int = PCA_ITER, round_to: int = 6
+) -> DataFrame:
+    """(pos, loading) — unit-norm first principal direction after
+    ``max_iter`` power-iteration rounds on the centered corpus."""
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    mean = dims.groupBy("pos").agg(F.avg("val").alias("mu"))
+    x = (
+        dims.join(F.broadcast(mean), "pos")
+        .select("vec_id", "pos", (F.col("val") - F.col("mu")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n_dim = x.agg(F.countDistinct("pos")).collect()[0][0]
+    v = None  # dims-sized frame (pos, v)
+    spark = emb.sparkSession
+    v = spark.range(n_dim).select(
+        F.col("id").cast("int").alias("pos"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(n_dim)))).alias("v"),
+    )
+    for _ in range(max_iter):
+        s = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("s"))
+        )
+        w = (
+            x.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("pos", (F.col("w") / F.col("nm")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        "pos", F.round("v", round_to).alias("loading")
+    ).orderBy("pos")
+
+
+def principal_direction_sql(
+    max_iter: int = PCA_ITER, round_to: int = 6
+) -> str:
+    ctes = [
+        """pc_dims AS MATERIALIZED (
+    SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+)""",
+        """pc_x AS MATERIALIZED (
+    SELECT d.vec_id, d.pos, d.val - m.mu AS x
+    FROM pc_dims d
+    JOIN (SELECT pos, AVG(val) AS mu FROM pc_dims GROUP BY 1) m
+      ON d.pos = m.pos
+)""",
+        """pc_v0 AS MATERIALIZED (
+    SELECT pos, 1.0 / SQRT(COUNT(*) OVER ()) AS v
+    FROM (SELECT DISTINCT pos FROM pc_dims)
+)""",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""pc_w{i} AS MATERIALIZED (
+    SELECT x.pos, SUM(s.s * x.x) AS w
+    FROM pc_x x
+    JOIN (
+        SELECT x2.vec_id, SUM(x2.x * v.v) AS s
+        FROM pc_x x2 JOIN pc_v{i - 1} v ON x2.pos = v.pos
+        GROUP BY 1
+    ) s ON x.vec_id = s.vec_id
+    GROUP BY 1
+)""",
+        )
+        ctes.append(
+            f"""pc_v{i} AS MATERIALIZED (
+    SELECT pos, w / (SELECT SQRT(SUM(w * w)) FROM pc_w{i}) AS v
+    FROM pc_w{i}
+)"""
+        )
+    final = (
+        f"SELECT pos, ROUND(v, {round_to}) AS loading"
+        f" FROM pc_v{max_iter} ORDER BY pos"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -2438,6 +2438,16 @@ def assortativity_uu(spark, sf_dir):
     )
 
 
+
+
+@_register("principal_direction", sim_mod.principal_direction_sql())
+def principal_direction(spark, sf_dir):
+    """First principal component of the centered embedding corpus by
+    relational power iteration — per round two dimension-bounded aggs
+    (X^T(Xv)), state is always dims-sized, no matrix materialized."""
+    return sim_mod.principal_direction(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2476,6 +2486,7 @@ _NEVER_SIGNED = [
     "embedding_quantize",
     "bipartite_projection_cs",
     "assortativity_uu",
+    "principal_direction",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

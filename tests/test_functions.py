@@ -962,3 +962,15 @@ def test_embedding_quantize_constant_dim_is_safe(spark):
     # dim 0 constant (hi == lo): code 0, reconstructs to lo, zero error
     assert rows[1]["code_sum"] == 0          # 0 + code(1.0 -> lo) = 0
     assert rows[2]["code_sum"] == 255        # 0 + code(2.0 -> hi) = 255
+
+
+def test_principal_direction_finds_dominant_axis(spark):
+    # variance concentrated on dim 1: loadings ~ (0, ±1, 0)
+    rows = [(i, [1.0, float(i), 0.5], 0) for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["pos"]: r["loading"]
+           for r in sim_mod.principal_direction(emb).collect()}
+    assert abs(abs(got[1]) - 1.0) < 1e-4
+    assert abs(got[0]) < 1e-4 and abs(got[2]) < 1e-4
