@@ -132,6 +132,7 @@ HEADLINE = [
     "bipartite_projection_cs",
     "assortativity_uu",
     "principal_direction",
+    "kmeans_clusters",
 ]
 
 

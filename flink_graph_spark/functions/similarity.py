@@ -931,3 +931,106 @@ def principal_direction_sql(
         f" FROM pc_v{max_iter} ORDER BY pos"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+# ---- oracle-checked k-means clustering -------------------------------
+#
+# Lloyd's algorithm as pure relational algebra with a DETERMINISTIC
+# contract so the whole clustering is DuckDB-oracle-checked (the IVF
+# trainer above serves the recall-gated index path; this surface is
+# the verifiable "cluster the corpus" operator): init = the k
+# lowest-id vectors, fixed round count, argmin ties broken on cluster
+# id. Per round: one (vec, cluster, dim)-bounded distance agg + one
+# assignment window per vector + one dimension-keyed centroid update —
+# corpus-sized frames only in the distance join (corpus × k rows of
+# scalars, the unavoidable k-means work), centroids always k×dims.
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS
+) -> DataFrame:
+    """(vec_id, cluster) — assignment after ``rounds`` Lloyd rounds."""
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "pos", F.col("val").cast("double").alias("val")
+    ).localCheckpoint(eager=True)
+    cent = dims.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = None
+    for _ in range(rounds):
+        d2 = (
+            dims.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "cid")
+            .localCheckpoint(eager=True)
+        )
+        cent = (
+            dims.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+    return assign.select(
+        "vec_id", F.col("cid").cast("long").alias("cluster")
+    ).orderBy("vec_id")
+
+
+def kmeans_clusters_sql(
+    k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS
+) -> str:
+    ctes = [
+        """km_dims AS MATERIALIZED (
+    SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+)""",
+        f"""km_c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, pos, val AS cval FROM km_dims
+    WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""km_a{r} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM (
+            SELECT d.vec_id, c.cid,
+                   SUM((d.val - c.cval) * (d.val - c.cval)) AS d2
+            FROM km_dims d JOIN km_c{r - 1} c ON d.pos = c.pos
+            GROUP BY 1, 2
+        )
+    ) WHERE rn = 1
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""km_c{r} AS MATERIALIZED (
+    SELECT a.cid, d.pos, AVG(d.val) AS cval
+    FROM km_dims d JOIN km_a{r} a ON d.vec_id = a.vec_id
+    GROUP BY 1, 2
+)"""
+            )
+    final = (
+        f"SELECT vec_id, CAST(cid AS BIGINT) AS cluster"
+        f" FROM km_a{rounds} ORDER BY vec_id"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -2448,6 +2448,17 @@ def principal_direction(spark, sf_dir):
     return sim_mod.principal_direction(_emb(spark, sf_dir))
 
 
+
+
+@_register("kmeans_clusters", sim_mod.kmeans_clusters_sql())
+def kmeans_clusters(spark, sf_dir):
+    """Oracle-checked Lloyd k-means over the embedding corpus —
+    deterministic init (k lowest-id vectors), fixed rounds, tie-broken
+    argmin; the verifiable clustering surface next to the recall-gated
+    IVF trainer."""
+    return sim_mod.kmeans_clusters(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2487,6 +2498,7 @@ _NEVER_SIGNED = [
     "bipartite_projection_cs",
     "assortativity_uu",
     "principal_direction",
+    "kmeans_clusters",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -974,3 +974,17 @@ def test_principal_direction_finds_dominant_axis(spark):
            for r in sim_mod.principal_direction(emb).collect()}
     assert abs(abs(got[1]) - 1.0) < 1e-4
     assert abs(got[0]) < 1e-4 and abs(got[2]) < 1e-4
+
+
+def test_kmeans_clusters_separates_two_blobs(spark):
+    # 2 far-apart blobs; k=2, init = vec 0 (blob A) and vec 1 (blob B)
+    rows = [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 0)]
+    rows += [(i, [0.1 * i, 0.05], 0) for i in range(2, 6)]          # near A
+    rows += [(i, [10.0 + 0.1 * i, 9.9], 0) for i in range(6, 10)]   # near B
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["vec_id"]: r["cluster"]
+           for r in sim_mod.kmeans_clusters(emb, k=2).collect()}
+    assert {got[i] for i in (0, 2, 3, 4, 5)} == {0}
+    assert {got[i] for i in (1, 6, 7, 8, 9)} == {1}
