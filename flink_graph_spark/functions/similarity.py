@@ -1034,3 +1034,45 @@ def kmeans_clusters_sql(
         f" FROM km_a{rounds} ORDER BY vec_id"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+# ---- exact kNN graph (quadratic-by-contract oracle anchor) -----------
+
+
+def knn_edges(emb: DataFrame, k: int = 5) -> DataFrame:
+    """(src, dst) — each vector's exact top-k cosine neighbors (self
+    excluded, ties on vec_id). QUADRATIC BY CONTRACT like
+    ``embedding_near_dup``: this is the sf0.01 oracle anchor for
+    kNN-graph consumers; at scale swap in the LSH/IVF candidate paths
+    for the same (src, dst) contract."""
+    n = with_norm(emb)
+    a = n.select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cos = dot_expr("ea", "e") / (F.col("na") * F.col("nrm"))
+    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("vec_id"))
+    return (
+        a.join(n, F.col("src") != F.col("vec_id"))
+        .withColumn("__cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+
+
+def knn_edges_sql(k: int = 5) -> str:
+    """CTE `knn_edges` (composes after EMB_NORM_SQL)."""
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> a.e[i] * c.e[i])), (acc, x) -> acc + x)"
+        " / (a.nrm * c.nrm)"
+    )
+    return f"""knn_edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, c.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, c.vec_id ASC) AS rn
+    FROM emb_norm a JOIN emb_norm c ON a.vec_id <> c.vec_id
+  ) WHERE rn <= {k}
+)"""

@@ -94,3 +94,92 @@ class LabelPropagation(GraphAlgorithm):
     def run(self, graph: Graph) -> Graph:
         labels = label_propagation(graph, self.max_iter)
         return Graph(labels.withColumnRenamed("label", "value"), graph.edges)
+
+
+def label_spread(
+    graph: Graph,
+    max_iter: int = 3,
+    label_col: str = "value",
+    seed_col: str = "seed",
+    unlabeled: int = -1,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Semi-supervised label SPREADING (Zhu & Ghahramani-style, mode
+    vote): seed vertices are CLAMPED to their label; unlabeled vertices
+    (label = ``unlabeled``) adopt the most frequent label among their
+    LABELED in-neighbors each round (ties → max label), keeping
+    ``unlabeled`` while no labeled neighbor exists. The sparse-labels →
+    similarity-graph → full-labels pattern used to extend a small
+    human-labeled set over a corpus. Same plan shape as
+    ``label_propagation`` — the labeled-sender filter only shrinks the
+    message frame."""
+    owns_edge_cache = not graph.src_partitioned
+    if owns_edge_cache:
+        edges = graph.edges.select("src", "dst").repartition("src").persist()
+    else:
+        edges = graph.edges.select("src", "dst")
+    labels = graph.vertices.select(
+        "id", F.col(label_col).alias("label"), F.col(seed_col).alias("seed")
+    ).localCheckpoint(eager=True)
+
+    for it in range(1, max_iter + 1):
+        senders = labels.filter(F.col("label") != unlabeled)
+        msgs = edges.join(senders, edges["src"] == senders["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        counts = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        picked = counts.groupBy("id").agg(
+            F.max(F.struct("cnt", "label"))["label"].alias("new_label")
+        )
+        labels = labels.join(picked, "id", "left").select(
+            "id",
+            F.when(F.col("seed"), F.col("label"))
+            .otherwise(F.coalesce("new_label", "label"))
+            .alias("label"),
+            "seed",
+        )
+        if it % checkpoint_every == 0 or it == max_iter:
+            labels = labels.localCheckpoint(eager=True)
+    if owns_edge_cache:
+        edges.unpersist()
+    return labels.select("id", "label")
+
+
+def spread_oracle_ctes(
+    edges_cte: str,
+    vertices_cte: str,
+    max_iter: int = 3,
+    label_expr: str = "value",
+    seed_expr: str = "seed",
+    unlabeled: int = -1,
+) -> tuple[str, str]:
+    """(CTE text, final SELECT) — unrolled clamped label spreading."""
+    ctes = [
+        f"sp0 AS MATERIALIZED (SELECT id, {label_expr} AS label,"
+        f" {seed_expr} AS seed FROM {vertices_cte})"
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""sp{i} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.seed THEN v.label
+              ELSE COALESCE(p.label, v.label) END AS label,
+         v.seed
+  FROM sp{i - 1} v
+  LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT id, label,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY cnt DESC, label DESC) AS rn
+      FROM (
+        SELECT e.dst AS id, s.label, COUNT(*) AS cnt
+        FROM sp{i - 1} s JOIN {edges_cte} e ON s.id = e.src
+        WHERE s.label <> {unlabeled}
+        GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+  ) p ON v.id = p.id
+)"""
+        )
+    final = f"SELECT id, label FROM sp{max_iter}"
+    return ",\n".join(ctes), final

@@ -2459,6 +2459,50 @@ def kmeans_clusters(spark, sf_dir):
     return sim_mod.kmeans_clusters(_emb(spark, sf_dir))
 
 
+
+
+@_register(
+    "embedding_label_spread",
+    _with(
+        sim_mod.EMB_NORM_SQL.strip(),
+        sim_mod.knn_edges_sql(5),
+        """els_sym AS MATERIALIZED (
+  SELECT src, dst FROM knn_edges
+  UNION SELECT dst AS src, src AS dst FROM knn_edges)""",
+        """els_v AS MATERIALIZED (
+  SELECT vec_id AS id,
+         CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT)
+              ELSE -1 END AS value,
+         vec_id % 5 = 0 AS seed
+  FROM embeddings)""",
+        *lpa_mod.spread_oracle_ctes("els_sym", "els_v", max_iter=3),
+    ),
+)
+def embedding_label_spread(spark, sf_dir):
+    """Semi-supervised label spreading over the exact kNN similarity
+    graph: 20% of vectors keep their true label (clamped seeds), the
+    rest start unlabeled (-1) and adopt the mode of labeled neighbors
+    over 3 rounds — the sparse-human-labels -> full-corpus-labels
+    pattern. kNN build is the quadratic-by-contract sf0.01 anchor
+    (swap the LSH/IVF candidate paths in at scale)."""
+    from .graph import Graph
+    from .library import label_propagation as _lpa
+
+    emb = _emb(spark, sf_dir)
+    e = sim_mod.knn_edges(emb, 5)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label").cast("long"))
+        .otherwise(F.lit(-1))
+        .alias("value"),
+        (F.col("vec_id") % 5 == 0).alias("seed"),
+    )
+    return _lpa.label_spread(Graph(v, sym), max_iter=3)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2499,6 +2543,7 @@ _NEVER_SIGNED = [
     "assortativity_uu",
     "principal_direction",
     "kmeans_clusters",
+    "embedding_label_spread",
     "scc_fixture",
     "streaming_click_purchase",
     "summarize_nation_vertices",

@@ -988,3 +988,30 @@ def test_kmeans_clusters_separates_two_blobs(spark):
            for r in sim_mod.kmeans_clusters(emb, k=2).collect()}
     assert {got[i] for i in (0, 2, 3, 4, 5)} == {0}
     assert {got[i] for i in (1, 6, 7, 8, 9)} == {1}
+
+
+def test_label_spread_clamps_seeds_and_fills_path(spark):
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.label_propagation import label_spread
+    import pyspark.sql.functions as FF
+    # path 1-2-3-4-5 (symmetrized); seeds: 1 (label 7), 5 (label 9)
+    e = spark.createDataFrame(
+        [(a, b) for a, b in ((1, 2), (2, 3), (3, 4), (4, 5))]
+        + [(b, a) for a, b in ((1, 2), (2, 3), (3, 4), (4, 5))],
+        "src long, dst long",
+    )
+    v = spark.createDataFrame(
+        [(1, 7, True), (2, -1, False), (3, -1, False),
+         (4, -1, False), (5, 9, True)],
+        "id long, value long, seed boolean",
+    )
+    one = {r["id"]: r["label"]
+           for r in label_spread(Graph(v, e), max_iter=1).collect()}
+    # round 1: only seed-adjacent vertices adopt; middle stays unlabeled
+    assert one == {1: 7, 2: 7, 3: -1, 4: 9, 5: 9}
+    got = {r["id"]: r["label"]
+           for r in label_spread(Graph(v, e), max_iter=3).collect()}
+    assert got[1] == 7 and got[5] == 9            # seeds stay clamped
+    # ties resolve to the max label and cascade: 9 wins the middle and
+    # then (via the relabeled middle) vertex 2's round-3 tie as well
+    assert got[3] == 9 and got[4] == 9 and got[2] == 9
