@@ -2484,7 +2484,16 @@ def embedding_label_spread(spark, sf_dir):
     rest start unlabeled (-1) and adopt the mode of labeled neighbors
     over 3 rounds — the sparse-human-labels -> full-corpus-labels
     pattern. kNN build is the quadratic-by-contract sf0.01 anchor
-    (swap the LSH/IVF candidate paths in at scale)."""
+    (swap the LSH/IVF candidate paths in at scale).
+
+    Note on semantics vs data: the SYNTHETIC embedding labels are not
+    neighborhood-correlated (measured spread-vs-true agreement ~11% =
+    chance over ~9 classes at sf0.001 and sf0.01), so this query
+    verifies the MECHANISM exactly (hash-matched oracle; every
+    non-seed acquires a label within 3 rounds) rather than asserting
+    accuracy the data cannot support — on real corpora with
+    cluster-correlated labels the same operator performs the actual
+    labeling task."""
     from .graph import Graph
     from .library import label_propagation as _lpa
 
