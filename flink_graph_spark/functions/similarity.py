@@ -1076,3 +1076,86 @@ def knn_edges_sql(k: int = 5) -> str:
     FROM emb_norm a JOIN emb_norm c ON a.vec_id <> c.vec_id
   ) WHERE rn <= {k}
 )"""
+
+
+# ---- per-dimension statistics (standardization fit) ------------------
+
+def embedding_dim_stats(emb: DataFrame, round_to: int = 6) -> DataFrame:
+    """(dim, n, mean, std) — the fitted diagonal standardization /
+    whitening transform for the embedding space, one row per dimension
+    (1-based, matching DuckDB ordinality).
+
+    Scale shape: one posexplode (rows = n×DIM, all map-side) into a
+    DIM-bounded hash aggregate — partial aggregation compresses every
+    partition to ≤DIM rows before the exchange, so the shuffle is
+    O(partitions×DIM) regardless of corpus size. This is the first
+    pass of any PCA/whitening/quantizer fit over the corpus.
+    """
+    d = emb.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x")
+    )
+    return d.groupBy((F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("x"), round_to).alias("mean"),
+        F.round(F.stddev_pop("x"), round_to).alias("std"),
+    )
+
+
+def embedding_dim_stats_sql(round_to: int = 6) -> str:
+    return f"""SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), {round_to}) AS mean,
+       ROUND(stddev_pop(x), {round_to}) AS std
+FROM (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings)
+GROUP BY 1"""
+
+
+# ---- corpus-geometry cosine histogram --------------------------------
+
+def cosine_pair_histogram(emb: DataFrame, round_to: int = 6) -> DataFrame:
+    """(bucket, n_pairs, mean_cos) — cosine of every (vec_id, vec_id+1)
+    pair, bucketed at 0.1 (bucket = floor(cos·10), clamped to [-10, 9]).
+
+    The standard corpus-geometry diagnostic (is the embedding space
+    collapsing? how separated are labels?) at O(n) cost: the pairing is
+    a deterministic self equi-join on vec_id+1 — a sort-free shuffle on
+    the id, never the quadratic pair space. Cosine uses the same
+    portable left-fold as every other similarity op, so the bucket
+    boundary is bit-identical in the oracle.
+    """
+    n = with_norm(emb)
+    a = n.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        (F.col("vec_id") - 1).alias("va"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
+    pairs = a.join(b, "va").withColumn("__cos", cos)
+    bucket = F.least(
+        F.greatest(F.floor(F.col("__cos") * 10), F.lit(-10)), F.lit(9)
+    )
+    return pairs.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("__cos"), round_to).alias("mean_cos"),
+    )
+
+
+def cosine_pair_histogram_sql(round_to: int = 6) -> str:
+    return f"""WITH {EMB_NORM_SQL.strip()},
+cp_pairs AS MATERIALIZED (
+  SELECT {COS_SQL} AS cos
+  FROM emb_norm a JOIN emb_norm b ON a.vec_id + 1 = b.vec_id)
+SELECT CAST(LEAST(GREATEST(FLOOR(cos * 10), -10), 9) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(cos), {round_to}) AS mean_cos
+FROM cp_pairs GROUP BY 1"""

@@ -1304,3 +1304,182 @@ SELECT 3, 'budget', CAST(COUNT(*) AS BIGINT),
 FROM ({budget_final})
 ) ORDER BY stage"""
     return (*ctes, final)
+
+
+# ---- vocabulary coverage ---------------------------------------------
+#
+# The tokenizer-design feedback loop: fit a frequency top-V vocabulary
+# on the corpus, then report each source's out-of-vocabulary token rate
+# against it. Scale shape: token occurrences are one map-side explode;
+# the vocabulary fit is a vocab-bounded aggregate followed by a global
+# top-k (TakeOrdered, no full sort); the fitted vocab is broadcast back
+# onto the occurrence stream — the scan never shuffles on token.
+
+VOCAB_TOP_V = 16  # the synthetic corpus has a 31-word vocabulary; a
+# realistic run uses 2^15..2^17 — the plan shape is V-independent
+
+
+def vocab_coverage(
+    docs: DataFrame, top_v: int = VOCAB_TOP_V, round_to: int = 6
+) -> DataFrame:
+    """(source, n_tokens, n_oov, oov_rate) — OOV rate per source against
+    the corpus-global top-``top_v`` vocabulary (count DESC, token ASC
+    tie-break, so the cutoff is deterministic)."""
+    toks = docs.select("source", F.explode(_tokens()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_v)
+        .select("tok", F.lit(1).alias("__inv"))
+    )
+    oov = F.count(F.when(F.col("__inv").isNull(), 1))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov / F.count("*"), round_to).alias("oov_rate"),
+        )
+    )
+
+
+def vocab_coverage_sql(
+    top_v: int = VOCAB_TOP_V, round_to: int = 6
+) -> tuple[str, str]:
+    """(CTEs, final SELECT) DuckDB twin."""
+    ctes = f"""vc_tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+vc_vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM vc_tok GROUP BY 1)
+  ORDER BY cnt DESC, tok ASC LIMIT {top_v})"""
+    final = f"""SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), {round_to}) AS oov_rate
+FROM vc_tok t LEFT JOIN vc_vocab v ON t.tok = v.tok
+GROUP BY 1"""
+    return ctes, final
+
+
+# ---- Bloom-filter blocklist screen -----------------------------------
+#
+# The standard 100 TB "does this doc mention a blocked term" pattern:
+# fit a tiny Bloom filter over the blocklist ONCE (driver-side — the
+# blocklist is KBs), broadcast its bit set as a literal into a map-side
+# membership predicate, and confirm candidates exactly. The per-source
+# report keeps the false-positive column visible so the filter's
+# m/k operating point is observable, not assumed. All hash arithmetic
+# is the engine-portable md5-prefix + affine family from
+# ``functions.hashing`` (hashlib.md5 == Spark md5 == DuckDB md5), so
+# the DuckDB twin replays the filter bit-for-bit.
+
+BLOCKLIST = ("slow", "broken", "spam")
+BLOOM_M = 256  # bits
+BLOOM_K = 3  # hash functions
+
+
+def bloom_bits(
+    tokens: tuple[str, ...] = BLOCKLIST, m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """Set-bit positions of the fitted filter (driver-side fit)."""
+    import hashlib
+
+    from .hashing import MINHASH_A, MINHASH_B, MINHASH_P
+
+    bits = set()
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for j in range(k):
+            bits.add(((MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_P) % m)
+    return sorted(bits)
+
+
+def _bloom_pred_sql(hcol: str, m: int, k: int, bits: list[int]) -> str:
+    """Membership predicate over a pre-bound hash column — identical
+    text in Spark SQL and DuckDB."""
+    from .hashing import MINHASH_A, MINHASH_B, MINHASH_P
+
+    lst = ", ".join(str(b) for b in bits)
+    return " AND ".join(
+        f"((({MINHASH_A[j]} * {hcol} + {MINHASH_B[j]}) % {MINHASH_P}) % {m})"
+        f" IN ({lst})"
+        for j in range(k)
+    )
+
+
+def bloom_blocklist(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(source, n_docs, candidate_docs, flagged_docs, bloom_fp_docs) —
+    Bloom-candidate vs exactly-confirmed blocklisted docs per source.
+
+    The token hash is bound ONCE in a lower projection (the md5 is the
+    expensive part; see SCALING.md §11 on lambda-body re-evaluation) and
+    the k probe positions are cheap affine transforms above it."""
+    from .hashing import h32
+
+    bits = bloom_bits(blocklist, m, k)
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(_tokens())).alias("tok"),
+    ).withColumn("h", h32(F.col("tok")))
+    block_in = ", ".join(f"'{t}'" for t in blocklist)
+    flags = toks.select(
+        "source",
+        "doc_id",
+        F.expr(_bloom_pred_sql("h", m, k, bits)).cast("int").alias("cand"),
+        F.expr(f"tok IN ({block_in})").cast("int").alias("ex"),
+    )
+    per_doc = flags.groupBy("source", "doc_id").agg(
+        F.max("cand").alias("cand"), F.max("ex").alias("ex")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("cand").cast("long").alias("candidate_docs"),
+        F.sum("ex").cast("long").alias("flagged_docs"),
+        F.sum(
+            F.when((F.col("cand") == 1) & (F.col("ex") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bloom_fp_docs"),
+    )
+
+
+def bloom_blocklist_sql(
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> tuple[str, str]:
+    """(CTEs, final SELECT) DuckDB twin of :func:`bloom_blocklist`."""
+    from .hashing import h32_sql
+
+    bits = bloom_bits(blocklist, m, k)
+    block_in = ", ".join(f"'{t}'" for t in blocklist)
+    ctes = f"""bl_h AS MATERIALIZED (
+  SELECT source, doc_id, tok, {h32_sql('tok')} AS h FROM (
+    SELECT source, doc_id,
+           unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents)),
+bl_doc AS MATERIALIZED (
+  SELECT source, doc_id,
+         MAX(CASE WHEN {_bloom_pred_sql('h', m, k, bits)}
+             THEN 1 ELSE 0 END) AS cand,
+         MAX(CASE WHEN tok IN ({block_in}) THEN 1 ELSE 0 END) AS ex
+  FROM bl_h GROUP BY 1, 2)"""
+    final = """SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(cand) AS BIGINT) AS candidate_docs,
+       CAST(SUM(ex) AS BIGINT) AS flagged_docs,
+       CAST(SUM(CASE WHEN cand = 1 AND ex = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bloom_fp_docs
+FROM bl_doc GROUP BY 1"""
+    return ctes, final

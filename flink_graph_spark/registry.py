@@ -2512,6 +2512,39 @@ def embedding_label_spread(spark, sf_dir):
     return _lpa.label_spread(Graph(v, sym), max_iter=3)
 
 
+# ---- round-3b: vocabulary / blocklist / embedding geometry -----------
+
+
+@_register("vocab_coverage", _with(*text_mod.vocab_coverage_sql()))
+def vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate against a corpus-fitted top-V vocabulary
+    (tokenizer-design feedback loop: fit once, broadcast, one scan)."""
+    return text_mod.vocab_coverage(_docs(spark, sf_dir))
+
+
+@_register("bloom_blocklist", _with(*text_mod.bloom_blocklist_sql()))
+def bloom_blocklist(spark, sf_dir):
+    """Bloom-prefiltered blocklist screen per source: candidate vs
+    exactly-confirmed docs, with the false-positive column kept visible
+    so the m/k operating point is observable."""
+    return text_mod.bloom_blocklist(_docs(spark, sf_dir))
+
+
+@_register("embedding_dim_stats", sim_mod.embedding_dim_stats_sql())
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std of the embedding space — the fitted
+    standardization (whitening diagonal); DIM-bounded aggregate."""
+    return sim_mod.embedding_dim_stats(_emb(spark, sf_dir))
+
+
+@_register("cosine_pair_histogram", sim_mod.cosine_pair_histogram_sql())
+def cosine_pair_histogram(spark, sf_dir):
+    """Corpus-geometry diagnostic: cosine of consecutive-id pairs,
+    0.1-bucketed — O(n) self equi-join, never the quadratic pair
+    space."""
+    return sim_mod.cosine_pair_histogram(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2526,6 +2559,10 @@ def embedding_label_spread(spark, sf_dir):
 # Never driver-signed (r2 budget cut off at 50, plus round-3
 # additions): highest priority.
 _NEVER_SIGNED = [
+    "vocab_coverage",
+    "bloom_blocklist",
+    "embedding_dim_stats",
+    "cosine_pair_histogram",
     "pagerank_bucketed_cs",
     "quality_filters",
     "passage_dedup",

@@ -1015,3 +1015,66 @@ def test_label_spread_clamps_seeds_and_fills_path(spark):
     # ties resolve to the max label and cascade: 9 wins the middle and
     # then (via the relabeled middle) vertex 2's round-3 tie as well
     assert got[3] == 9 and got[4] == 9 and got[2] == 9
+
+
+def test_vocab_coverage_oov_rate(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b", "web"),
+            (2, "a b rare", "web"),
+            (3, "a a a a", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # top-2 vocab by count: a(8), b(2); 'rare' is OOV
+    out = {r["source"]: r.asDict() for r in text_mod.vocab_coverage(d, top_v=2).collect()}
+    assert out["web"]["n_tokens"] == 7
+    assert out["web"]["n_oov"] == 1
+    assert out["web"]["oov_rate"] == round(1 / 7, 6)
+    assert out["book"]["n_oov"] == 0
+
+
+def test_bloom_blocklist_exact_subset_of_candidates(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "clean text here", "web"),
+            (2, "very slow page", "web"),
+            (3, "spam spam spam", "ads"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in text_mod.bloom_blocklist(d).collect()}
+    # no false negatives ever: flagged <= candidates, and the two
+    # blocklisted docs are flagged
+    assert out["web"]["flagged_docs"] == 1
+    assert out["ads"]["flagged_docs"] == 1
+    for r in out.values():
+        assert r["flagged_docs"] <= r["candidate_docs"]
+        assert r["bloom_fp_docs"] == r["candidate_docs"] - r["flagged_docs"]
+
+
+def test_embedding_dim_stats_hand_computed(spark):
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r.asDict() for r in sim_mod.embedding_dim_stats(e).collect()}
+    assert out[1]["mean"] == 2.0 and out[1]["std"] == 1.0
+    assert out[2]["mean"] == 0.0 and out[2]["std"] == 0.0
+    assert out[1]["n"] == 2
+
+
+def test_cosine_pair_histogram_buckets(spark):
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # cos(1,2) = 1.0 -> clamped bucket 9
+            (3, [-1.0, 0.0]),  # cos(2,3) = -1.0 -> clamped bucket -10
+            (5, [0.0, 1.0]),   # gap: no pair (3,5)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["bucket"]: r.asDict() for r in sim_mod.cosine_pair_histogram(e).collect()}
+    assert out[9]["n_pairs"] == 1 and out[9]["mean_cos"] == 1.0
+    assert out[-10]["n_pairs"] == 1
+    assert sum(r["n_pairs"] for r in out.values()) == 2
