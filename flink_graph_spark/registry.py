@@ -28,6 +28,7 @@ from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
+from .library import betweenness as btw_mod
 from .library import bipartite as bip_mod
 from .library import closeness as closeness_mod
 from .library import neighborhood as nf_mod
@@ -2545,6 +2546,18 @@ def cosine_pair_histogram(spark, sf_dir):
     return sim_mod.cosine_pair_histogram(_emb(spark, sf_dir))
 
 
+@_register("betweenness_grid", btw_mod.grid_oracle_sql(4, 4))
+def betweenness_grid(spark, sf_dir):
+    """Exact betweenness centrality via batched all-sources Brandes on
+    the 4×4 grid: all 16 forward BFS sweeps run as ONE loop over a
+    composite (source, vertex) key, then one backward dependency sweep
+    per level. Oracle enumerates every shortest path — checks the
+    definition, not the recurrence."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        return btw_mod.betweenness(gen_mod.grid_graph(spark, 4, 4), max_depth=6)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2559,6 +2572,7 @@ def cosine_pair_histogram(spark, sf_dir):
 # Never driver-signed (r2 budget cut off at 50, plus round-3
 # additions): highest priority.
 _NEVER_SIGNED = [
+    "betweenness_grid",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

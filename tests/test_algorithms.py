@@ -555,3 +555,36 @@ def test_assortativity_star_is_negative(spark):
              .join(deg.selectExpr("id AS dst", "deg AS dv"), "dst"))
     r = pairs.agg(F.corr("du", "dv").alias("a")).collect()[0]["a"]
     assert abs(r - (-1.0)) < 1e-9
+
+
+def test_betweenness_path_graph(spark):
+    """Path 1-2-3: only vertex 2 is interior; ordered pairs (1,3),(3,1)
+    each pass through it -> bc(2) = 2, endpoints 0."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.betweenness import betweenness
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(Graph(v, e), max_depth=2).collect()
+    }
+    assert got == {1: 0.0, 2: 2.0, 3: 0.0}
+
+
+def test_betweenness_square_splits_paths(spark):
+    """4-cycle: each opposite-corner pair has TWO shortest paths, so
+    every vertex carries 2 * (1/2 + 1/2) / ... = 1.0 in the ordered-pair
+    convention (pairs (0,2),(2,0) split across 1 and 3, etc.)."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.betweenness import betweenness
+
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(Graph(v, e), max_depth=2).collect()
+    }
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
