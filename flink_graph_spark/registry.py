@@ -29,6 +29,7 @@ from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import betweenness as btw_mod
+from .library import dag as dag_mod
 from .library import bipartite as bip_mod
 from .library import closeness as closeness_mod
 from .library import neighborhood as nf_mod
@@ -2558,6 +2559,19 @@ def betweenness_grid(spark, sf_dir):
         return btw_mod.betweenness(gen_mod.grid_graph(spark, 4, 4), max_depth=6)
 
 
+@_register("dag_longest_path", dag_mod.grid_dag_oracle_sql(5, 5))
+def dag_longest_path(spark, sf_dir):
+    """Critical-path analytics: longest weighted path + topological
+    level per vertex on the 5x5 grid DAG — 8 bounded relax-all rounds,
+    one join + one max-agg each; oracle enumerates every monotone
+    path."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        return dag_mod.dag_longest_path(
+            dag_mod.weighted_grid_dag(spark, 5, 5), max_rounds=8
+        )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2573,6 +2587,7 @@ def betweenness_grid(spark, sf_dir):
 # additions): highest priority.
 _NEVER_SIGNED = [
     "betweenness_grid",
+    "dag_longest_path",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

@@ -588,3 +588,37 @@ def test_betweenness_square_splits_paths(spark):
         for r in betweenness(Graph(v, e), max_depth=2).collect()
     }
     assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_dag_longest_path_chain(spark):
+    """Chain 0->1->2 with weights 5, 7: longest at 2 is 12, levels are
+    the topological depth."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.dag import dag_longest_path
+
+    v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 7)], "src long, dst long, value long"
+    )
+    got = {
+        r["id"]: (r["level"], r["longest"])
+        for r in dag_longest_path(Graph(v, e), max_rounds=3).collect()
+    }
+    assert got == {0: (0, 0), 1: (1, 5), 2: (2, 12)}
+
+
+def test_dag_longest_path_cycle_saturates_level(spark):
+    """On a 2-cycle the bounded run reports K-hop maxima: level hits
+    max_rounds — the standard bounded-relaxation cycle detector."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.dag import dag_longest_path
+
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1)], "src long, dst long, value long"
+    )
+    got = {
+        r["id"]: r["level"]
+        for r in dag_longest_path(Graph(v, e), max_rounds=4).collect()
+    }
+    assert got[0] == 4 and got[1] == 4
