@@ -154,3 +154,43 @@ FROM (
         )
     final = "\nUNION ALL\n".join(selects)
     return ",\n".join(ctes), final
+
+
+def effective_diameter(
+    graph: Graph, max_r: int = 4, frac: float = 0.9, round_to: int = 6
+) -> DataFrame:
+    """(eff_diameter, reach_est) — the smallest radius whose average
+    ball size reaches ``frac`` of the radius-``max_r`` ball (the
+    standard HyperANF effective-diameter readout; Boldi et al. use the
+    same 90% rule). One row. The comparison runs on the ROUNDED curve
+    in both engines, so the oracle boundary is bit-identical."""
+    nf = neighborhood_function(graph, max_r, round_to)
+    nmax = nf.filter(F.col("r") == max_r).select(
+        F.col("avg_ball_est").alias("nmax")
+    )
+    return (
+        nf.crossJoin(nmax)
+        .filter(F.col("avg_ball_est") >= F.lit(frac) * F.col("nmax"))
+        .agg(
+            F.min("r").cast("long").alias("eff_diameter"),
+            F.max("nmax").alias("reach_est"),
+        )
+    )
+
+
+def effective_diameter_oracle(
+    edges_cte: str,
+    vertices_cte: str,
+    max_r: int = 4,
+    frac: float = 0.9,
+    round_to: int = 6,
+) -> tuple[str, str, str]:
+    """(NF CTEs, curve CTE, final SELECT) for :func:`effective_diameter`."""
+    ctes, final = oracle_ctes(edges_cte, vertices_cte, max_r, round_to)
+    curve = f"nf_curve AS MATERIALIZED ({final})"
+    sel = f"""SELECT CAST(MIN(r) AS BIGINT) AS eff_diameter,
+       MAX(nmax) AS reach_est
+FROM nf_curve, (SELECT avg_ball_est AS nmax FROM nf_curve
+                WHERE r = {max_r})
+WHERE avg_ball_est >= {frac} * nmax"""
+    return ctes, curve, sel

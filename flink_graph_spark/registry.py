@@ -2572,6 +2572,24 @@ def dag_longest_path(spark, sf_dir):
         )
 
 
+@_register(
+    "effective_diameter_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_vertices AS (
+  SELECT src AS id FROM uu_edges UNION SELECT dst FROM uu_edges)""",
+        *nf_mod.effective_diameter_oracle("uu_edges", "uu_vertices", max_r=4),
+    ),
+)
+def effective_diameter_uu(spark, sf_dir):
+    """HyperANF effective diameter (90% rule over the neighborhood
+    function, r=0..4) on the user co-occurrence graph."""
+    tune_session(spark)
+    return nf_mod.effective_diameter(
+        user_cooccurrence_graph(spark, sf_dir), max_r=4
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2588,6 +2606,7 @@ def dag_longest_path(spark, sf_dir):
 _NEVER_SIGNED = [
     "betweenness_grid",
     "dag_longest_path",
+    "effective_diameter_uu",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

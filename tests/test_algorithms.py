@@ -622,3 +622,24 @@ def test_dag_longest_path_cycle_saturates_level(spark):
         for r in dag_longest_path(Graph(v, e), max_rounds=4).collect()
     }
     assert got[0] == 4 and got[1] == 4
+
+
+def test_effective_diameter_cycle(spark):
+    """On an 8-cycle the ball keeps growing through r=4, so the 90%
+    readout lands at the curve's tail; the readout row is well-formed
+    and reach_est equals the r=4 curve point."""
+    from flink_graph_spark.library.neighborhood import (
+        effective_diameter,
+        neighborhood_function,
+    )
+    from flink_graph_spark.sources.generators import cycle_graph
+
+    g = cycle_graph(spark, 8)
+    row = effective_diameter(g, max_r=4).collect()[0]
+    curve = {r["r"]: r["avg_ball_est"] for r in neighborhood_function(g, 4).collect()}
+    assert 0 <= row["eff_diameter"] <= 4
+    assert row["reach_est"] == curve[4]
+    # eff_diameter is the FIRST r whose ball reaches 90% of the tail
+    assert curve[row["eff_diameter"]] >= 0.9 * curve[4]
+    if row["eff_diameter"] > 0:
+        assert curve[row["eff_diameter"] - 1] < 0.9 * curve[4]
