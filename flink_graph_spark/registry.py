@@ -29,6 +29,7 @@ from .library import label_propagation as lpa_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import betweenness as btw_mod
+from .library import coloring as col_mod
 from .library import dag as dag_mod
 from .library import bipartite as bip_mod
 from .library import closeness as closeness_mod
@@ -2590,6 +2591,16 @@ def effective_diameter_uu(spark, sf_dir):
     )
 
 
+@_register("graph_coloring_grid", col_mod.grid_oracle_sql(4, 4, 6))
+def graph_coloring_grid(spark, sf_dir):
+    """Iterated-MIS (Luby / Jones-Plassmann) proper coloring with
+    portable hash priorities on the 4x4 grid — one MIS round per color;
+    oracle replays the rounds unrolled."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        return col_mod.color_graph(gen_mod.grid_graph(spark, 4, 4), max_rounds=6)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2607,6 +2618,7 @@ _NEVER_SIGNED = [
     "betweenness_grid",
     "dag_longest_path",
     "effective_diameter_uu",
+    "graph_coloring_grid",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

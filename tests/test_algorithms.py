@@ -643,3 +643,31 @@ def test_effective_diameter_cycle(spark):
     assert curve[row["eff_diameter"]] >= 0.9 * curve[4]
     if row["eff_diameter"] > 0:
         assert curve[row["eff_diameter"] - 1] < 0.9 * curve[4]
+
+
+def test_coloring_is_proper_and_complete_on_grid(spark):
+    """Every vertex colored within the fixture round budget and no edge
+    joins two same-colored endpoints."""
+    from flink_graph_spark.library.coloring import color_graph
+    from flink_graph_spark.sources.generators import grid_graph
+
+    g = grid_graph(spark, 4, 4)
+    colors = {r["id"]: r["color"] for r in color_graph(g, 6).collect()}
+    assert all(c is not None for c in colors.values())
+    for e in g.edges.select("src", "dst").collect():
+        assert colors[e["src"]] != colors[e["dst"]]
+
+
+def test_coloring_respects_round_budget(spark):
+    """A triangle needs 3 rounds; with max_rounds=1 only the global
+    priority winner is colored, the rest stay NULL (reported, not
+    hidden)."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.coloring import color_graph
+
+    v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    colors = [r["color"] for r in color_graph(Graph(v, e), 1).collect()]
+    assert sorted(colors, key=lambda x: (x is None, x)) == [1, None, None]
