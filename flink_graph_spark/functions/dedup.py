@@ -105,11 +105,9 @@ FROM documents"""
 NGRAM_MAX_DF = 100
 
 
-def _pair_jaccard(sh: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
-    """(da, db, jaccard) for all pairs sharing ≥1 surviving shingle —
-    df-capped inverted index join, intersection counts, |A|+|B|-∩
-    union sizes (sizes over the same capped universe).
-    """
+def _pair_counts(sh: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """(da, db, inter, sza, szb) over the df-capped shingle universe —
+    the shared inverted-index pass behind Jaccard AND containment."""
     hot = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(
         F.col("__df") > F.lit(max_df)
     )
@@ -128,18 +126,22 @@ def _pair_jaccard(sh: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
-    return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .select(
-            "da",
-            "db",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    return inter.join(sa, "da").join(sb, "db")
+
+
+def _pair_jaccard(sh: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
+    """(da, db, jaccard) for all pairs sharing ≥1 surviving shingle —
+    df-capped inverted index join, intersection counts, |A|+|B|-∩
+    union sizes (sizes over the same capped universe).
+    """
+    return _pair_counts(sh, max_df).select(
+        "da",
+        "db",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -206,6 +208,114 @@ pair_jaccard_capped AS MATERIALIZED (
 DEDUP_NGRAM_TOPK_SQL = """
 SELECT da, db, jaccard FROM pair_jaccard_capped
 ORDER BY jaccard DESC, da ASC, db ASC LIMIT 50"""
+
+
+def ngram_containment_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k pairs by CONTAINMENT — inter / min(|A|, |B|) — over the
+    same df-capped shingle universe as the Jaccard ranking. Containment
+    is the quote/subset detector Jaccard misses: a short doc fully
+    embedded in a long one scores 1.0 here but near 0 on Jaccard
+    (the union is dominated by the long doc). Shares the inverted-index
+    pass; deterministic (containment DESC, da, db) order."""
+    return (
+        _pair_counts(doc_shingles(docs))
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("sza"), F.col("szb")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("da"), F.asc("db"))
+        .limit(k)
+    )
+
+
+# composes after PAIR_JACCARD_CAPPED_SQL (reuses pairc_inter/shc_sizes)
+NGRAM_CONTAINMENT_TOPK_SQL = """
+SELECT p.da, p.db,
+       ROUND(CAST(p.inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)
+           AS containment
+FROM pairc_inter p
+JOIN shc_sizes sa ON p.da = sa.doc_id
+JOIN shc_sizes sb ON p.db = sb.doc_id
+ORDER BY containment DESC, da ASC, db ASC LIMIT 50"""
+
+
+# ---- cross-source shingle overlap ------------------------------------
+
+def cross_source_overlap(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(source_a, source_b, shared, jaccard) — distinct-shingle overlap
+    between every source pair: the corpus-provenance health check
+    (mirrors of each other? shared boilerplate? leaked splits?).
+
+    Scale shape: the join key is a SOURCE-distinct shingle, so each
+    shingle contributes at most C(n_sources, 2) pairs — the hot-shingle
+    blowup of doc-level inverted indexes is structurally impossible
+    here; no df cap needed. One distinct, one self-join, one bounded
+    aggregate."""
+    from .text import SHINGLES_T_EXPR
+
+    ss = (
+        docs.select("source", F.split("text", " ").alias("t"))
+        .select("source", F.explode(F.expr(SHINGLES_T_EXPR)).alias("s"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("sz"))
+    a = ss.select(F.col("source").alias("source_a"), "s")
+    b = ss.select(F.col("source").alias("source_b"), "s")
+    pairs = (
+        a.join(b, ["s"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("sz").alias("sza")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("sz").alias("szb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("shared")),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = """
+cso_sh AS MATERIALIZED (
+  SELECT DISTINCT source, s FROM (
+    SELECT source,
+           unnest(CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               ELSE [] END) AS s
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+cso_sizes AS MATERIALIZED (
+  SELECT source, COUNT(*) AS sz FROM cso_sh GROUP BY 1),
+cso_pairs AS MATERIALIZED (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM cso_sh a JOIN cso_sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.shared,
+       ROUND(CAST(p.shared AS DOUBLE) / (sa.sz + sb.sz - p.shared), 6)
+           AS jaccard
+FROM cso_pairs p
+JOIN cso_sizes sa ON sa.source = p.source_a
+JOIN cso_sizes sb ON sb.source = p.source_b"""
 
 
 # ---- MinHash + LSH ---------------------------------------------------

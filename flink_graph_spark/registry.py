@@ -2601,6 +2601,33 @@ def graph_coloring_grid(spark, sf_dir):
         return col_mod.color_graph(gen_mod.grid_graph(spark, 4, 4), max_rounds=6)
 
 
+@_register(
+    "ngram_containment_topk",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.PAIR_JACCARD_CAPPED_SQL,
+        dedup_mod.NGRAM_CONTAINMENT_TOPK_SQL,
+    ),
+)
+def ngram_containment_topk(spark, sf_dir):
+    """Top-k pairs by shingle CONTAINMENT (inter / min size) — the
+    quote/subset detector Jaccard misses; shares the df-capped
+    inverted-index pass."""
+    return dedup_mod.ngram_containment_topk(_docs(spark, sf_dir))
+
+
+@_register(
+    "cross_source_overlap",
+    _with(dedup_mod.CROSS_SOURCE_OVERLAP_SQL),
+)
+def cross_source_overlap(spark, sf_dir):
+    """Distinct-shingle overlap between every source pair — the corpus
+    provenance health check; join key is source-distinct so hot-shingle
+    blowup is structurally impossible."""
+    return dedup_mod.cross_source_overlap(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2619,6 +2646,8 @@ _NEVER_SIGNED = [
     "dag_longest_path",
     "effective_diameter_uu",
     "graph_coloring_grid",
+    "ngram_containment_topk",
+    "cross_source_overlap",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

@@ -1078,3 +1078,36 @@ def test_cosine_pair_histogram_buckets(spark):
     assert out[9]["n_pairs"] == 1 and out[9]["mean_cos"] == 1.0
     assert out[-10]["n_pairs"] == 1
     assert sum(r["n_pairs"] for r in out.values()) == 2
+
+
+def test_ngram_containment_detects_subset(spark):
+    """Doc 2's shingle set is fully contained in doc 1's: containment
+    1.0 while Jaccard is well below (union dominated by doc 1)."""
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    sub = "w3 w4 w5 w6 w7"
+    d = spark.createDataFrame(
+        [(1, long), (2, sub), (3, "x1 x2 x3 x4 x5")],
+        "doc_id long, text string",
+    )
+    rows = dedup_mod.ngram_containment_topk(d, k=5).collect()
+    top = rows[0]
+    assert (top["da"], top["db"]) == (1, 2)
+    assert top["containment"] == 1.0
+    jac = dedup_mod.dedup_ngram_topk(d, k=5).collect()[0]
+    assert jac["jaccard"] < 0.5
+
+
+def test_cross_source_overlap_counts_shared_shingles(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # shingles: "a b c", "b c d"
+            (2, "a b c x", "s2"),   # shares "a b c" with s1
+            (3, "p q r s", "s3"),   # no overlap
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r.asDict()
+            for r in dedup_mod.cross_source_overlap(d).collect()}
+    assert rows[("s1", "s2")]["shared"] == 1
+    assert rows[("s1", "s2")]["jaccard"] == round(1 / 3, 6)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
