@@ -192,6 +192,41 @@ class Graph:
             Graph(self._vertices, self._edges.select("src", "dst", expr.alias(out_col)))
         )
 
+    def translate_graph_ids(self, fn) -> "Graph":
+        """Rewrite every vertex id AND both edge endpoints through
+        ``fn: Column -> Column`` (Gelly-successor
+        org.apache.flink.graph.asm.translate.TranslateGraphIds; the
+        prototype reference predates it). ``fn`` must be injective or
+        distinct vertices collapse — same contract as Gelly's
+        TranslateFunction. Pure projection on both frames: no shuffle,
+        counts preserved."""
+        v_others = [c for c in self._vertices.columns if c != "id"]
+        e_others = [
+            c for c in self._edges.columns if c not in ("src", "dst")
+        ]
+        return self._count_preserved(
+            Graph(
+                self._vertices.select(
+                    fn(F.col("id")).alias("id"), *v_others
+                ),
+                self._edges.select(
+                    fn(F.col("src")).alias("src"),
+                    fn(F.col("dst")).alias("dst"),
+                    *e_others,
+                ),
+            )
+        )
+
+    def translate_vertex_values(self, fn, value_col: str = "value") -> "Graph":
+        """Gelly TranslateVertexValues — :meth:`map_vertices` with the
+        translator applied to the current value column."""
+        return self.map_vertices(fn(F.col(value_col)), out_col=value_col)
+
+    def translate_edge_values(self, fn, value_col: str = "value") -> "Graph":
+        """Gelly TranslateEdgeValues — :meth:`map_edges` with the
+        translator applied to the current value column."""
+        return self.map_edges(fn(F.col(value_col)), out_col=value_col)
+
     def reverse(self) -> "Graph":
         """Swap src/dst of every edge (reverse ~L380-400)."""
         others = [c for c in self._edges.columns if c not in ("src", "dst")]

@@ -2628,6 +2628,26 @@ def cross_source_overlap(spark, sf_dir):
     return dedup_mod.cross_source_overlap(_docs(spark, sf_dir))
 
 
+@_register(
+    "translate_golden",
+    _with(
+        GOLDEN_SQL,
+        """SELECT e.src * 10 AS src, e.dst * 10 AS dst,
+       e.value + 100 AS value
+FROM golden_edges e""",
+    ),
+)
+def translate_golden(spark, sf_dir):
+    """Gelly translate surface: ids x10 (injective) and edge values
+    +100 on the golden fixture — pure projections, no shuffle."""
+    g = (
+        golden_graph(spark)
+        .translate_graph_ids(lambda c: c * 10)
+        .translate_edge_values(lambda c: c + 100)
+    )
+    return g.edges
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2648,6 +2668,7 @@ _NEVER_SIGNED = [
     "graph_coloring_grid",
     "ngram_containment_topk",
     "cross_source_overlap",
+    "translate_golden",
     "vocab_coverage",
     "bloom_blocklist",
     "embedding_dim_stats",

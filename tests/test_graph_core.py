@@ -405,3 +405,21 @@ def test_rmat_deterministic_and_skewed(spark):
     import collections
     od = collections.Counter(s for s, _ in gen.rmat_edges(spark, 8, 512).collect())
     assert max(od.values()) >= 4 * (512 / 256)
+
+
+def test_translate_graph_ids_rewrites_both_frames(golden):
+    g = golden.translate_graph_ids(lambda c: c * 10)
+    assert {r["id"] for r in g.vertices.collect()} == {10, 20, 30, 40, 50}
+    assert all(
+        r["src"] % 10 == 0 and r["dst"] % 10 == 0
+        for r in g.edges.collect()
+    )
+
+
+def test_translate_vertex_and_edge_values(golden):
+    g = golden.translate_vertex_values(lambda c: c + 1)
+    assert {r["value"] for r in g.vertices.collect()} == {2, 3, 4, 5, 6}
+    g2 = golden.translate_edge_values(lambda c: c * 2)
+    assert {r["value"] for r in g2.edges.collect()} == {
+        24, 26, 46, 68, 70, 90, 102
+    }
