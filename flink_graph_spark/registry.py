@@ -2662,17 +2662,24 @@ def translate_golden(spark, sf_dir):
 # Never driver-signed (r2 budget cut off at 50, plus round-3
 # additions): highest priority.
 _NEVER_SIGNED = [
-    "betweenness_grid",
-    "dag_longest_path",
-    "effective_diameter_uu",
-    "graph_coloring_grid",
-    "ngram_containment_topk",
-    "cross_source_overlap",
-    "translate_golden",
-    "vocab_coverage",
-    "bloom_blocklist",
-    "embedding_dim_stats",
-    "cosine_pair_histogram",
+    # r2-era stragglers — waiting since round 2, sign them FIRST
+    "scc_fixture",
+    "streaming_click_purchase",
+    "summarize_nation_vertices",
+    "summarize_nation_edges",
+    "chunk_documents",
+    "boilerplate_flags",
+    "vertex_metrics_cs",
+    "count_min_tokens",
+    "collocations_pmi",
+    "dedup_keep_set",
+    "incremental_sssp_golden",
+    "source_quota_sample",
+    "knn_label_vote",
+    "semantic_dedup_clusters",
+    "semantic_dedup_lsh",
+    "community_detection_uu",
+    # round-3a additions (never driver-signed)
     "pagerank_bucketed_cs",
     "quality_filters",
     "passage_dedup",
@@ -2700,22 +2707,19 @@ _NEVER_SIGNED = [
     "principal_direction",
     "kmeans_clusters",
     "embedding_label_spread",
-    "scc_fixture",
-    "streaming_click_purchase",
-    "summarize_nation_vertices",
-    "summarize_nation_edges",
-    "chunk_documents",
-    "boilerplate_flags",
-    "vertex_metrics_cs",
-    "count_min_tokens",
-    "collocations_pmi",
-    "dedup_keep_set",
-    "incremental_sssp_golden",
-    "source_quota_sample",
-    "knn_label_vote",
-    "semantic_dedup_clusters",
-    "semantic_dedup_lsh",
-    "community_detection_uu",
+    # round-3b additions — newest last: if the ~50-entry budget
+    # cuts here, these lead the line next round
+    "betweenness_grid",
+    "dag_longest_path",
+    "effective_diameter_uu",
+    "graph_coloring_grid",
+    "ngram_containment_topk",
+    "cross_source_overlap",
+    "translate_golden",
+    "vocab_coverage",
+    "bloom_blocklist",
+    "embedding_dim_stats",
+    "cosine_pair_histogram",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).
