@@ -322,3 +322,63 @@ FROM cand
 WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+# ---- trailing-window anomaly scores ----------------------------------
+
+def hourly_anomaly(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """(event_type, hour, n_events, trail_mean, trail_std, z) — each
+    hour's event count z-scored against its own 3-hour trailing window
+    (the streaming-monitoring alert primitive, computed batch-side).
+
+    Scale shape: one bounded rollup (event_type × hour cells), then ONE
+    window sort per event_type over the CELL table — the raw event scan
+    never enters a window. z is NULL until 3 trailing cells exist and
+    when the trailing std is 0 (constant traffic ≠ anomaly); the NULL
+    contract is replayed identically in the oracle."""
+    cells = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-3, -1)
+    )
+    trail_n = F.count("*").over(w)
+    trail_mean = F.avg("n_events").over(w)
+    trail_std = F.stddev_pop("n_events").over(w)
+    return cells.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(trail_n >= 3, F.round(trail_mean, round_to)).alias(
+            "trail_mean"
+        ),
+        F.when(trail_n >= 3, F.round(trail_std, round_to)).alias(
+            "trail_std"
+        ),
+        F.when(
+            (trail_n >= 3) & (trail_std > 0),
+            F.round((F.col("n_events") - trail_mean) / trail_std, round_to),
+        ).alias("z"),
+    )
+
+
+HOURLY_ANOMALY_SQL = """
+SELECT event_type, hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN tn >= 3 THEN ROUND(tm, 6) END AS trail_mean,
+       CASE WHEN tn >= 3 THEN ROUND(ts_, 6) END AS trail_std,
+       CASE WHEN tn >= 3 AND ts_ > 0
+            THEN ROUND((n_events - tm) / ts_, 6) END AS z
+FROM (
+    SELECT event_type, hour, n_events,
+           COUNT(*) OVER w AS tn,
+           AVG(n_events) OVER w AS tm,
+           stddev_pop(n_events) OVER w AS ts_
+    FROM (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))"""

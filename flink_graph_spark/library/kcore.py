@@ -105,3 +105,97 @@ class KCore:
             ids.withColumnRenamed("id", "src"), "src", "left_semi"
         ).join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
         return Graph(core, edges)
+
+
+# ---- rich-club coefficient -------------------------------------------
+
+RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
+
+
+def rich_club(
+    graph: Graph, ks: tuple[int, ...] = RICH_CLUB_KS, round_to: int = 6
+) -> DataFrame:
+    """(k, n_rich, e_rich, phi) — rich-club coefficient φ(k) =
+    2·E_k / (N_k·(N_k−1)) over the hub ladder ``ks`` (Colizza et al.
+    2006): do high-degree vertices preferentially interconnect?
+
+    Scale shape: the degree table is built once (one agg over the edge
+    ends), the per-edge min-endpoint-degree needs two id joins, and the
+    WHOLE ladder collapses into two single-row conditional aggregates +
+    a stack — no per-k pass, no per-k shuffle. φ is NULL when the club
+    has <2 members."""
+    deg = (
+        graph.edges.select(F.col("src").alias("id"))
+        .unionByName(graph.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    md = (
+        graph.edges.select("src", "dst")
+        .join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")),
+            "dst",
+        )
+        .select(F.least("ds", "dd").alias("md"))
+    )
+    e_aggs = [
+        F.sum((F.col("md") > k).cast("long")).alias(f"e_{k}") for k in ks
+    ]
+    n_aggs = [
+        F.sum((F.col("deg") > k).cast("long")).alias(f"n_{k}") for k in ks
+    ]
+    stack_args = ", ".join(f"{k}L, n_{k}, e_{k}" for k in ks)
+    wide = md.agg(*e_aggs).crossJoin(deg.agg(*n_aggs))
+    return wide.select(
+        F.expr(
+            f"stack({len(ks)}, {stack_args}) AS (k, n_rich, e_rich)"
+        )
+    ).select(
+        "k",
+        F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+        F.when(
+            F.coalesce("n_rich", F.lit(0)) > 1,
+            F.round(
+                F.lit(2.0)
+                * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                round_to,
+            ),
+        ).alias("phi"),
+    )
+
+
+def rich_club_ctes(
+    edges_cte: str, ks: tuple[int, ...] = RICH_CLUB_KS, round_to: int = 6
+) -> tuple[str, str]:
+    """(CTEs, final SELECT) DuckDB twin of :func:`rich_club`."""
+    ctes = f"""rc_deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT src AS id FROM {edges_cte}
+    UNION ALL SELECT dst FROM {edges_cte}) GROUP BY 1),
+rc_md AS MATERIALIZED (
+  SELECT LEAST(d1.deg, d2.deg) AS md
+  FROM {edges_cte} e
+  JOIN rc_deg d1 ON e.src = d1.id
+  JOIN rc_deg d2 ON e.dst = d2.id)"""
+    selects = []
+    for k in ks:
+        selects.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM rc_deg WHERE deg > {k}) AS BIGINT)
+           AS n_rich,
+       CAST((SELECT COUNT(*) FROM rc_md WHERE md > {k}) AS BIGINT)
+           AS e_rich"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    final = f"""SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich > 1
+            THEN ROUND(2.0 * e_rich / (n_rich * (n_rich - 1)), {round_to})
+       END AS phi
+FROM ({union})"""
+    return ctes, final

@@ -2648,6 +2648,26 @@ def translate_golden(spark, sf_dir):
     return g.edges
 
 
+@_register(
+    "rich_club_uu",
+    _with(UU_EDGES_SQL, *kcore_mod.rich_club_ctes("uu_edges")),
+)
+def rich_club_uu(spark, sf_dir):
+    """Rich-club coefficient phi(k) over a hub-degree ladder on the
+    user co-occurrence graph — one degree table, two id joins, the
+    whole ladder in two single-row conditional aggregates."""
+    tune_session(spark)
+    return kcore_mod.rich_club(user_cooccurrence_graph(spark, sf_dir))
+
+
+@_register("hourly_anomaly", sess_mod.HOURLY_ANOMALY_SQL)
+def hourly_anomaly(spark, sf_dir):
+    """Each hour's event count z-scored against its own 3-hour trailing
+    window per event_type (the monitoring-alert primitive); the window
+    sorts the bounded cell table, never the raw event scan."""
+    return sess_mod.hourly_anomaly(_events(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2720,6 +2740,8 @@ _NEVER_SIGNED = [
     "bloom_blocklist",
     "embedding_dim_stats",
     "cosine_pair_histogram",
+    "rich_club_uu",
+    "hourly_anomaly",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

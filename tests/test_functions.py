@@ -1111,3 +1111,55 @@ def test_cross_source_overlap_counts_shared_shingles(spark):
     assert rows[("s1", "s2")]["shared"] == 1
     assert rows[("s1", "s2")]["jaccard"] == round(1 / 3, 6)
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    """K4 core (degrees 3+) with two pendant vertices: above the
+    pendant degree the club is exactly the clique -> phi = 1.0."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.kcore import rich_club
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(
+        clique + [(0, 4), (1, 5)], "src long, dst long"
+    )
+    out = {r["k"]: r.asDict() for r in rich_club(Graph(v, e), ks=(1, 3)).collect()}
+    # k=3 club: vertices 0,1 (degree 4); the edge (0,1) connects them
+    assert out[3]["n_rich"] == 2 and out[3]["e_rich"] == 1
+    assert out[3]["phi"] == 1.0
+    # k=1 club: the 4 clique vertices (pendants have degree 1)
+    assert out[1]["n_rich"] == 4 and out[1]["e_rich"] == 6
+    assert out[1]["phi"] == 1.0
+
+
+def test_hourly_anomaly_flags_spike(spark):
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # 3 calm hours of 2 events, then a 10-event spike in hour 3
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 10)]:
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "click", 1.0, "{}"))
+            eid += 1
+    # second event type with a VARYING baseline: 1, 2, 3 then 10
+    for h, n in [(0, 1), (1, 2), (2, 3), (3, 10)]:
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "buy", 1.0, "{}"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["event_type"], r["hour"].hour): r.asDict()
+        for r in sess_mod.hourly_anomaly(e).collect()
+    }
+    assert out[("click", 0)]["z"] is None  # <3 trailing cells
+    assert out[("click", 3)]["trail_mean"] == 2.0
+    assert out[("click", 3)]["z"] is None  # constant trailing -> std 0
+    # varying baseline: mean 2, stddev_pop ~0.816497 -> z ~ 9.797959
+    assert out[("buy", 3)]["z"] == round((10 - 2) / 0.8164965809277263, 6)
