@@ -382,3 +382,51 @@ FROM (
         FROM events GROUP BY 1, 2)
     WINDOW w AS (PARTITION BY event_type ORDER BY hour
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))"""
+
+
+# ---- event-type transition matrix ------------------------------------
+
+def event_transitions(events: DataFrame, round_to: int = 6) -> DataFrame:
+    """(prev_type, event_type, n, p) — the per-user event-sequence
+    Markov transition counts and row-normalized probabilities (the
+    session-model / next-action primitive).
+
+    Scale shape: ONE window sort per user partition (lag over
+    (user_id | ts, event_id)), then a transition-matrix-bounded
+    aggregate — |event types|² cells regardless of event volume; the
+    normalizing row totals come from a window over the tiny cell
+    table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), round_to).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type),
+             6) AS p
+FROM (
+    SELECT user_id,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type
+    FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2"""

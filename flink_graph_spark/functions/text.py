@@ -1483,3 +1483,45 @@ bl_doc AS MATERIALIZED (
            AS bloom_fp_docs
 FROM bl_doc GROUP BY 1"""
     return ctes, final
+
+
+# ---- token entropy ---------------------------------------------------
+
+def token_entropy(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(source, n_tokens, n_types, entropy_bits) — Shannon entropy of
+    each source's token distribution (the information-density /
+    degenerate-text screen: collapsed or templated sources score low).
+
+    Scale shape: one map-side explode into a (source × vocab)-bounded
+    aggregate; the per-source totals come from a window over the CELL
+    table, never the occurrence stream. Entropy sums are
+    vocab-bounded."""
+    from pyspark.sql import Window
+
+    toks = docs.select("source", F.explode(_tokens()).alias("tok"))
+    cells = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source")
+    p = F.col("c") / F.sum("c").over(w)
+    per_cell = cells.select(
+        "source", "c", (-p * F.log2(p)).alias("h_term")
+    )
+    return per_cell.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.sum("h_term"), round_to).alias("entropy_bits"),
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM(-(c * 1.0 / tot) * log2(c * 1.0 / tot)), 6)
+           AS entropy_bits
+FROM (
+    SELECT source, c, SUM(c) OVER (PARTITION BY source) AS tot
+    FROM (
+        SELECT source, tok, COUNT(*) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        GROUP BY 1, 2))
+GROUP BY 1"""

@@ -194,3 +194,71 @@ FROM nf_curve, (SELECT avg_ball_est AS nmax FROM nf_curve
                 WHERE r = {max_r})
 WHERE avg_ball_est >= {frac} * nmax"""
     return ctes, curve, sel
+
+
+def two_hop_balls(graph: Graph) -> DataFrame:
+    """(id, ball1, ball2) — EXACT distinct ball sizes at radius 1 and 2
+    over the undirected view: the small-graph ground truth the HLL
+    neighborhood sketch approximates (pair the two to measure sketch
+    error on a sample).
+
+    Scale shape: one self-join of the symmetrized edge list (cost
+    Σ deg² — the true two-hop workload; cap or sample hubs first on
+    power-law graphs, same policy as the uu builder's cell cap), one
+    (v, w)-keyed min-radius aggregate, one bounded count."""
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    self_rows = graph.vertices.select(
+        F.col("id").alias("v"), F.col("id").alias("w"), F.lit(0).alias("r")
+    )
+    one = sym.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.lit(1).alias("r")
+    )
+    two = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("m"))
+        .join(
+            sym.select(F.col("src").alias("m"), F.col("dst").alias("w")),
+            "m",
+        )
+        .select("v", "w", F.lit(2).alias("r"))
+    )
+    reach = (
+        self_rows.unionByName(one)
+        .unionByName(two)
+        .groupBy("v", "w")
+        .agg(F.min("r").alias("r"))
+    )
+    return reach.groupBy(F.col("v").alias("id")).agg(
+        F.sum((F.col("r") <= 1).cast("long")).alias("ball1"),
+        F.count("*").cast("long").alias("ball2"),
+    )
+
+
+def two_hop_oracle_sql(edges_cte: str, vertices_cte: str) -> str:
+    """DuckDB twin of :func:`two_hop_balls`."""
+    return f"""SELECT v AS id,
+       CAST(SUM(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ball1,
+       CAST(COUNT(*) AS BIGINT) AS ball2
+FROM (
+    SELECT v, w, MIN(r) AS r FROM (
+        SELECT id AS v, id AS w, 0 AS r FROM {vertices_cte}
+        UNION ALL
+        SELECT src, dst, 1 FROM th_sym
+        UNION ALL
+        SELECT a.src, b.dst, 2 FROM th_sym a JOIN th_sym b
+          ON a.dst = b.src)
+    GROUP BY 1, 2)
+GROUP BY 1"""
+
+
+TWO_HOP_SYM_SQL_TMPL = """th_sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {edges}
+    UNION ALL SELECT dst AS src, src AS dst FROM {edges}))"""

@@ -2668,6 +2668,38 @@ def hourly_anomaly(spark, sf_dir):
     return sess_mod.hourly_anomaly(_events(spark, sf_dir))
 
 
+@_register("event_transitions", sess_mod.EVENT_TRANSITIONS_SQL)
+def event_transitions(spark, sf_dir):
+    """Per-user event-sequence Markov transition counts + row
+    probabilities — one window sort per user, then a transition-matrix-
+    bounded aggregate."""
+    return sess_mod.event_transitions(_events(spark, sf_dir))
+
+
+@_register("token_entropy", text_mod.TOKEN_ENTROPY_SQL)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each source's token distribution — the
+    information-density screen; vocab-bounded cell aggregate."""
+    return text_mod.token_entropy(_docs(spark, sf_dir))
+
+
+@_register(
+    "two_hop_ball_cs",
+    _with(
+        CS_EDGES_SQL,
+        CS_VERTICES_SQL,
+        nf_mod.TWO_HOP_SYM_SQL_TMPL.format(edges="cs_edges"),
+        nf_mod.two_hop_oracle_sql("cs_edges", "cs_vertices"),
+    ),
+)
+def two_hop_ball_cs(spark, sf_dir):
+    """Exact distinct 1- and 2-hop ball sizes on the customer-supplier
+    graph — the ground truth the HLL neighborhood sketch approximates
+    (cost Σ deg²: exact two-hop stays an anchor, the sketch is the
+    100 TB path)."""
+    return nf_mod.two_hop_balls(_cs(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2742,6 +2774,9 @@ _NEVER_SIGNED = [
     "cosine_pair_histogram",
     "rich_club_uu",
     "hourly_anomaly",
+    "event_transitions",
+    "token_entropy",
+    "two_hop_ball_cs",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1163,3 +1163,61 @@ def test_hourly_anomaly_flags_spike(spark):
     assert out[("click", 3)]["z"] is None  # constant trailing -> std 0
     # varying baseline: mean 2, stddev_pop ~0.816497 -> z ~ 9.797959
     assert out[("buy", 3)]["z"] == round((10 - 2) / 0.8164965809277263, 6)
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, t0, 1, "a", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b", 1.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a", 1.0, None),
+        (4, t0, 2, "a", 1.0, None),
+        (5, t0 + dt.timedelta(minutes=1), 2, "b", 1.0, None),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["prev_type"], r["event_type"]): r.asDict()
+        for r in sess_mod.event_transitions(e).collect()
+    }
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+    assert len(out) == 2  # no cross-user transition (2's 'b' ends it)
+
+
+def test_token_entropy_uniform_vs_constant(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d", "uniform"),   # 4 distinct -> 2 bits
+            (2, "x x x x", "constant"),  # 1 token -> 0 bits
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in text_mod.token_entropy(d).collect()}
+    assert out["uniform"]["entropy_bits"] == 2.0
+    assert out["constant"]["entropy_bits"] == 0.0
+    assert out["uniform"]["n_types"] == 4
+
+
+def test_two_hop_balls_path(spark):
+    """Path 1-2-3-4: ball1(1)={1,2}, ball2(1)={1,2,3};
+    ball2(2) = whole path."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.neighborhood import two_hop_balls
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r["id"]: (r["ball1"], r["ball2"])
+           for r in two_hop_balls(Graph(v, e)).collect()}
+    assert out[1] == (2, 3)
+    assert out[2] == (3, 4)
+    assert out[3] == (3, 4)
+    assert out[4] == (2, 3)
