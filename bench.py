@@ -133,6 +133,28 @@ HEADLINE = [
     "assortativity_uu",
     "principal_direction",
     "kmeans_clusters",
+    # round-3b additions: corpus diagnostics + similarity geometry.
+    # Fixture-scale graph queries (betweenness_grid, dag_longest_path,
+    # graph_coloring_grid, translate_golden) stay out — scheduler
+    # floor, not data cost (same policy as gsa_sssp_golden).
+    "vocab_coverage",
+    "bloom_blocklist",
+    "embedding_dim_stats",
+    "cosine_pair_histogram",
+    "cross_source_overlap",
+    "ngram_containment_topk",
+    # effective_diameter_uu is NOT a headline entry (measured 14.1s at
+    # sf0.1 — 2x the next query): the r=4 HLL ball on the superlinearly
+    # densifying uu graph measures density, not plan quality — same
+    # policy as edge_support_uu/ktruss_uu. It stays an sf0.01 oracle
+    # anchor; neighborhood_function_uu (r=2) covers the sketch cost in
+    # the headline. two_hop_ball_cs likewise stays anchor-only
+    # (sum-deg^2 exact-ball workload by contract).
+    "rich_club_uu",
+    "hourly_anomaly",
+    "event_transitions",
+    "token_entropy",
+    "bipartite_matching_cs",
 ]
 
 

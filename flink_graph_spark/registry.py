@@ -26,6 +26,7 @@ from .library import hits as hits_mod
 from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
+from .library import matching as match_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import betweenness as btw_mod
@@ -2700,6 +2701,17 @@ def two_hop_ball_cs(spark, sf_dir):
     return nf_mod.two_hop_balls(_cs(spark, sf_dir))
 
 
+@_register(
+    "bipartite_matching_cs",
+    _with(CS_EDGES_SQL, *match_mod.oracle_ctes("cs_edges", 5)),
+)
+def bipartite_matching_cs(spark, sf_dir):
+    """Maximal bipartite matching (deterministic propose-accept rounds)
+    on the customer-supplier graph — assignment analytics; two max
+    aggregates + two anti-joins per round on a shrinking edge set."""
+    return match_mod.bipartite_matching(_cs(spark, sf_dir), max_rounds=5)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2777,6 +2789,7 @@ _NEVER_SIGNED = [
     "event_transitions",
     "token_entropy",
     "two_hop_ball_cs",
+    "bipartite_matching_cs",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from conftest import rows_as_dict
+from conftest import SF_DIR, rows_as_dict
 from flink_graph_spark.graph import Graph
 from flink_graph_spark.library.connected_components import (
     ConnectedComponents,
@@ -671,3 +671,34 @@ def test_coloring_respects_round_budget(spark):
     )
     colors = [r["color"] for r in color_graph(Graph(v, e), 1).collect()]
     assert sorted(colors, key=lambda x: (x is None, x)) == [1, None, None]
+
+
+def test_bipartite_matching_resolves_conflicts(spark):
+    """Lefts 1,2 both prefer right 20; 2 wins round 1 (max proposer),
+    1 falls back to 10 in round 2 -> perfect matching in 2 rounds."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.matching import bipartite_matching
+
+    v = spark.createDataFrame([(1,), (2,), (10,), (20,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 20)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"])
+           for r in bipartite_matching(Graph(v, e), 2).collect()}
+    assert got == {(2, 20), (1, 10)}
+
+
+def test_bipartite_matching_is_a_matching(spark):
+    """On the sf0.001 customer-supplier graph: no vertex appears twice,
+    and the matching is maximal for the round budget actually needed."""
+    from flink_graph_spark.library.matching import bipartite_matching
+    from flink_graph_spark.sources.graphs import customer_supplier_graph
+
+    m = bipartite_matching(
+        customer_supplier_graph(spark, SF_DIR), max_rounds=5
+    ).collect()
+    srcs = [r["src"] for r in m]
+    dsts = [r["dst"] for r in m]
+    assert len(srcs) == len(set(srcs))
+    assert len(dsts) == len(set(dsts))
+    assert len(m) > 0
