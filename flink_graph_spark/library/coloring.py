@@ -45,6 +45,10 @@ def color_graph(graph: Graph, max_rounds: int) -> DataFrame:
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
+        # a self-loop would make its vertex permanently uncolorable
+        # (it can never beat its own priority); proper coloring is
+        # conventionally defined on loop-free graphs, so drop loops
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -211,3 +211,34 @@ def test_skipgram_pairs_no_self_join(spark, queries):
     plan = _final_plan(spark, queries["skipgram_pairs"](spark, SF_DIR))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_events_prune_at_planning_time(spark):
+    """A day-bounded read over the day-partitioned layout must carry
+    PartitionFilters in the scan and touch only the matching
+    partition's files."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_graph_spark.sources.sinks import (
+        read_events_day,
+        write_events_partitioned,
+    )
+    from flink_graph_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = tempfile.mkdtemp(prefix="fgs_evpart_")
+    write_events_partitioned(events, path)
+    days = [r["day"] for r in
+            spark.read.parquet(path).select("day").distinct().collect()]
+    assert len(days) > 1, "fixture must span multiple days for pruning"
+    target = sorted(days)[0]
+    df = read_events_day(spark, path, str(target))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan reads only the selected day's rows
+    expected = events.filter(
+        F.to_date("ts") == F.lit(str(target))
+    ).count()
+    assert df.count() == expected

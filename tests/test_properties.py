@@ -184,3 +184,54 @@ def test_quality_filters_keep_iff_no_flag(spark, docs):
         d = r.asDict()
         keep, flags = d.pop("keep"), [v for k, v in d.items() if k != "doc_id"]
         assert keep == (not any(flags))
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_coloring_proper_on_random_graphs(spark, edges):
+    """Iterated-MIS coloring: whatever subset gets colored within the
+    round budget is properly colored (no monochromatic edge), and with
+    a generous budget on ≤8 vertices everything is colored."""
+    from flink_graph_spark.library.coloring import color_graph
+
+    g = _graph(spark, edges)
+    colors = {r["id"]: r["color"] for r in color_graph(g, 8).collect()}
+    assert all(c is not None for c in colors.values())
+    for e in g.edges.select("src", "dst").collect():
+        if e["src"] != e["dst"]:
+            assert colors[e["src"]] != colors[e["dst"]]
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_matching_vertices_disjoint_on_random_graphs(spark, edges):
+    """Propose-accept matching: every vertex appears in at most one
+    matched pair (src side and dst side disjoint within themselves)."""
+    from flink_graph_spark.library.matching import bipartite_matching
+
+    g = _graph(spark, edges)
+    m = bipartite_matching(g, 4).collect()
+    srcs = [r["src"] for r in m]
+    dsts = [r["dst"] for r in m]
+    assert len(srcs) == len(set(srcs))
+    assert len(dsts) == len(set(dsts))
+
+
+@given(docs=st.lists(st.text(alphabet="ab ", min_size=6, max_size=30),
+                     min_size=2, max_size=5))
+@SETTINGS
+def test_containment_at_least_jaccard(spark, docs):
+    """For every pair: containment (inter/min) >= jaccard (inter/union)
+    over the same capped shingle universe."""
+    from flink_graph_spark.functions import dedup as dedup_mod
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    jac = {(r["da"], r["db"]): r["jaccard"]
+           for r in dedup_mod.dedup_ngram_topk(df, k=100).collect()}
+    con = {(r["da"], r["db"]): r["containment"]
+           for r in dedup_mod.ngram_containment_topk(df, k=100).collect()}
+    assert set(jac) == set(con)
+    for pair, j in jac.items():
+        assert con[pair] >= j - 1e-9
