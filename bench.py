@@ -155,6 +155,8 @@ HEADLINE = [
     "event_transitions",
     "token_entropy",
     "bipartite_matching_cs",
+    "weighted_sample",
+    "pq_codes",
 ]
 
 

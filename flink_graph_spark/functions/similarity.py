@@ -1159,3 +1159,117 @@ SELECT CAST(LEAST(GREATEST(FLOOR(cos * 10), -10), 9) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(cos), {round_to}) AS mean_cos
 FROM cp_pairs GROUP BY 1"""
+
+
+# ---- product quantization (IVF-PQ building block) --------------------
+
+PQ_SUBS = 8  # subspaces (DIM/PQ_SUBS dims each)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_ROUNDS = 2
+
+
+def pq_codes(
+    emb: DataFrame,
+    subs: int = PQ_SUBS,
+    k: int = PQ_K,
+    rounds: int = PQ_ROUNDS,
+) -> DataFrame:
+    """(vec_id, sub, code) — product-quantization codes: the embedding
+    split into ``subs`` subvectors, each Lloyd-quantized to ``k``
+    centroids (Jégou et al. 2011 — the FAISS IVF-PQ compression stage;
+    64 float dims → 8 4-bit codes = 32× smaller).
+
+    Scale shape: ALL subspaces train simultaneously — the dimension
+    frame carries a ``sub`` column, so each Lloyd round is ONE broadcast
+    join + ONE (vec, sub, cid) distance aggregate + ONE centroid
+    aggregate for the whole codebook (same relational-kmeans kernel as
+    ``kmeans_clusters``, keyed one level deeper; deterministic init =
+    first k vectors, cid tie-break on equal distance)."""
+    from pyspark.sql import Window
+
+    sub_dim = DIM // subs
+    dims = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.expr(f"pos div {sub_dim}").alias("sub"),
+            "pos",
+            F.col("val").cast("double").alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = dims.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = None
+    for _ in range(rounds):
+        d2 = (
+            dims.join(F.broadcast(cent), ["sub", "pos"])
+            .groupBy("vec_id", "sub", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "sub", "cid")
+            .localCheckpoint(eager=True)
+        )
+        cent = (
+            dims.join(assign, ["vec_id", "sub"])
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+    return assign.select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("cid").cast("long").alias("code"),
+    )
+
+
+def pq_codes_sql(
+    subs: int = PQ_SUBS, k: int = PQ_K, rounds: int = PQ_ROUNDS
+) -> str:
+    sub_dim = DIM // subs
+    ctes = [
+        f"""pq_dims AS MATERIALIZED (
+    SELECT vec_id, (g.i - 1) // {sub_dim} AS sub, g.i - 1 AS pos,
+           CAST(embedding[g.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+)""",
+        f"""pq_c0 AS MATERIALIZED (
+    SELECT sub, vec_id AS cid, pos, val AS cval FROM pq_dims
+    WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""pq_a{r} AS MATERIALIZED (
+    SELECT vec_id, sub, cid FROM (
+        SELECT d.vec_id, d.sub, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id, d.sub
+                   ORDER BY SUM((d.val - c.cval) * (d.val - c.cval)) ASC,
+                            c.cid ASC) AS rn
+        FROM pq_dims d JOIN pq_c{r - 1} c
+          ON d.sub = c.sub AND d.pos = c.pos
+        GROUP BY d.vec_id, d.sub, c.cid)
+    WHERE rn = 1
+)""")
+        if r < rounds:
+            ctes.append(
+                f"""pq_c{r} AS MATERIALIZED (
+    SELECT d.sub, a.cid, d.pos, AVG(d.val) AS cval
+    FROM pq_dims d JOIN pq_a{r} a
+      ON d.vec_id = a.vec_id AND d.sub = a.sub
+    GROUP BY 1, 2, 3
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+FROM pq_a{rounds}"""

@@ -1525,3 +1525,56 @@ FROM (
             FROM documents)
         GROUP BY 1, 2))
 GROUP BY 1"""
+
+
+# ---- deterministic weighted sampling (Efraimidis–Spirakis) -----------
+#
+# Weighted sampling WITHOUT replacement as one top-k: each doc draws a
+# portable uniform u from its id hash and ranks by ln(u)/w (monotone in
+# the classic u^(1/w) key) — the Efraimidis–Spirakis 2006 estimator.
+# At 100 TB this is the importance-sampling primitive for data mixing:
+# one map-side key projection + one TakeOrdered; no shuffle sorts the
+# corpus, no state. Both engines evaluate the identical arithmetic, so
+# the sampled SET is bit-deterministic.
+
+WSAMPLE_K = 64
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = WSAMPLE_K, round_to: int = 6
+) -> DataFrame:
+    """(doc_id, n_tokens, key) — top-``k`` token-count-weighted sample
+    (longer docs proportionally likelier; swap the weight column for
+    quality/temperature mixing in a real run)."""
+    from .hashing import MINHASH_A, MINHASH_B, MINHASH_P, h32
+
+    h = h32(F.col("doc_id").cast("string"))
+    u = ((F.lit(MINHASH_A[1]) * h + F.lit(MINHASH_B[1])) % F.lit(MINHASH_P)
+         + F.lit(1)) / F.lit(float(MINHASH_P + 1))
+    w = F.size(_tokens()).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            (F.log(u) / w).alias("__key"),
+        )
+        .orderBy(F.desc("__key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_tokens", F.round("__key", round_to).alias("key"))
+    )
+
+
+def weighted_sample_sql(k: int = WSAMPLE_K, round_to: int = 6) -> str:
+    from .hashing import MINHASH_A, MINHASH_B, MINHASH_P, h32_sql
+
+    h = h32_sql("CAST(doc_id AS VARCHAR)")
+    u = (
+        f"((({MINHASH_A[1]} * {h} + {MINHASH_B[1]}) % {MINHASH_P}) + 1)"
+        f" / {float(MINHASH_P + 1)}"
+    )
+    return f"""SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(ln({u}) / len(string_split(text, ' ')), {round_to}) AS key
+FROM documents
+ORDER BY ln({u}) / len(string_split(text, ' ')) DESC, doc_id ASC
+LIMIT {k}"""

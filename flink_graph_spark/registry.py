@@ -2712,6 +2712,23 @@ def bipartite_matching_cs(spark, sf_dir):
     return match_mod.bipartite_matching(_cs(spark, sf_dir), max_rounds=5)
 
 
+@_register("weighted_sample", text_mod.weighted_sample_sql())
+def weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement as one
+    top-k: rank by ln(u)/w from a portable id-hash uniform — the
+    importance-sampling primitive for data mixing; map-side keys +
+    TakeOrdered, no corpus sort."""
+    return text_mod.weighted_sample(_docs(spark, sf_dir))
+
+
+@_register("pq_codes", sim_mod.pq_codes_sql())
+def pq_codes(spark, sf_dir):
+    """Product-quantization codes (8 subspaces x 16 centroids = 4-bit
+    codes, 32x compression): all subspaces Lloyd-train simultaneously
+    through one broadcast join + two aggregates per round."""
+    return sim_mod.pq_codes(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2790,6 +2807,8 @@ _NEVER_SIGNED = [
     "token_entropy",
     "two_hop_ball_cs",
     "bipartite_matching_cs",
+    "weighted_sample",
+    "pq_codes",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

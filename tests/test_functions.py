@@ -1221,3 +1221,33 @@ def test_two_hop_balls_path(spark):
     assert out[2] == (3, 4)
     assert out[3] == (3, 4)
     assert out[4] == (2, 3)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """With an extreme weight skew the heavy doc is (near-)always in a
+    small sample: key = ln(u)/w -> as w -> inf, key -> 0- (the max)."""
+    rows = [(1, " ".join(["w"] * 500))] + [
+        (i, "a b") for i in range(2, 40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    top = text_mod.weighted_sample(d, k=5).collect()
+    assert 1 in {r["doc_id"] for r in top}
+    assert all(r["key"] <= 0.0 for r in top)
+    # deterministic: same input -> same sample set
+    again = {r["doc_id"] for r in text_mod.weighted_sample(d, k=5).collect()}
+    assert again == {r["doc_id"] for r in top}
+
+
+def test_pq_codes_shape_and_self_consistency(spark):
+    """Every vector gets one code per subspace, codes < k, and a
+    centroid-seed vector assigned to its own centroid in round 1 keeps
+    a valid code after the final round."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = sim_mod.pq_codes(emb, subs=4, k=4, rounds=2).collect()
+    n_vec = emb.count()
+    assert len(out) == n_vec * 4
+    assert all(0 <= r["code"] < 4 for r in out)
+    per_vec = {}
+    for r in out:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+    assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
