@@ -157,6 +157,8 @@ HEADLINE = [
     "bipartite_matching_cs",
     "weighted_sample",
     "pq_codes",
+    "ngram_novelty",
+    "edge_growth_cs",
 ]
 
 

@@ -907,3 +907,46 @@ JOIN (SELECT * FROM wn_fp WHERE fp IN (SELECT fp FROM wn_keep)) b
 GROUP BY 1, 2
 ORDER BY n_shared DESC, da, db LIMIT {top_k}"""
     return ctes, final
+
+
+# ---- n-gram novelty (data-valuation screen) --------------------------
+
+def ngram_novelty(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(doc_id, n_shingles, n_seen, novelty) — fraction of each doc's
+    distinct shingles NOT already contributed by any earlier doc
+    (doc_id order): the marginal-contribution / data-valuation screen —
+    a doc whose shingles all appeared before adds ~nothing to the
+    corpus even if it's no exact near-dup of anyone.
+
+    Scale shape: shingle first-seen owner is ONE (shingle)-keyed min
+    aggregate over the distinct shingle frame; the per-doc readout is
+    one more bounded aggregate. No pair join at all — novelty is the
+    O(occurrences) complement to the pairwise dedup rankings."""
+    sh = doc_shingles(docs)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            seen.cast("long").alias("n_seen"),
+            F.round(F.lit(1.0) - seen / F.count("*"), round_to).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+# composes after DOC_TOK_SQL + DOC_SHINGLES_SQL
+NGRAM_NOVELTY_SQL = """
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc < d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen,
+       ROUND(1.0 - SUM(CASE WHEN f.first_doc < d.doc_id THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS novelty
+FROM doc_shingles d
+JOIN (SELECT s, MIN(doc_id) AS first_doc FROM doc_shingles GROUP BY 1) f
+  ON d.s = f.s
+GROUP BY 1"""

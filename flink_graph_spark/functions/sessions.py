@@ -430,3 +430,51 @@ FROM (
     FROM events)
 WHERE prev_type IS NOT NULL
 GROUP BY 1, 2"""
+
+
+# ---- temporal graph growth -------------------------------------------
+
+def edge_growth(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(month, new_edges, cum_edges) — customer-supplier edge FIRST
+    APPEARANCE per month and the cumulative graph size: the temporal
+    view of the relationship graph (when did the network densify?).
+
+    Scale shape: first-seen is one (edge)-keyed min aggregate over the
+    order⋈lineitem join (the same join the graph builder runs), the
+    month rollup is calendar-bounded, and the cumulative sum windows
+    over the MONTH table, never the edge table."""
+    first = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.min(F.date_trunc("month", "o_orderdate")).alias("month"))
+    )
+    per_m = first.groupBy("month").agg(
+        F.count("*").cast("long").alias("new_edges")
+    )
+    w = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_m.select(
+        "month",
+        "new_edges",
+        F.sum("new_edges").over(w).cast("long").alias("cum_edges"),
+    )
+
+
+EDGE_GROWTH_SQL = """
+SELECT month, CAST(new_edges AS BIGINT) AS new_edges,
+       CAST(SUM(new_edges) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_edges
+FROM (
+    SELECT month, COUNT(*) AS new_edges FROM (
+        SELECT o_custkey, l_suppkey,
+               MIN(date_trunc('month', o_orderdate)) AS month
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2)
+    GROUP BY 1)"""

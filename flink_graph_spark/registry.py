@@ -2729,6 +2729,33 @@ def pq_codes(spark, sf_dir):
     return sim_mod.pq_codes(_emb(spark, sf_dir))
 
 
+@_register(
+    "ngram_novelty",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.NGRAM_NOVELTY_SQL,
+    ),
+)
+def ngram_novelty(spark, sf_dir):
+    """Marginal-contribution screen: fraction of each doc's shingles not
+    contributed by any earlier doc — data valuation without any pair
+    join (one shingle-keyed min + one bounded agg)."""
+    return dedup_mod.ngram_novelty(_docs(spark, sf_dir))
+
+
+@_register("edge_growth_cs", sess_mod.EDGE_GROWTH_SQL)
+def edge_growth_cs(spark, sf_dir):
+    """Temporal graph growth: customer-supplier edge first appearances
+    per month + cumulative graph size; cumulative windows over the
+    month table, never the edge table."""
+    tune_session(spark)
+    return sess_mod.edge_growth(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2809,6 +2836,8 @@ _NEVER_SIGNED = [
     "bipartite_matching_cs",
     "weighted_sample",
     "pq_codes",
+    "ngram_novelty",
+    "edge_growth_cs",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1251,3 +1251,31 @@ def test_pq_codes_shape_and_self_consistency(spark):
     for r in out:
         per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
     assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
+
+
+def test_ngram_novelty_orders_by_first_seen(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # all shingles novel (first doc)
+            (2, "a b c d e"),          # exact repeat -> novelty 0
+            (3, "z y x w v"),          # disjoint -> novelty 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup_mod.ngram_novelty(d).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0 and out[2]["n_seen"] == out[2]["n_shingles"]
+    assert out[3]["novelty"] == 1.0
+
+
+def test_edge_growth_monotone_cumulative(spark):
+    from flink_graph_spark.sources.tables import load_table
+
+    out = sess_mod.edge_growth(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "lineitem"),
+    ).orderBy("month").collect()
+    assert len(out) > 1
+    cums = [r["cum_edges"] for r in out]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r["new_edges"] for r in out)
