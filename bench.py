@@ -159,6 +159,7 @@ HEADLINE = [
     "pq_codes",
     "ngram_novelty",
     "edge_growth_cs",
+    "simhash_near_dup",
 ]
 
 

@@ -950,3 +950,115 @@ FROM doc_shingles d
 JOIN (SELECT s, MIN(doc_id) AS first_doc FROM doc_shingles GROUP BY 1) f
   ON d.s = f.s
 GROUP BY 1"""
+
+
+# ---- SimHash near-dup pairs (banded hamming, Manku et al. 2007) ------
+
+SIMHASH_NEAR_BANDS = 4  # 15-bit bands over the 60-bit fingerprint
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 clean band
+
+
+def simhash_near_dup(
+    docs_with_dups: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(da, db, hamming) — pairs within ``max_hamming`` SimHash bits,
+    via the Google crawl-dedup scheme (Manku, Jarmulin & Das Sarma
+    2007): the 60-bit fingerprint splits into 4 15-bit bands; any pair
+    within hamming ≤3 agrees EXACTLY on ≥1 band (pigeonhole), so
+    candidates come from 4 band-keyed equi-joins over narrow
+    (doc_id, band, key) rows — never an all-pairs XOR — and one
+    codegen'd popcount confirms. Recall is exact (not probabilistic)
+    for the hamming bound. Hot band-buckets (mass-produced template
+    pages) get the same df-cap treatment as hot shingles at corpus
+    scale."""
+    fp = simhash(docs_with_dups)
+    band_w = SIMHASH_BITS // SIMHASH_NEAR_BANDS
+    mask = (1 << band_w) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_NEAR_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("fa"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("fb"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "da",
+            "db",
+            F.bit_count(
+                F.col("fa").bitwiseXOR(F.col("fb"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> tuple[str, str]:
+    """(CTEs, final SELECT) DuckDB twin over the dup-injected corpus
+    (``dd`` from DD_SQL)."""
+    band_w = SIMHASH_BITS // SIMHASH_NEAR_BANDS
+    mask = (1 << band_w) - 1
+    band_rows = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, fp, {b} AS band,
+           (fp >> {b * band_w}) & {mask} AS key FROM sd_fp"""
+        for b in range(SIMHASH_NEAR_BANDS)
+    )
+    ctes = f"""sd_h AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd)
+),
+sd_bits AS MATERIALIZED (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0
+                    THEN 1 ELSE -1 END) AS s
+    FROM sd_h
+    CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+    GROUP BY 1, 2
+),
+sd_fp AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS fp
+    FROM sd_bits GROUP BY 1
+),
+sd_bands AS MATERIALIZED (
+{band_rows}
+),
+sd_cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+           a.fp AS fa, b.fp AS fb
+    FROM sd_bands a JOIN sd_bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+    final = f"""SELECT da, db,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM sd_cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
+    return ctes, final

@@ -2756,6 +2756,20 @@ def edge_growth_cs(spark, sf_dir):
     )
 
 
+@_register(
+    "simhash_near_dup",
+    _with(dedup_mod.DD_SQL, *dedup_mod.simhash_near_dup_sql()),
+)
+def simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs via banded hamming (Manku 2007): 4
+    15-bit bands -> band-keyed candidate joins -> popcount confirm;
+    recall exact for hamming <= 3 by pigeonhole. Runs on the
+    dup-injected corpus so hamming-0 pairs exist."""
+    return dedup_mod.simhash_near_dup(
+        dedup_mod.with_synthetic_dups(_docs(spark, sf_dir))
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2838,6 +2852,7 @@ _NEVER_SIGNED = [
     "pq_codes",
     "ngram_novelty",
     "edge_growth_cs",
+    "simhash_near_dup",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1279,3 +1279,16 @@ def test_edge_growth_monotone_cumulative(spark):
     cums = [r["cum_edges"] for r in out]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r["new_edges"] for r in out)
+
+
+def test_simhash_near_dup_finds_exact_dups_at_zero(spark):
+    docs = dedup_mod.with_synthetic_dups(
+        load_table(spark, SF_DIR, "documents")
+    )
+    out = dedup_mod.simhash_near_dup(docs).collect()
+    assert all(r["hamming"] <= dedup_mod.SIMHASH_MAX_HAMMING for r in out)
+    injected = {(r["da"], r["db"]) for r in out if r["hamming"] == 0}
+    n_dups = docs.filter(F.col("doc_id") >= 1_000_000).count()
+    # every injected exact dup (identical text -> identical fingerprint
+    # -> same key in every band) is recovered at hamming 0
+    assert sum(1 for da, db in injected if db == da + 1_000_000) == n_dups
