@@ -160,6 +160,7 @@ HEADLINE = [
     "ngram_novelty",
     "edge_growth_cs",
     "simhash_near_dup",
+    "bpe_merges",
 ]
 
 

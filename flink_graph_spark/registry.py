@@ -1226,6 +1226,7 @@ from .functions import packing as pack_mod  # noqa: E402
 from .functions import sessions as sess_mod  # noqa: E402
 from .functions import similarity as sim_mod  # noqa: E402
 from .functions import text as text_mod  # noqa: E402
+from .functions import bpe as bpe_mod  # noqa: E402
 from .sources.tables import load_table  # noqa: E402
 
 
@@ -2770,6 +2771,15 @@ def simhash_near_dup(spark, sf_dir):
     )
 
 
+@_register("bpe_merges", bpe_mod.bpe_merges_sql())
+def bpe_merges(spark, sf_dir):
+    """BPE tokenizer merge training on the cluster: the first 4 learned
+    merges over the corpus word-frequency table — each round one lead
+    window + one pair aggregate + the gaps-and-islands greedy merge,
+    replayed exactly by the oracle."""
+    return bpe_mod.bpe_merges(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2853,6 +2863,7 @@ _NEVER_SIGNED = [
     "ngram_novelty",
     "edge_growth_cs",
     "simhash_near_dup",
+    "bpe_merges",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1292,3 +1292,18 @@ def test_simhash_near_dup_finds_exact_dups_at_zero(spark):
     # every injected exact dup (identical text -> identical fingerprint
     # -> same key in every band) is recovered at hamming 0
     assert sum(1 for da, db in injected if db == da + 1_000_000) == n_dups
+
+
+def test_bpe_merges_hand_computed_with_overlap_run(spark):
+    """'aaaa' must merge greedily as (aa)(aa) — the gaps-and-islands
+    rule — and a round with no pairs left emits no merge row."""
+    from flink_graph_spark.functions.bpe import bpe_merges
+
+    d = spark.createDataFrame(
+        [(1, "aaaa aaaa ab")], "doc_id long, text string"
+    )
+    out = {r["round"]: r.asDict() for r in bpe_merges(d, rounds=4).collect()}
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == ("a", "a", 6)
+    assert out[2]["merged"] == "aaaa" and out[2]["pair_count"] == 2
+    assert (out[3]["left"], out[3]["right"]) == ("a", "b")
+    assert 4 not in out  # nothing left to merge
