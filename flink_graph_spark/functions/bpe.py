@@ -177,3 +177,120 @@ FROM bpe_b{r}"""
     )
     joined = ",\n".join(ctes)
     return f"WITH {joined}\n{union}"
+
+
+def _final_state(docs: DataFrame, rounds: int) -> DataFrame:
+    """(w, cnt, rn, sym) after ``rounds`` merges — shared by training
+    readout and application."""
+    # re-run the loop body; bpe_merges keeps this tiny (vocab-bounded)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    state = words.select(
+        "w", "cnt", F.posexplode(F.expr(_CHARS_T)).alias("p", "sym")
+    ).select("w", "cnt", (F.col("p") + 1).alias("rn"), "sym")
+    state = state.localCheckpoint(eager=True)
+    wlead = Window.partitionBy("w").orderBy("rn")
+    for _ in range(rounds):
+        paired = state.withColumn("nxt", F.lead("sym").over(wlead))
+        pairs = paired.filter(F.col("nxt").isNotNull())
+        best = (
+            pairs.groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("pcnt"))
+            .orderBy(F.desc("pcnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(F.col("sym").alias("bsym"), F.col("nxt").alias("bnxt"))
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            pairs.join(
+                F.broadcast(best),
+                (F.col("sym") == F.col("bsym"))
+                & (F.col("nxt") == F.col("bnxt")),
+            ).select("w", "rn")
+        )
+        isl = cand.withColumn(
+            "isl", F.col("rn") - F.row_number().over(wlead)
+        )
+        keep = (
+            isl.withColumn(
+                "mn", F.min("rn").over(Window.partitionBy("w", "isl"))
+            )
+            .filter(((F.col("rn") - F.col("mn")) % 2) == 0)
+            .select("w", "rn", F.lit(1).alias("k"))
+        )
+        state = (
+            paired.join(keep, ["w", "rn"], "left")
+            .join(
+                keep.select(
+                    "w", (F.col("rn") + 1).alias("rn"), F.lit(1).alias("d")
+                ),
+                ["w", "rn"],
+                "left",
+            )
+            .filter(F.col("d").isNull())
+            .select(
+                "w",
+                "cnt",
+                "rn",
+                F.when(F.col("k") == 1, F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .select(
+                "w", "cnt", F.row_number().over(wlead).alias("rn"), "sym"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def bpe_compression(
+    docs: DataFrame, rounds: int = BPE_ROUNDS, round_to: int = 6
+) -> DataFrame:
+    """(source, n_chars, n_pieces, compression) — corpus pieces under
+    the trained ``rounds``-merge vocabulary, per source. The tokenizer
+    fit-then-measure loop as one query: the piece length of every word
+    is read off the trained state (vocab-bounded) and weighted by each
+    source's word occurrences — the corpus is scanned once."""
+    state = _final_state(docs, rounds)
+    wlen = state.groupBy("w").agg(
+        F.count("*").alias("pieces"), F.max(F.length("w")).alias("chars")
+    )
+    occ = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        occ.join(F.broadcast(wlen), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+            F.round(F.sum("chars") / F.sum("pieces"), round_to).alias(
+                "compression"
+            ),
+        )
+    )
+
+
+def bpe_compression_sql(
+    rounds: int = BPE_ROUNDS, round_to: int = 6
+) -> str:
+    """DuckDB twin: the training chain + per-source weighted readout."""
+    train = bpe_merges_sql(rounds)
+    ctes = train[len("WITH "):train.rindex("\nSELECT CAST(1")]
+    return f"""WITH {ctes},
+bpe_wlen AS MATERIALIZED (
+    SELECT w, COUNT(*) AS pieces, MAX(length(w)) AS chars
+    FROM bpe_s{rounds} GROUP BY 1)
+SELECT source, CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+       ROUND(SUM(chars) * 1.0 / SUM(pieces), {round_to}) AS compression
+FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+JOIN bpe_wlen USING (w)
+WHERE length(w) > 0
+GROUP BY 1"""

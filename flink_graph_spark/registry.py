@@ -2777,7 +2777,19 @@ def bpe_merges(spark, sf_dir):
     merges over the corpus word-frequency table — each round one lead
     window + one pair aggregate + the gaps-and-islands greedy merge,
     replayed exactly by the oracle."""
-    return bpe_mod.bpe_merges(_docs(spark, sf_dir))
+    # vocab-bounded state (31 words on the synthetic corpus): the loop
+    # is pure exchange scheduling, so size the shuffles to the frame
+    with _fixture_partitions(spark, 4):
+        return bpe_mod.bpe_merges(_docs(spark, sf_dir))
+
+
+@_register("bpe_compression", bpe_mod.bpe_compression_sql())
+def bpe_compression(spark, sf_dir):
+    """Chars-per-piece compression per source under the trained 4-merge
+    BPE vocabulary — fit-then-measure as one query; piece lengths read
+    off the vocab-bounded trained state, corpus scanned once."""
+    with _fixture_partitions(spark, 4):
+        return bpe_mod.bpe_compression(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2864,6 +2876,7 @@ _NEVER_SIGNED = [
     "edge_growth_cs",
     "simhash_near_dup",
     "bpe_merges",
+    "bpe_compression",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

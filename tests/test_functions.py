@@ -1307,3 +1307,20 @@ def test_bpe_merges_hand_computed_with_overlap_run(spark):
     assert out[2]["merged"] == "aaaa" and out[2]["pair_count"] == 2
     assert (out[3]["left"], out[3]["right"]) == ("a", "b")
     assert 4 not in out  # nothing left to merge
+
+
+def test_bpe_compression_improves_with_merges(spark):
+    """With 'ab' merged everywhere, 'ab ab abab' compresses: pieces
+    drop from chars toward words; 0 merges = 1.0 chars/piece."""
+    from flink_graph_spark.functions.bpe import bpe_compression
+
+    d = spark.createDataFrame(
+        [(1, "ab ab abab", "s")], "doc_id long, text string, source string"
+    )
+    none = bpe_compression(d, rounds=0).collect()[0]
+    assert none["compression"] == 1.0  # every piece is one char
+    two = bpe_compression(d, rounds=2).collect()[0]
+    # round 1 merges (a,b) -> "ab"; round 2 merges (ab,ab) -> "abab":
+    # words become [ab], [ab], [abab] = 3 pieces over 8 chars
+    assert two["n_pieces"] == 3 and two["n_chars"] == 8
+    assert two["compression"] == round(8 / 3, 6)
