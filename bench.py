@@ -161,6 +161,7 @@ HEADLINE = [
     "edge_growth_cs",
     "simhash_near_dup",
     "bpe_merges",
+    "walk_skipgram_pairs",
 ]
 
 

@@ -127,3 +127,56 @@ def oracle_ctes(
     )
     final = f"SELECT rw0.start_id, {cols}\nFROM rw0\n{joins}\nORDER BY rw0.start_id"
     return ",\n".join(ctes), final
+
+
+def walk_skipgram_pairs(
+    graph: Graph, length: int = 3, window: int = 2
+) -> DataFrame:
+    """(center, context, n) — skip-gram co-occurrence pairs harvested
+    from the deterministic random walks: the DeepWalk/node2vec training
+    corpus (Perozzi et al. 2014) produced as a DataFrame, ready to feed
+    an embedding trainer.
+
+    Scale shape: the walk table is n rows × (length+1) narrow columns;
+    pair emission is ONE stack projection (no join), and the count is a
+    pair-vocabulary-bounded aggregate. Both the walks and the pairs are
+    hash-deterministic, so the whole composition stays oracle-exact."""
+    w = random_walks(graph, length)
+    cols = ["start_id"] + [f"v{s}" for s in range(1, length + 1)]
+    pairs = [
+        (i, j)
+        for i in range(len(cols))
+        for j in range(len(cols))
+        if i != j and abs(i - j) <= window
+    ]
+    stack_args = ", ".join(f"{cols[i]}, {cols[j]}" for i, j in pairs)
+    return (
+        w.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (center, context)"
+            )
+        )
+        .filter(F.col("center").isNotNull() & F.col("context").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def skipgram_oracle_sql(length: int = 3, window: int = 2) -> str:
+    """Final SELECT over the walk CTE chain's output (composes after
+    ``oracle_ctes`` wrapped as ``wsg_walks``)."""
+    cols = ["start_id"] + [f"v{s}" for s in range(1, length + 1)]
+    pairs = [
+        (i, j)
+        for i in range(len(cols))
+        for j in range(len(cols))
+        if i != j and abs(i - j) <= window
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT {cols[i]} AS center, {cols[j]} AS context FROM wsg_walks"
+        for i, j in pairs
+    )
+    return f"""SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({union})
+WHERE center IS NOT NULL AND context IS NOT NULL
+GROUP BY 1, 2"""

@@ -2792,6 +2792,32 @@ def bpe_compression(spark, sf_dir):
         return bpe_mod.bpe_compression(_docs(spark, sf_dir))
 
 
+@_register(
+    "walk_skipgram_pairs",
+    _with(
+        UU_EDGES_SQL,
+        """rw_vertices AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id FROM uu_edges UNION SELECT dst AS id FROM uu_edges
+  )
+)""",
+        sampling_mod.oracle_ctes("uu_edges", "rw_vertices", 3)[0],
+        "wsg_walks AS MATERIALIZED ("
+        + sampling_mod.oracle_ctes("uu_edges", "rw_vertices", 3)[1]
+        + ")",
+        sampling_mod.skipgram_oracle_sql(3, 2),
+    ),
+)
+def walk_skipgram_pairs(spark, sf_dir):
+    """DeepWalk training corpus: skip-gram (center, context) pairs from
+    the deterministic random walks — one stack projection over the walk
+    table, pair-vocabulary-bounded count."""
+    tune_session(spark)
+    return sampling_mod.walk_skipgram_pairs(
+        user_cooccurrence_graph(spark, sf_dir), length=3, window=2
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2877,6 +2903,7 @@ _NEVER_SIGNED = [
     "simhash_near_dup",
     "bpe_merges",
     "bpe_compression",
+    "walk_skipgram_pairs",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

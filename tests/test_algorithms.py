@@ -702,3 +702,16 @@ def test_bipartite_matching_is_a_matching(spark):
     assert len(srcs) == len(set(srcs))
     assert len(dsts) == len(set(dsts))
     assert len(m) > 0
+
+
+def test_walk_skipgram_pairs_symmetric_counts(spark):
+    """Pairs are emitted in both orders, so the count matrix is
+    symmetric; all pairs respect the window bound on a path walk."""
+    from flink_graph_spark.library.sampling import walk_skipgram_pairs
+    from flink_graph_spark.sources.generators import cycle_graph
+
+    out = walk_skipgram_pairs(cycle_graph(spark, 6), length=3, window=2)
+    counts = {(r["center"], r["context"]): r["n"] for r in out.collect()}
+    assert counts, "cycle walks must produce pairs"
+    for (c, x), n in counts.items():
+        assert counts.get((x, c)) == n
