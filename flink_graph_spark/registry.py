@@ -27,6 +27,7 @@ from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import matching as match_mod
+from .library import mst as mst_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import betweenness as btw_mod
@@ -2818,6 +2819,18 @@ def walk_skipgram_pairs(spark, sf_dir):
     )
 
 
+@_register("boruvka_mst_grid", mst_mod.grid_oracle_sql(4, 5))
+def boruvka_mst_grid(spark, sf_dir):
+    """Minimum spanning forest via Boruvka rounds + pointer-jumping
+    star contraction on the 4x5 grid (portable-hash weights): every
+    round each component picks its lightest outgoing edge under the
+    (w, src, dst) total order, 2-cycles collapse, components at least
+    halve. Oracle replays the rounds unrolled."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        return mst_mod.boruvka_mst(gen_mod.grid_graph(spark, 4, 5))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2904,6 +2917,7 @@ _NEVER_SIGNED = [
     "bpe_merges",
     "bpe_compression",
     "walk_skipgram_pairs",
+    "boruvka_mst_grid",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -715,3 +715,47 @@ def test_walk_skipgram_pairs_symmetric_counts(spark):
     assert counts, "cycle walks must produce pairs"
     for (c, x), n in counts.items():
         assert counts.get((x, c)) == n
+
+
+def test_boruvka_matches_kruskal_on_grid(spark):
+    """The distributed Boruvka forest equals a driver-side Kruskal run
+    over the identical hash weights — spanning, acyclic, minimal."""
+    from flink_graph_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from flink_graph_spark.library.mst import W_MOD, boruvka_mst
+    from flink_graph_spark.sources.generators import grid_graph
+
+    rows, cols = 4, 5
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in boruvka_mst(grid_graph(spark, rows, cols)).collect()
+    }
+    # reference Kruskal in plain Python on the same weights
+    edges = []
+    for rr in range(rows):
+        for c in range(cols):
+            v = rr * cols + c
+            if c < cols - 1:
+                edges.append((v, v + 1))
+            if rr < rows - 1:
+                edges.append((v, v + cols))
+    def w(cs, cd):
+        return 1 + ((MINHASH_A[2] * (cs * 1000 + cd) + MINHASH_B[2])
+                    % MINHASH_P) % W_MOD
+    parent = list(range(rows * cols))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    want = {}
+    for cs, cd in sorted(edges, key=lambda e: (w(*e), e)):
+        a, b = find(cs), find(cd)
+        if a != b:
+            parent[a] = b
+            want[(cs, cd)] = w(cs, cd)
+    assert got == want
+    assert len(got) == rows * cols - 1
