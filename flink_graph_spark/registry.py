@@ -28,6 +28,7 @@ from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
 from .library import matching as match_mod
 from .library import mst as mst_mod
+from .library import wl as wl_mod
 from .library import mis as mis_mod
 from .library import sampling as sampling_mod
 from .library import betweenness as btw_mod
@@ -2831,6 +2832,16 @@ def boruvka_mst_grid(spark, sf_dir):
         return mst_mod.boruvka_mst(gen_mod.grid_graph(spark, 4, 5))
 
 
+@_register("wl_colors_grid", wl_mod.grid_oracle_sql(4, 4))
+def wl_colors_grid(spark, sf_dir):
+    """1-WL color refinement on the 4x4 grid: canonical structural
+    vertex classes (corner/edge/interior orbits) + the color-histogram
+    graph fingerprint; one edge join + one sort-agg per round."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        return wl_mod.wl_color_classes(gen_mod.grid_graph(spark, 4, 4))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2918,6 +2929,7 @@ _NEVER_SIGNED = [
     "bpe_compression",
     "walk_skipgram_pairs",
     "boruvka_mst_grid",
+    "wl_colors_grid",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -759,3 +759,18 @@ def test_boruvka_matches_kruskal_on_grid(spark):
             want[(cs, cd)] = w(cs, cd)
     assert got == want
     assert len(got) == rows * cols - 1
+
+
+def test_wl_classes_match_grid_orbits(spark):
+    """4x4 grid automorphism orbits: 4 corners, 8 edge vertices, 4
+    interior — 1-WL separates exactly these; a cycle (vertex-
+    transitive) collapses to ONE class."""
+    from flink_graph_spark.library.wl import wl_color_classes
+    from flink_graph_spark.sources.generators import cycle_graph, grid_graph
+
+    sizes = sorted(
+        r["n"] for r in wl_color_classes(grid_graph(spark, 4, 4)).collect()
+    )
+    assert sizes == [4, 4, 8]
+    cyc = wl_color_classes(cycle_graph(spark, 8)).collect()
+    assert len(cyc) == 1 and cyc[0]["n"] == 8

@@ -242,3 +242,28 @@ def test_partitioned_events_prune_at_planning_time(spark):
         F.to_date("ts") == F.lit(str(target))
     ).count()
     assert df.count() == expected
+
+
+def test_round3b_pair_ops_avoid_all_pairs(spark, queries):
+    """Every new pair-producing operator generates candidates from a
+    keyed equi-join (bands/shingles/buckets), never a cartesian or
+    broadcast nested loop."""
+    for name in (
+        "simhash_near_dup",
+        "ngram_containment_topk",
+        "cross_source_overlap",
+        "ngram_novelty",
+    ):
+        plan = _final_plan(spark, queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_vocab_fit_broadcasts_back_to_scan(spark, queries):
+    """vocab_coverage: the fitted vocabulary is a TakeOrdered top-k and
+    re-attaches to the token stream as a broadcast join — the token
+    scan never shuffles on token for the membership check."""
+    plan = _final_plan(spark, queries["vocab_coverage"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
