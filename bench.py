@@ -162,6 +162,7 @@ HEADLINE = [
     "simhash_near_dup",
     "bpe_merges",
     "walk_skipgram_pairs",
+    "streaming_hourly_anomaly",
 ]
 
 

@@ -339,6 +339,14 @@ def hourly_anomaly(events: DataFrame, round_to: int = 6) -> DataFrame:
     cells = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").alias("n_events"))
+    return anomaly_scores(cells, round_to)
+
+
+def anomaly_scores(cells: DataFrame, round_to: int = 6) -> DataFrame:
+    """z-score stage over a prebuilt (event_type, hour, n_events) cell
+    table — shared by the batch rollup and the STREAMING rollup
+    snapshot (the alert layer reads the incrementally-maintained cells
+    either way)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")

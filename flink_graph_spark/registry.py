@@ -2842,6 +2842,22 @@ def wl_colors_grid(spark, sf_dir):
         return wl_mod.wl_color_classes(gen_mod.grid_graph(spark, 4, 4))
 
 
+@_register("streaming_hourly_anomaly", sess_mod.HOURLY_ANOMALY_SQL)
+def streaming_hourly_anomaly(spark, sf_dir):
+    """The monitoring-alert path end-to-end: the incremental streaming
+    hourly rollup (availableNow snapshot) feeds the SAME z-score stage
+    as the batch query — for a fully-arrived input the alerts must
+    equal the batch anomaly table exactly (the oracle)."""
+    tune_session(spark)
+    stream = stream_mod.read_events_stream(spark, sf_dir)
+    snap = stream_mod.run_available_now(
+        stream_mod.streaming_hourly_rollup(stream)
+    )
+    return sess_mod.anomaly_scores(
+        snap.select("event_type", "hour", "n_events")
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2930,6 +2946,7 @@ _NEVER_SIGNED = [
     "walk_skipgram_pairs",
     "boruvka_mst_grid",
     "wl_colors_grid",
+    "streaming_hourly_anomaly",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).
