@@ -163,6 +163,8 @@ HEADLINE = [
     "bpe_merges",
     "walk_skipgram_pairs",
     "streaming_hourly_anomaly",
+    "knn_confusion",
+    "gram_matrix",
 ]
 
 

@@ -1273,3 +1273,87 @@ def pq_codes_sql(
     return f"""WITH {joined}
 SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
 FROM pq_a{rounds}"""
+
+
+# ---- kNN evaluation: confusion matrix --------------------------------
+
+def knn_confusion(
+    emb: DataFrame, n_queries: int = 100, k: int = 10
+) -> DataFrame:
+    """(true_label, pred_label, n) — confusion matrix of the kNN label
+    vote over the first ``n_queries`` vectors (each query's own vector
+    excluded from its neighbor set, so this is leave-one-out
+    evaluation): the quality report a similarity index ships with.
+    Label-count-bounded output; the vote machinery is shared with
+    ``knn_label_vote``."""
+    preds = knn_label_vote(emb, n_queries, k)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        preds.join(truth, "query_id")
+        .groupBy("true_label", F.col("pred_label").cast("long").alias("pred_label"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def knn_confusion_sql(n_queries: int = 100, k: int = 10) -> str:
+    inner = knn_label_vote_sql(n_queries, k)
+    return f"""WITH knn_preds AS MATERIALIZED (
+{inner}
+)
+SELECT CAST(e.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM knn_preds p JOIN embeddings e ON p.query_id = e.vec_id
+GROUP BY 1, 2"""
+
+
+# ---- Gram matrix (linear-model sufficient statistics) ----------------
+
+def gram_matrix(emb: DataFrame, round_to: int = 6) -> DataFrame:
+    """(i, j, xtx) — upper triangle of X^T X over the embedding matrix
+    (1-based dims): the sufficient statistic behind every linear probe,
+    ridge fit, PCA and whitening transform. The distributed half of the
+    fit IS this aggregate — the driver-side solve on the DIM×DIM result
+    is trivial.
+
+    Scale shape: explode to (vec, dim, x), self-join per vector
+    (bounded fan-out: DIM(DIM+1)/2 products per row), one
+    (i, j)-keyed sum — map-side partial aggregation caps the shuffle at
+    partitions × DIM² cells regardless of corpus size."""
+    d = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    a = d.select("vec_id", "i", F.col("x").alias("xi"))
+    b = d.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xj"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+        )
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), round_to).alias("xtx"))
+    )
+
+
+def gram_matrix_sql(round_to: int = 6) -> str:
+    return f"""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       ROUND(SUM(xi * xj), {round_to}) AS xtx
+FROM (
+  SELECT a.vec_id, a.i, a.xi, b.j, b.xj FROM (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+           unnest(embedding::DOUBLE[]) AS xi
+    FROM embeddings) a
+  JOIN (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS j,
+           unnest(embedding::DOUBLE[]) AS xj
+    FROM embeddings) b
+  ON a.vec_id = b.vec_id
+  WHERE a.i <= b.j)
+GROUP BY 1, 2"""

@@ -2858,6 +2858,22 @@ def streaming_hourly_anomaly(spark, sf_dir):
     )
 
 
+@_register("knn_confusion", sim_mod.knn_confusion_sql())
+def knn_confusion(spark, sf_dir):
+    """Leave-one-out kNN confusion matrix over 100 query vectors — the
+    quality report a similarity index ships with; label-count-bounded
+    output, shares the vote machinery."""
+    return sim_mod.knn_confusion(_emb(spark, sf_dir))
+
+
+@_register("gram_matrix", sim_mod.gram_matrix_sql())
+def gram_matrix(spark, sf_dir):
+    """Upper triangle of X^T X over the embedding matrix — the
+    sufficient statistic behind every linear probe / ridge / PCA fit;
+    map-side partials cap the shuffle at partitions x DIM^2 cells."""
+    return sim_mod.gram_matrix(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2947,6 +2963,8 @@ _NEVER_SIGNED = [
     "boruvka_mst_grid",
     "wl_colors_grid",
     "streaming_hourly_anomaly",
+    "knn_confusion",
+    "gram_matrix",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

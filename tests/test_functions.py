@@ -1324,3 +1324,27 @@ def test_bpe_compression_improves_with_merges(spark):
     # words become [ab], [ab], [abab] = 3 pieces over 8 chars
     assert two["n_pieces"] == 3 and two["n_chars"] == 8
     assert two["compression"] == round(8 / 3, 6)
+
+
+def test_gram_matrix_hand_computed(spark):
+    e = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["i"], r["j"]): r["xtx"]
+           for r in sim_mod.gram_matrix(e).collect()}
+    assert out == {(1, 1): 10.0, (1, 2): 14.0, (2, 2): 20.0}
+
+
+def test_knn_confusion_is_complete_and_label_valued(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = sim_mod.knn_confusion(emb, n_queries=50, k=10).collect()
+    total = sum(r["n"] for r in out)
+    assert total == 50  # one prediction per query
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    for r in out:
+        assert r["true_label"] in labels and r["pred_label"] in labels
+    # the synthetic labels are NOT neighborhood-correlated (documented
+    # in label_spread): the matrix is a faithful report either way —
+    # here it reports ~chance, which is itself the point of shipping
+    # the evaluation with the index
