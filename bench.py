@@ -165,6 +165,8 @@ HEADLINE = [
     "streaming_hourly_anomaly",
     "knn_confusion",
     "gram_matrix",
+    "scd2_orders",
+    "attribution_last_touch",
 ]
 
 

@@ -120,3 +120,104 @@ def asof_order_events(orders: DataFrame, events: DataFrame) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", "last_event_id", "last_event_type"
     ).orderBy("o_orderkey")
+
+
+# ---- SCD2 dimension merge --------------------------------------------
+#
+# Slowly-changing-dimension type 2: given snapshot v1 and snapshot v2
+# of a dimension table, emit the versioned history — unchanged rows
+# keep (1, NULL), changed rows close the old version at 2 and open a
+# new one, inserts open at 2, deletes close at 2. One full outer join
+# on the business key + column comparison: the warehouse-merge staple
+# at any scale (both sides shuffle once on the key; no windows).
+# The second snapshot here is derived DETERMINISTICALLY from orders
+# (every 50th order's priority rewritten, every 97th dropped, synthetic
+# inserts appended) so the oracle replays the identical scenario.
+
+def orders_snapshot_v2(orders: DataFrame) -> DataFrame:
+    """Deterministic 'later' snapshot: priority rewritten on every 50th
+    order, every 97th order deleted, 5 synthetic inserts."""
+    spark = orders.sparkSession
+    base = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.lit("9-RESTATED")
+            ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + F.lit(900_000_000)).alias("o_orderkey"),
+        F.lit("5-NEW").alias("o_orderpriority"),
+    )
+    return base.unionByName(ins)
+
+
+ORDERS_V2_SQL = """
+scd_v2 AS MATERIALIZED (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 50 = 0 THEN '9-RESTATED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 900000000 + g.i AS o_orderkey, '5-NEW' AS o_orderpriority
+    FROM generate_series(1, 5) g(i)
+)"""
+
+
+def scd2_merge(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """(o_orderkey, o_orderpriority, valid_from, valid_to) SCD2 history
+    from two snapshots (version ids 1 and 2; NULL valid_to = open)."""
+    a = v1.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pa")
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pb")
+    )
+    j = a.join(b, "k", "full_outer")
+    unchanged = j.filter(F.col("pa") == F.col("pb")).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("pa").alias("o_orderpriority"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    closed = j.filter(
+        F.col("pa").isNotNull()
+        & (F.col("pb").isNull() | (F.col("pa") != F.col("pb")))
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("pa").alias("o_orderpriority"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(2).cast("long").alias("valid_to"),
+    )
+    opened = j.filter(
+        F.col("pb").isNotNull()
+        & (F.col("pa").isNull() | (F.col("pa") != F.col("pb")))
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("pb").alias("o_orderpriority"),
+        F.lit(2).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
+
+
+SCD2_MERGE_SQL = """
+SELECT k AS o_orderkey, pa AS o_orderpriority,
+       CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM scd_j WHERE pa = pb
+UNION ALL
+SELECT k, pa, 1, 2 FROM scd_j
+WHERE pa IS NOT NULL AND (pb IS NULL OR pa <> pb)
+UNION ALL
+SELECT k, pb, 2, NULL FROM scd_j
+WHERE pb IS NOT NULL AND (pa IS NULL OR pa <> pb)"""
+
+SCD2_JOIN_SQL = """
+scd_j AS MATERIALIZED (
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+           a.o_orderpriority AS pa, b.o_orderpriority AS pb
+    FROM (SELECT o_orderkey, o_orderpriority FROM orders) a
+    FULL OUTER JOIN scd_v2 b ON a.o_orderkey = b.o_orderkey
+)"""

@@ -486,3 +486,53 @@ FROM (
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1, 2)
     GROUP BY 1)"""
+
+
+# ---- last-touch attribution ------------------------------------------
+
+def attribution_last_touch(events: DataFrame) -> DataFrame:
+    """(touch_type, n_purchases, credited_value_cents) — every purchase
+    credited to the last non-purchase event type that preceded it in
+    the same user's stream (classic last-touch attribution).
+
+    Scale shape: one window sort per user (the same (user | ts, id)
+    order every sequence op here uses) carrying a last_value-ignorenulls
+    over the masked touch column — no self-join against the purchase
+    subset; purchases with no prior touch report as 'none'."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("credited_value_cents"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT COALESCE(touch, 'none') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS credited_value_cents
+FROM (
+    SELECT event_type, value,
+           LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+    FROM events)
+WHERE event_type = 'purchase'
+GROUP BY 1"""

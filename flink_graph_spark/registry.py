@@ -2874,6 +2874,30 @@ def gram_matrix(spark, sf_dir):
     return sim_mod.gram_matrix(_emb(spark, sf_dir))
 
 
+@_register(
+    "scd2_orders",
+    _with(
+        asof_mod.ORDERS_V2_SQL,
+        asof_mod.SCD2_JOIN_SQL,
+        asof_mod.SCD2_MERGE_SQL,
+    ),
+)
+def scd2_orders(spark, sf_dir):
+    """SCD2 dimension merge: snapshot v1 vs a deterministic v2
+    (restated priorities, deletes, inserts) -> versioned history rows;
+    one full outer join on the business key, no windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_mod.scd2_merge(orders, asof_mod.orders_snapshot_v2(orders))
+
+
+@_register("attribution_last_touch", sess_mod.ATTRIBUTION_SQL)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch purchase attribution: one per-user window with a
+    masked last_value-ignorenulls — no self-join against the purchase
+    subset."""
+    return sess_mod.attribution_last_touch(_events(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2965,6 +2989,8 @@ _NEVER_SIGNED = [
     "streaming_hourly_anomaly",
     "knn_confusion",
     "gram_matrix",
+    "scd2_orders",
+    "attribution_last_touch",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

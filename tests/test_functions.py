@@ -1348,3 +1348,55 @@ def test_knn_confusion_is_complete_and_label_valued(spark):
     # in label_spread): the matrix is a faithful report either way —
     # here it reports ~chance, which is itself the point of shipping
     # the evaluation with the index
+
+
+def test_scd2_merge_covers_all_change_kinds(spark):
+    v1 = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (4, "D")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    from flink_graph_spark.functions.asof import scd2_merge
+
+    rows = {(r["o_orderkey"], r["o_orderpriority"],
+             r["valid_from"], r["valid_to"])
+            for r in scd2_merge(v1, v2).collect()}
+    assert rows == {
+        (1, "A", 1, None),     # unchanged
+        (2, "B", 1, 2),        # changed: close old ...
+        (2, "B2", 2, None),    # ... open new
+        (3, "C", 1, 2),        # deleted: closed
+        (4, "D", 2, None),     # inserted: open
+    }
+
+
+def test_attribution_credits_last_non_purchase_touch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 5.0, None),
+        # purchase with NO prior touch
+        (4, t0, 2, "purchase", 3.0, None),
+        # two purchases credited to the same earlier click
+        (5, t0, 3, "click", 0.0, None),
+        (6, t0 + dt.timedelta(minutes=1), 3, "purchase", 1.0, None),
+        (7, t0 + dt.timedelta(minutes=2), 3, "purchase", 2.0, None),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["touch_type"]: r.asDict()
+           for r in sess_mod.attribution_last_touch(e).collect()}
+    assert out["view"]["n_purchases"] == 1
+    assert out["view"]["credited_value_cents"] == 500
+    assert out["none"]["n_purchases"] == 1
+    assert out["click"]["n_purchases"] == 2
+    assert out["click"]["credited_value_cents"] == 300
