@@ -167,6 +167,8 @@ HEADLINE = [
     "gram_matrix",
     "scd2_orders",
     "attribution_last_touch",
+    "cohort_retention",
+    "copurchase_lift",
 ]
 
 

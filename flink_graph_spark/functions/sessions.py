@@ -536,3 +536,41 @@ FROM (
     FROM events)
 WHERE event_type = 'purchase'
 GROUP BY 1"""
+
+
+# ---- cohort retention triangle ---------------------------------------
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, active_users) — the retention triangle:
+    users bucketed by FIRST-SEEN day, then counted distinct on every
+    later active day (offset in days).
+
+    Scale shape: first-seen is one (user)-keyed min aggregate; the
+    triangle is one join of the (user, day)-distinct activity frame
+    against it plus one bounded aggregate — cohorts × offsets cells.
+    Day granularity keeps the synthetic 2-month window interesting
+    (hour would explode cells, month would collapse to 2)."""
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS active_users
+FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) ud
+JOIN (SELECT user_id, MIN(day) AS cohort_day
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      GROUP BY 1) f
+  ON ud.user_id = f.user_id
+GROUP BY 1, 2"""

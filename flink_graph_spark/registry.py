@@ -2898,6 +2898,66 @@ def attribution_last_touch(spark, sf_dir):
     return sess_mod.attribution_last_touch(_events(spark, sf_dir))
 
 
+@_register("cohort_retention", sess_mod.COHORT_RETENTION_SQL)
+def cohort_retention(spark, sf_dir):
+    """The retention triangle: users bucketed by first-seen day,
+    distinct-counted at every later active day offset — one min
+    aggregate + one join + one bounded cell aggregate."""
+    return sess_mod.cohort_retention(_events(spark, sf_dir))
+
+
+@_register(
+    "copurchase_lift",
+    _with(
+        PC_EDGES_SQL,
+        """pc_deg AS MATERIALIZED (
+  SELECT id, SUM(c) AS tot FROM (
+    SELECT src AS id, value AS c FROM pc_edges
+    UNION ALL SELECT dst, value FROM pc_edges) GROUP BY 1),
+pc_n AS MATERIALIZED (SELECT SUM(value) AS n FROM pc_edges)""",
+        """SELECT e.src, e.dst, CAST(e.value AS BIGINT) AS n_co,
+       ROUND(e.value * 2.0 * n.n / (da.tot * db.tot), 6) AS lift
+FROM pc_edges e
+JOIN pc_deg da ON e.src = da.id
+JOIN pc_deg db ON e.dst = db.id
+CROSS JOIN pc_n n
+ORDER BY lift DESC, e.src ASC, e.dst ASC LIMIT 50""",
+    ),
+)
+def copurchase_lift(spark, sf_dir):
+    """Association-rule lift over the co-purchase graph: top-50 part
+    pairs by observed/expected co-occurrence — degree totals attach as
+    dimension joins, the grand total as a 1-row broadcast scalar."""
+    tune_session(spark)
+    g = part_copurchase_graph(spark, sf_dir)
+    e = g.edges
+    deg = (
+        e.select(F.col("src").alias("id"), F.col("value").alias("c"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.col("value").alias("c")))
+        .groupBy("id")
+        .agg(F.sum("c").alias("tot"))
+    )
+    n = e.agg(F.sum("value").alias("n"))
+    da = deg.select(F.col("id").alias("src"), F.col("tot").alias("ta"))
+    db = deg.select(F.col("id").alias("dst"), F.col("tot").alias("tb"))
+    return (
+        e.join(da, "src")
+        .join(db, "dst")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src",
+            "dst",
+            F.col("value").cast("long").alias("n_co"),
+            F.round(
+                F.col("value") * 2.0 * F.col("n") / (F.col("ta") * F.col("tb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("src"), F.asc("dst"))
+        .limit(50)
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -2991,6 +3051,8 @@ _NEVER_SIGNED = [
     "gram_matrix",
     "scd2_orders",
     "attribution_last_touch",
+    "cohort_retention",
+    "copurchase_lift",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1400,3 +1400,30 @@ def test_attribution_credits_last_non_purchase_touch(spark):
     assert out["none"]["n_purchases"] == 1
     assert out["click"]["n_purchases"] == 2
     assert out["click"]["credited_value_cents"] == 300
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2026, 1, 1, 9)
+    rows = [
+        # user 1: cohort day0, active day0 and day2
+        (1, d0, 1, "e", 0.0, None),
+        (2, d0 + dt.timedelta(days=2), 1, "e", 0.0, None),
+        # user 2: cohort day0 only
+        (3, d0 + dt.timedelta(hours=1), 2, "e", 0.0, None),
+        # user 3: cohort day1, active day1 + day2
+        (4, d0 + dt.timedelta(days=1), 3, "e", 0.0, None),
+        (5, d0 + dt.timedelta(days=2), 3, "e", 0.0, None),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {(str(r["cohort_day"]), r["day_offset"]): r["active_users"]
+           for r in sess_mod.cohort_retention(e).collect()}
+    assert out[("2026-01-01", 0)] == 2
+    assert out[("2026-01-01", 2)] == 1
+    assert out[("2026-01-02", 0)] == 1
+    assert out[("2026-01-02", 1)] == 1
