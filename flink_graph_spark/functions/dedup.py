@@ -1062,3 +1062,108 @@ sd_cand AS MATERIALIZED (
        CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
 FROM sd_cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
     return ctes, final
+
+
+# ---- MinHash estimator calibration -----------------------------------
+
+def minhash_calibration(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(err_bucket, n_pairs, mean_est, mean_exact) — |MinHash-estimated
+    − exact| Jaccard error over the LSH candidate pairs, bucketed at
+    0.1: the sketch-calibration readout (est = matching permutations /
+    16; with 16 permutations the standard error is ~0.12 at s=0.25, so
+    mass should sit in the first two buckets).
+
+    Same exact-vs-sketch pairing policy as two_hop vs HLL: measure the
+    estimator against ground truth on the candidate set instead of
+    assuming the textbook bound. Candidates only — never all pairs."""
+    arrs = (
+        exploded_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+        .persist()
+    )
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
+    wide = minhash_wide(sh)
+    cand = minhash_candidates(sh, bands, rows)
+    wa = wide.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(NUM_MINHASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(NUM_MINHASHES)],
+    )
+    match = sum(
+        (
+            F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), 1).otherwise(0)
+            for k in range(1, NUM_MINHASHES)
+        ),
+        start=F.when(F.col("a_0") == F.col("b_0"), 1).otherwise(0),
+    )
+    est = match.cast("double") / F.lit(float(NUM_MINHASHES))
+    paired = (
+        cand.join(wa, "da")
+        .join(wb, "db")
+        .withColumn("est", est)
+        .join(
+            arrs.select(F.col("doc_id").alias("da"), F.col("ss").alias("sa")),
+            "da",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("db"), F.col("ss").alias("sb")),
+            "db",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "exact",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    bucket = F.least(
+        F.floor(F.abs(F.col("est") - F.col("exact")) * 10), F.lit(9)
+    )
+    out = (
+        paired.groupBy(bucket.cast("long").alias("err_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("est"), 6).alias("mean_est"),
+            F.round(F.avg("exact"), 6).alias("mean_exact"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    arrs.unpersist()
+    return out
+
+
+# composes after DOC_TOK_SQL + DOC_SHINGLES_SQL + minhash_sql_parts()
+MINHASH_CALIBRATION_SQL = f"""
+SELECT CAST(LEAST(FLOOR(ABS(est - exact) * 10), 9) AS BIGINT)
+           AS err_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est), 6) AS mean_est,
+       ROUND(AVG(exact), 6) AS mean_exact
+FROM (
+    SELECT mm.da, mm.db, mm.m * 1.0 / {NUM_MINHASHES} AS est,
+           ROUND(CAST(len(list_intersect(ga.ss, gb.ss)) AS DOUBLE)
+                 / (len(ga.ss) + len(gb.ss)
+                    - len(list_intersect(ga.ss, gb.ss))), 6) AS exact
+    FROM (
+        SELECT c.da, c.db,
+               SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+        FROM mh_cand c
+        JOIN mh_sigs sa ON sa.doc_id = c.da
+        JOIN mh_sigs sb ON sb.doc_id = c.db AND sb.k = sa.k
+        GROUP BY 1, 2) mm
+    JOIN (SELECT doc_id, list(DISTINCT s) AS ss FROM doc_shingles
+          GROUP BY 1) ga ON ga.doc_id = mm.da
+    JOIN (SELECT doc_id, list(DISTINCT s) AS ss FROM doc_shingles
+          GROUP BY 1) gb ON gb.doc_id = mm.db)
+GROUP BY 1"""

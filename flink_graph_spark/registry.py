@@ -2958,6 +2958,22 @@ def copurchase_lift(spark, sf_dir):
     )
 
 
+@_register(
+    "minhash_calibration",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        text_mod.DOC_SHINGLES_SQL,
+        dedup_mod.minhash_sql_parts(),
+        dedup_mod.MINHASH_CALIBRATION_SQL,
+    ),
+)
+def minhash_calibration(spark, sf_dir):
+    """Sketch-calibration readout: |MinHash-estimated - exact| Jaccard
+    error over the LSH candidate pairs, 0.1-bucketed — measures the
+    16-permutation estimator against ground truth on candidates only."""
+    return dedup_mod.minhash_calibration(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3053,6 +3069,7 @@ _NEVER_SIGNED = [
     "attribution_last_touch",
     "cohort_retention",
     "copurchase_lift",
+    "minhash_calibration",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

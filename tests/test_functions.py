@@ -1427,3 +1427,18 @@ def test_cohort_retention_triangle(spark):
     assert out[("2026-01-01", 2)] == 1
     assert out[("2026-01-02", 0)] == 1
     assert out[("2026-01-02", 1)] == 1
+
+
+def test_minhash_calibration_error_concentrates_low(spark):
+    """On the dup-injected corpus most candidate pairs are exact dups
+    (est = exact = 1.0 -> bucket 0); total mass equals the candidate
+    count and every bucket is within [0, 9]."""
+    docs = dedup_mod.with_synthetic_dups(
+        load_table(spark, SF_DIR, "documents")
+    )
+    out = dedup_mod.minhash_calibration(docs).collect()
+    assert out
+    assert all(0 <= r["err_bucket"] <= 9 for r in out)
+    by_bucket = {r["err_bucket"]: r["n_pairs"] for r in out}
+    # bucket 0 (err < 0.1) carries the exact-dup mass
+    assert by_bucket.get(0, 0) >= max(by_bucket.values()) / 2
