@@ -169,6 +169,8 @@ HEADLINE = [
     "attribution_last_touch",
     "cohort_retention",
     "copurchase_lift",
+    "minhash_calibration",
+    "entity_resolution",
 ]
 
 

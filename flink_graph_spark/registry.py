@@ -1229,6 +1229,7 @@ from .functions import sessions as sess_mod  # noqa: E402
 from .functions import similarity as sim_mod  # noqa: E402
 from .functions import text as text_mod  # noqa: E402
 from .functions import bpe as bpe_mod  # noqa: E402
+from .functions import entity as ent_mod  # noqa: E402
 from .sources.tables import load_table  # noqa: E402
 
 
@@ -2974,6 +2975,20 @@ def minhash_calibration(spark, sf_dir):
     return dedup_mod.minhash_calibration(_docs(spark, sf_dir))
 
 
+@_register(
+    "entity_resolution",
+    _with(ent_mod.DIRTY_SQL, ent_mod.entity_matches_sql()),
+)
+def entity_resolution(spark, sf_dir):
+    """Record linkage: blocking-key equi-join (nation + name prefix)
+    -> Levenshtein similarity on candidates only -> matched pairs.
+    Dirty clones injected deterministically; edit distance is
+    integer-identical in both engines."""
+    return ent_mod.entity_matches(
+        ent_mod.with_dirty_customers(load_table(spark, sf_dir, "customer"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3070,6 +3085,7 @@ _NEVER_SIGNED = [
     "cohort_retention",
     "copurchase_lift",
     "minhash_calibration",
+    "entity_resolution",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1442,3 +1442,22 @@ def test_minhash_calibration_error_concentrates_low(spark):
     by_bucket = {r["err_bucket"]: r["n_pairs"] for r in out}
     # bucket 0 (err < 0.1) carries the exact-dup mass
     assert by_bucket.get(0, 0) >= max(by_bucket.values()) / 2
+
+
+def test_entity_resolution_exactly_recovers_injected_clones(spark):
+    """Multi-field scoring separates perturbed clones from neighboring
+    id-style names: the match set equals the injected clone pairs —
+    precision and recall both 1.0."""
+    from flink_graph_spark.functions import entity as ent_mod
+
+    cust = load_table(spark, SF_DIR, "customer")
+    dirty = ent_mod.with_dirty_customers(cust)
+    got = {(r["ka"], r["kb"])
+           for r in ent_mod.entity_matches(dirty).collect()}
+    want = {
+        (r["c_custkey"], r["c_custkey"] + ent_mod.DIRTY_OFFSET)
+        for r in cust.filter(
+            F.col("c_custkey") % ent_mod.DIRTY_MOD == 0
+        ).collect()
+    }
+    assert got == want and len(want) > 0
