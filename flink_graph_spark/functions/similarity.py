@@ -1357,3 +1357,87 @@ FROM (
   ON a.vec_id = b.vec_id
   WHERE a.i <= b.j)
 GROUP BY 1, 2"""
+
+
+# ---- feature propagation (the GNN aggregation layer) -----------------
+
+def feature_propagation(
+    emb: DataFrame,
+    k: int = 5,
+    alpha: float = 0.5,
+    rounds: int = 2,
+    out_dims: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """(vec_id, dim, val) — ``rounds`` of Laplacian feature smoothing
+    over the kNN graph: x' = (1−α)·x + α·mean(neighbor x). This IS the
+    message-passing layer of a GNN (GCN aggregation with mean
+    normalization), run relationally: per round one edge join against
+    the (vec, dim, x) frame + one (vec, dim)-keyed mean — no vector
+    array ever crosses a shuffle whole. First ``out_dims`` dims
+    reported (the readout is dimension-wise; swap in all dims at will).
+    kNN edges are the exact anchor; the LSH/IVF paths slot in at scale.
+    """
+    e = knn_edges(emb, k).localCheckpoint(eager=True)
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    x = x.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nb = (
+            e.join(x.withColumnRenamed("vec_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("vec_id"), "dim")
+            .agg(F.avg("x").alias("nx"))
+        )
+        x = (
+            x.join(nb, ["vec_id", "dim"], "left")
+            .select(
+                "vec_id",
+                "dim",
+                (
+                    F.lit(1.0 - alpha) * F.col("x")
+                    + F.lit(alpha) * F.coalesce("nx", F.col("x"))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.filter(F.col("dim") <= out_dims).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("x", round_to).alias("val"),
+    )
+
+
+def feature_propagation_sql(
+    k: int = 5,
+    alpha: float = 0.5,
+    rounds: int = 2,
+    out_dims: int = 4,
+    round_to: int = 6,
+) -> str:
+    ctes = [
+        EMB_NORM_SQL.strip(),
+        knn_edges_sql(k),
+        """fp_0 AS MATERIALIZED (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""fp_{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.dim,
+         {1.0 - alpha} * s.x + {alpha} * COALESCE(m.nx, s.x) AS x
+  FROM fp_{r - 1} s LEFT JOIN (
+    SELECT e.src AS vec_id, t.dim, AVG(t.x) AS nx
+    FROM knn_edges e JOIN fp_{r - 1} t ON t.vec_id = e.dst
+    GROUP BY 1, 2) m
+  ON s.vec_id = m.vec_id AND s.dim = m.dim)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, ROUND(x, {round_to}) AS val
+FROM fp_{rounds} WHERE dim <= {out_dims}"""

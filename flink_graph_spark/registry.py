@@ -2989,6 +2989,15 @@ def entity_resolution(spark, sf_dir):
     )
 
 
+@_register("feature_propagation", sim_mod.feature_propagation_sql())
+def feature_propagation(spark, sf_dir):
+    """The GNN aggregation layer run relationally: 2 rounds of
+    x' = 0.5x + 0.5*mean(kNN-neighbor x) — one edge join + one
+    (vec, dim)-keyed mean per round; no vector array crosses a shuffle
+    whole."""
+    return sim_mod.feature_propagation(_emb(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3086,6 +3095,7 @@ _NEVER_SIGNED = [
     "copurchase_lift",
     "minhash_calibration",
     "entity_resolution",
+    "feature_propagation",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1461,3 +1461,29 @@ def test_entity_resolution_exactly_recovers_injected_clones(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_feature_propagation_contracts_toward_neighborhood_mean(spark):
+    """Smoothing shrinks dimension-wise variance (Laplacian smoothing
+    contracts toward local means) and a propagation with alpha=0 is the
+    identity."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    import statistics
+
+    before = [
+        float(r["embedding"][0]) for r in emb.select("embedding").collect()
+    ]
+    after = [
+        r["val"]
+        for r in sim_mod.feature_propagation(emb, out_dims=1).collect()
+    ]
+    assert statistics.pvariance(after) < statistics.pvariance(before)
+    ident = sim_mod.feature_propagation(
+        emb, alpha=0.0, rounds=1, out_dims=1
+    )
+    got = {r["vec_id"]: r["val"] for r in ident.collect()}
+    want = {
+        r["vec_id"]: round(float(r["embedding"][0]), 6)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert got == want
