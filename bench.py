@@ -171,6 +171,8 @@ HEADLINE = [
     "copurchase_lift",
     "minhash_calibration",
     "entity_resolution",
+    "sql_revenue_by_nation",
+    "event_type_pivot",
 ]
 
 

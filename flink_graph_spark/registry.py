@@ -2998,6 +2998,69 @@ def feature_propagation(spark, sf_dir):
     return sim_mod.feature_propagation(_emb(spark, sf_dir))
 
 
+@_register(
+    "sql_revenue_by_nation",
+    """SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1""",
+)
+def sql_revenue_by_nation(spark, sf_dir):
+    """The pure-SQL surface: tables registered as temp views, the query
+    written as ANSI SQL through spark.sql — Catalyst reorders the
+    4-table join (nation/customer broadcast under AQE) exactly as the
+    DataFrame plans do. Revenue in integer cents for exactness."""
+    tune_session(spark)
+    for t in ("nation", "customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "event_type_pivot",
+    "SELECT CAST(ts AS DATE) AS day,\n"
+    + ",\n".join(
+        f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY 1",
+)
+def event_type_pivot(spark, sf_dir):
+    """Wide daily activity matrix via the DataFrame pivot operator
+    (explicit value list — no extra distinct pass); oracle is the
+    equivalent conditional aggregation."""
+    out = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    cols = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3096,6 +3159,8 @@ _NEVER_SIGNED = [
     "minhash_calibration",
     "entity_resolution",
     "feature_propagation",
+    "sql_revenue_by_nation",
+    "event_type_pivot",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1487,3 +1487,18 @@ def test_feature_propagation_contracts_toward_neighborhood_mean(spark):
         for r in emb.select("vec_id", "embedding").collect()
     }
     assert got == want
+
+
+def test_event_type_pivot_row_sums_match_totals(spark):
+    from flink_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    import __spark_entry__ as m
+
+    out = m.queries()["event_type_pivot"](spark, SF_DIR).collect()
+    total = sum(
+        r[f"n_{t}"]
+        for r in out
+        for t in ("click", "error", "purchase", "signup", "view")
+    )
+    assert total == ev.count()
