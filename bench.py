@@ -173,6 +173,7 @@ HEADLINE = [
     "entity_resolution",
     "sql_revenue_by_nation",
     "event_type_pivot",
+    "langid_confusion",
 ]
 
 

@@ -1578,3 +1578,31 @@ def weighted_sample_sql(k: int = WSAMPLE_K, round_to: int = 6) -> str:
 FROM documents
 ORDER BY ln({u}) / len(string_split(text, ' ')) DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def langid_confusion(spark, docs: DataFrame) -> DataFrame:
+    """(true_lang, pred_lang, n) — the language-ID classifier's
+    confusion matrix against the corpus ``lang`` ground truth: the
+    evaluation every filtering classifier ships with. Label-count-
+    bounded output; shares the marker-dictionary vote with
+    :func:`lang_id`."""
+    preds = lang_id(spark, docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def langid_confusion_sql() -> tuple[str, str]:
+    ctes, final = lang_id_sql()
+    wrapped = f"lang_preds AS MATERIALIZED (\n{final}\n)"
+    return (
+        ctes,
+        wrapped,
+        """SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lang_preds p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1, 2""",
+    )

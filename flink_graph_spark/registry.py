@@ -3061,6 +3061,17 @@ def event_type_pivot(spark, sf_dir):
     return out.select(*cols)
 
 
+@_register(
+    "langid_confusion",
+    _with(text_mod.DOC_TOK_SQL, *text_mod.langid_confusion_sql()),
+)
+def langid_confusion(spark, sf_dir):
+    """Confusion matrix of the marker-word language classifier against
+    the corpus lang ground truth — the shipped evaluation of a
+    filtering classifier; label-count-bounded."""
+    return text_mod.langid_confusion(spark, _docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3161,6 +3172,7 @@ _NEVER_SIGNED = [
     "feature_propagation",
     "sql_revenue_by_nation",
     "event_type_pivot",
+    "langid_confusion",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

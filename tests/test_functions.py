@@ -1502,3 +1502,13 @@ def test_event_type_pivot_row_sums_match_totals(spark):
         for t in ("click", "error", "purchase", "signup", "view")
     )
     assert total == ev.count()
+
+
+def test_langid_confusion_counts_all_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = text_mod.langid_confusion(spark, docs).collect()
+    assert sum(r["n"] for r in out) == docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for r in out:
+        assert r["true_lang"] in langs
+        assert r["pred_lang"] in langs | {"und"}
