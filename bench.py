@@ -174,6 +174,8 @@ HEADLINE = [
     "sql_revenue_by_nation",
     "event_type_pivot",
     "langid_confusion",
+    "train_val_test_split",
+    "quality_calibration",
 ]
 
 

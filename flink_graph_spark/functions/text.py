@@ -1606,3 +1606,57 @@ def langid_confusion_sql() -> tuple[str, str]:
 FROM lang_preds p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY 1, 2""",
     )
+
+
+# ---- train/val/test split --------------------------------------------
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def train_val_test_split(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(source, split, n_docs, n_tokens, doc_frac) — the canonical
+    80/10/10 assignment, stratified per source by the same Knuth-hash
+    bucket arithmetic as stratified_sample: deterministic, resumable,
+    map-side (a scan + a CASE — no shuffle before the bounded report
+    aggregate). The assignment column is what a real run writes; the
+    per-source report makes the stratification auditable."""
+    bucket = ((F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    from pyspark.sql import Window as _W
+
+    tot = _W.partitionBy("source")
+    return (
+        docs.select("source", split.alias("split"), F.size(_tokens()).alias("nt"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "doc_frac",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(tot), round_to),
+        )
+    )
+
+
+TRAIN_VAL_TEST_SQL = """
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY source),
+             6) AS doc_frac
+FROM (
+    SELECT source,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10
+                THEN 'test'
+                WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 20
+                THEN 'val'
+                ELSE 'train' END AS split,
+           len(string_split(text, ' ')) AS nt
+    FROM documents)
+GROUP BY 1, 2"""

@@ -3072,6 +3072,54 @@ def langid_confusion(spark, sf_dir):
     return text_mod.langid_confusion(spark, _docs(spark, sf_dir))
 
 
+@_register("train_val_test_split", text_mod.TRAIN_VAL_TEST_SQL)
+def train_val_test_split(spark, sf_dir):
+    """Canonical 80/10/10 split, stratified per source via the
+    deterministic Knuth-hash bucket — map-side assignment, auditable
+    per-source report."""
+    return text_mod.train_val_test_split(_docs(spark, sf_dir))
+
+
+@_register(
+    "quality_calibration",
+    _with(
+        text_mod.DOC_TOK_SQL,
+        """SELECT CAST(LEAST(FLOOR((0.7 * (len(list_distinct(t)) * 1.0 / len(t))
+         + 0.3 * (1.0 - len(list_filter(t, x -> x IN ('the', 'a', 'of',
+           'and', 'is'))) * 1.0 / len(t))) * 10), 9) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+       ROUND(AVG(len(t)), 6) AS mean_tokens
+FROM doc_tok GROUP BY 1""",
+    ),
+)
+def quality_calibration(spark, sf_dir):
+    """Quality-score calibration curve: docs bucketed by score decile
+    with per-bin doc/token mass — the threshold-picking diagnostic for
+    the quality filter."""
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    q = F.lit(0.7) * (F.size(F.array_distinct(t)) / n_tok) + F.lit(0.3) * (
+        F.lit(1.0)
+        - F.expr(
+            "size(filter(split(text, ' '), x -> x in ('the', 'a', 'of',"
+            " 'and', 'is')))"
+        )
+        / n_tok
+    )
+    decile = F.least(F.floor(q * 10), F.lit(9)).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .select(decile.alias("decile"), n_tok.alias("nt"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("nt"), 6).alias("mean_tokens"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3173,6 +3221,8 @@ _NEVER_SIGNED = [
     "sql_revenue_by_nation",
     "event_type_pivot",
     "langid_confusion",
+    "train_val_test_split",
+    "quality_calibration",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

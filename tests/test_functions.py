@@ -1512,3 +1512,22 @@ def test_langid_confusion_counts_all_docs(spark):
     for r in out:
         assert r["true_lang"] in langs
         assert r["pred_lang"] in langs | {"und"}
+
+
+def test_train_val_test_split_partitions_everything(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = text_mod.train_val_test_split(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # per-source fracs sum to 1
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], 0.0)
+        by_source[r["source"]] += r["doc_frac"]
+    assert all(abs(v - 1.0) < 1e-5 for v in by_source.values())
+    # train dominates in every source that has all three splits
+    rows = {(r["source"], r["split"]): r["n_docs"] for r in out}
+    for (src, sp), n in rows.items():
+        if sp == "train":
+            assert n >= rows.get((src, "val"), 0)
+            assert n >= rows.get((src, "test"), 0)
