@@ -176,6 +176,8 @@ HEADLINE = [
     "langid_confusion",
     "train_val_test_split",
     "quality_calibration",
+    "spectral_radius_uu",
+    "quality_length_corr",
 ]
 
 

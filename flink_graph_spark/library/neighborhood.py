@@ -262,3 +262,103 @@ TWO_HOP_SYM_SQL_TMPL = """th_sym AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM {edges}
     UNION ALL SELECT dst AS src, src AS dst FROM {edges}))"""
+
+
+def spectral_radius(
+    graph: Graph, rounds: int = 5, round_to: int = 6
+) -> DataFrame:
+    """One row (lambda_1_est) — largest adjacency eigenvalue of the
+    undirected view via power iteration (the expansion / epidemic-
+    threshold measure; λ₁ ≥ avg degree, ≤ max degree).
+
+    Scale shape: each round is one edge join + one (id)-keyed sum (the
+    matrix-vector product, same kernel as PageRank without the
+    teleport) + one scalar norm; state is one double per vertex. The
+    iteration runs on the SHIFTED operator A+I — on bipartite graphs
+    (stars, grids) plain power iteration oscillates between the ±λ₁
+    eigenspaces and never converges; the shift makes the top eigenpair
+    strictly dominant and leaves the eigenvector unchanged. The
+    Rayleigh readout is on A itself. Engine-replayable throughout."""
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = graph.vertices.select("id", F.lit(1.0).alias("x")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(
+                x.select(F.col("id").alias("dst"), F.col("x").alias("xd")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("xd").alias("ny"))
+        )
+        y = x.join(nbr, "id", "left").select(
+            "id", (F.col("x") + F.coalesce("ny", F.lit(0.0))).alias("y")
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
+        x = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("id", (F.col("y") / F.col("n")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    # Rayleigh quotient x'Ax / x'x (x already unit-norm up to the
+    # isolated-vertex zeros)
+    ax = (
+        sym.join(
+            x.select(F.col("id").alias("dst"), F.col("x").alias("xd")), "dst"
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("xd").alias("ax"))
+    )
+    num = (
+        x.join(ax, "id")
+        .agg(F.sum(F.col("x") * F.col("ax")).alias("num"))
+    )
+    den = x.agg(F.sum(F.col("x") * F.col("x")).alias("den"))
+    return num.crossJoin(den).select(
+        F.round(F.col("num") / F.col("den"), round_to).alias("lambda_1_est")
+    )
+
+
+def spectral_oracle_ctes(
+    edges_cte: str, vertices_cte: str, rounds: int = 5, round_to: int = 6
+) -> tuple[str, str]:
+    """(CTEs, final SELECT) DuckDB twin of :func:`spectral_radius`."""
+    ctes = [
+        f"""sp_sym AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM {edges_cte}
+    UNION SELECT dst AS src, src AS dst FROM {edges_cte}))""",
+        f"sp_x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM {vertices_cte})",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""sp_y{r} AS MATERIALIZED (
+  SELECT s.id, s.x + COALESCE(n.ny, 0.0) AS y
+  FROM sp_x{p} s LEFT JOIN (
+    SELECT e.src AS id, SUM(t.x) AS ny
+    FROM sp_sym e JOIN sp_x{p} t ON t.id = e.dst GROUP BY 1) n
+  ON s.id = n.id)"""
+        )
+        ctes.append(
+            f"""sp_x{r} AS MATERIALIZED (
+  SELECT id, y / (SELECT sqrt(SUM(y * y)) FROM sp_y{r}) AS x
+  FROM sp_y{r})"""
+        )
+    final = f"""SELECT ROUND(
+  (SELECT SUM(s.x * a.ax) FROM sp_x{rounds} s JOIN (
+      SELECT e.src AS id, SUM(t.x) AS ax
+      FROM sp_sym e JOIN sp_x{rounds} t ON t.id = e.dst GROUP BY 1) a
+    ON s.id = a.id)
+  / (SELECT SUM(x * x) FROM sp_x{rounds}), {round_to}) AS lambda_1_est"""
+    return ",\n".join(ctes), final

@@ -3120,6 +3120,51 @@ def quality_calibration(spark, sf_dir):
     )
 
 
+@_register(
+    "spectral_radius_uu",
+    _with(
+        UU_EDGES_SQL,
+        """uu_vertices AS (
+  SELECT src AS id FROM uu_edges UNION SELECT dst FROM uu_edges)""",
+        *nf_mod.spectral_oracle_ctes("uu_edges", "uu_vertices", 5),
+    ),
+)
+def spectral_radius_uu(spark, sf_dir):
+    """Largest adjacency eigenvalue of the user co-occurrence graph via
+    5 power-iteration rounds + a Rayleigh readout — the PageRank kernel
+    without the teleport; one double per vertex of state."""
+    tune_session(spark)
+    return nf_mod.spectral_radius(user_cooccurrence_graph(spark, sf_dir))
+
+
+@_register(
+    "quality_length_corr",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(corr(len(t) * 1.0,
+                  0.7 * (len(list_distinct(t)) * 1.0 / len(t))
+                  + 0.3 * (1.0 - len(list_filter(t, x -> x IN ('the', 'a',
+                    'of', 'and', 'is'))) * 1.0 / len(t))), 6) AS corr_len_q
+FROM (SELECT string_split(text, ' ') AS t FROM documents)""",
+)
+def quality_length_corr(spark, sf_dir):
+    """Pearson correlation of doc length vs quality score — the one-
+    number check that the quality filter is not just a length filter."""
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    q = F.lit(0.7) * (F.size(F.array_distinct(t)) / n_tok) + F.lit(0.3) * (
+        F.lit(1.0)
+        - F.expr(
+            "size(filter(split(text, ' '), x -> x in ('the', 'a', 'of',"
+            " 'and', 'is')))"
+        )
+        / n_tok
+    )
+    return _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.corr(n_tok.cast("double"), q), 6).alias("corr_len_q"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3223,6 +3268,8 @@ _NEVER_SIGNED = [
     "langid_confusion",
     "train_val_test_split",
     "quality_calibration",
+    "spectral_radius_uu",
+    "quality_length_corr",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

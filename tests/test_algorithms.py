@@ -774,3 +774,23 @@ def test_wl_classes_match_grid_orbits(spark):
     assert sizes == [4, 4, 8]
     cyc = wl_color_classes(cycle_graph(spark, 8)).collect()
     assert len(cyc) == 1 and cyc[0]["n"] == 8
+
+
+def test_spectral_radius_bounds(spark):
+    """Complete graph K5: lambda_1 = 4 exactly; star S5: lambda_1 =
+    sqrt(5) — power iteration with Rayleigh readout converges to both
+    within rounding at 5 rounds... K5 is exact in ONE round (uniform
+    vector is the eigenvector); the star needs the bound check."""
+    from flink_graph_spark.library.neighborhood import spectral_radius
+    from flink_graph_spark.sources.generators import (
+        complete_graph,
+        star_graph,
+    )
+
+    k5 = spectral_radius(complete_graph(spark, 5)).collect()[0]
+    assert k5["lambda_1_est"] == 4.0
+    s6 = spectral_radius(star_graph(spark, 6)).collect()[0]
+    import math
+
+    # star with 5 spokes: lambda_1 = sqrt(5) ~ 2.2360679
+    assert abs(s6["lambda_1_est"] - math.sqrt(5)) < 0.05
