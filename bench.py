@@ -176,7 +176,10 @@ HEADLINE = [
     "langid_confusion",
     "train_val_test_split",
     "quality_calibration",
-    "spectral_radius_uu",
+    # spectral_radius_uu stays anchor-only (10.4s at sf0.1): 5 power
+    # rounds over the superlinearly densifying uu graph measure
+    # density, not plan quality — same policy as effective_diameter_uu
+    # and edge_support_uu.
     "quality_length_corr",
 ]
 
