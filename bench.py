@@ -181,6 +181,7 @@ HEADLINE = [
     # density, not plan quality — same policy as effective_diameter_uu
     # and edge_support_uu.
     "quality_length_corr",
+    "session_duration_histogram",
 ]
 
 

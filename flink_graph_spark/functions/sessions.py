@@ -574,3 +574,41 @@ JOIN (SELECT user_id, MIN(day) AS cohort_day
       GROUP BY 1) f
   ON ud.user_id = f.user_id
 GROUP BY 1, 2"""
+
+
+# ---- session duration histogram --------------------------------------
+
+def session_duration_histogram(
+    events: DataFrame, gap_us: int = SESSION_GAP_US, round_to: int = 6
+) -> DataFrame:
+    """(bucket_minutes, n_sessions, mean_events) — session durations in
+    power-of-two minute buckets (0 = sub-minute/single-event): the
+    engagement-distribution readout over the sessionizer. One more
+    bounded aggregate over the session table — the window pass is the
+    sessionizer's own."""
+    s = sessionize(events, gap_us)
+    dur_min = (
+        F.unix_micros(F.col("end_ts").cast("timestamp"))
+        - F.unix_micros(F.col("start_ts").cast("timestamp"))
+    ) / F.lit(60_000_000.0)
+    bucket = F.when(dur_min < 1, F.lit(0)).otherwise(
+        F.pow(
+            F.lit(2.0), F.floor(F.log2(dur_min)) + 1
+        ).cast("long")
+    )
+    return s.groupBy(bucket.alias("bucket_minutes")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.round(F.avg("n_events"), round_to).alias("mean_events"),
+    )
+
+
+def session_duration_histogram_sql(round_to: int = 6) -> str:
+    """Final SELECT (composes after sessionize_sql's CTEs + a wrapped
+    session table CTE named ``sess_t``)."""
+    dur = "(epoch_us(end_ts) - epoch_us(start_ts)) / 60000000.0"
+    return f"""SELECT CASE WHEN {dur} < 1 THEN 0
+            ELSE CAST(POWER(2.0, FLOOR(LOG2({dur})) + 1) AS BIGINT)
+       END AS bucket_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), {round_to}) AS mean_events
+FROM sess_t GROUP BY 1"""

@@ -3165,6 +3165,21 @@ def quality_length_corr(spark, sf_dir):
     )
 
 
+@_register(
+    "session_duration_histogram",
+    _with(
+        sess_mod.sessionize_sql()[0],
+        "sess_t AS MATERIALIZED (\n" + sess_mod.sessionize_sql()[1] + "\n)",
+        sess_mod.session_duration_histogram_sql(),
+    ),
+)
+def session_duration_histogram(spark, sf_dir):
+    """Engagement distribution: session durations in power-of-two
+    minute buckets over the sessionizer's output — one extra bounded
+    aggregate."""
+    return sess_mod.session_duration_histogram(_events(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3270,6 +3285,7 @@ _NEVER_SIGNED = [
     "quality_calibration",
     "spectral_radius_uu",
     "quality_length_corr",
+    "session_duration_histogram",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -1531,3 +1531,24 @@ def test_train_val_test_split_partitions_everything(spark):
         if sp == "train":
             assert n >= rows.get((src, "val"), 0)
             assert n >= rows.get((src, "test"), 0)
+
+
+def test_session_duration_histogram_buckets(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: one 10-minute session (bucket 16: 2^(floor(log2(10))+1))
+        (1, t0, 1, "e", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=10), 1, "e", 0.0, None),
+        # user 2: single event -> duration 0 -> bucket 0
+        (3, t0, 2, "e", 0.0, None),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["bucket_minutes"]: r["n_sessions"]
+           for r in sess_mod.session_duration_histogram(e).collect()}
+    assert out == {16: 1, 0: 1}
