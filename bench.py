@@ -182,6 +182,7 @@ HEADLINE = [
     # and edge_support_uu.
     "quality_length_corr",
     "session_duration_histogram",
+    "rmat_degree_zipf",
 ]
 
 

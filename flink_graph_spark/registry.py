@@ -3180,6 +3180,41 @@ def session_duration_histogram(spark, sf_dir):
     return sess_mod.session_duration_histogram(_events(spark, sf_dir))
 
 
+@_register(
+    "rmat_degree_zipf",
+    _with(
+        gen_mod.rmat_edges_sql(RMAT_SCALE, RMAT_EDGES),
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(regr_slope(ln(od * 1.0), ln(r * 1.0)), 6) AS zipf_slope
+FROM (
+    SELECT od, ROW_NUMBER() OVER (ORDER BY od DESC, src ASC) AS r
+    FROM (SELECT src, COUNT(*) AS od FROM rmat_edges GROUP BY 1))""",
+    ),
+)
+def rmat_degree_zipf(spark, sf_dir):
+    """Power-law exponent of the generated RMat degree distribution —
+    the zipf_slope machinery pointed at graph degrees; confirms the
+    generator's skew numerically (OLS over ln-degree vs ln-rank)."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    deg = (
+        gen_mod.rmat_edges(spark, RMAT_SCALE, RMAT_EDGES)
+        .groupBy("src")
+        .agg(F.count("*").alias("od"))
+    )
+    ranked = deg.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("od"), F.asc("src"))),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.round(F.expr("regr_slope(ln(od * 1.0), ln(r * 1.0))"), 6).alias(
+            "zipf_slope"
+        ),
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3286,6 +3321,7 @@ _NEVER_SIGNED = [
     "spectral_radius_uu",
     "quality_length_corr",
     "session_duration_histogram",
+    "rmat_degree_zipf",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -794,3 +794,26 @@ def test_spectral_radius_bounds(spark):
 
     # star with 5 spokes: lambda_1 = sqrt(5) ~ 2.2360679
     assert abs(s6["lambda_1_est"] - math.sqrt(5)) < 0.05
+
+
+def test_rmat_degree_zipf_is_negative_and_steeper_than_uniform(spark):
+    """RMat degrees are right-skewed: the ln-ln slope is negative; a
+    regular graph (cycle: all degrees equal) has slope exactly 0."""
+    import __spark_entry__ as m
+
+    row = m.queries()["rmat_degree_zipf"](spark, SF_DIR).collect()[0]
+    assert row["zipf_slope"] < -0.1
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from flink_graph_spark.sources.generators import cycle_graph
+
+    deg = (
+        cycle_graph(spark, 16).edges.groupBy("src").agg(F.count("*").alias("od"))
+    )
+    ranked = deg.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("od"), F.asc("src")))
+    )
+    flat = ranked.agg(
+        F.round(F.expr("regr_slope(ln(od * 1.0), ln(r * 1.0))"), 6).alias("s")
+    ).collect()[0]["s"]
+    assert flat == 0.0
