@@ -103,3 +103,107 @@ def incremental_sssp_remove_edge(
         delta=True,
     )
     return res.vertices
+
+
+# ---- incremental PageRank (warm restart under edge insertion) --------
+
+def incremental_pagerank(
+    graph: Graph,
+    added_edges: DataFrame,
+    pre_iter: int = 6,
+    post_iter: int = 3,
+    beta: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, rank) — PageRank maintained under edge insertion: run
+    ``pre_iter`` supersteps on the base graph, add the edges, then
+    resume ``post_iter`` supersteps FROM THE OLD RANKS instead of
+    restarting at 1/n. Power iteration contracts toward the new
+    stationary vector from ANY start, and a near-converged start needs
+    ~|affected-region| supersteps instead of the full mixing time —
+    the PageRank face of the same incremental-maintenance contract as
+    :func:`incremental_sssp_remove_edge`. The oracle replays both
+    phases unrolled."""
+    from ..library import pagerank as pr_mod
+
+    r = pr_mod.page_rank(graph, beta, pre_iter, round_to=None)
+    e2 = graph.edges.unionByName(
+        added_edges.select(*graph.edges.columns)
+    ).localCheckpoint(eager=True)
+    deg2 = e2.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    n = graph.vertices.count()
+    for _ in range(post_iter):
+        contrib = (
+            r.join(deg2, "id")
+            .join(e2.select(F.col("src").alias("id"), "dst"), "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        r = (
+            graph.vertices.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - beta) / n)
+                    + F.lit(beta) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("id", F.round("rank", round_to).alias("rank"))
+
+
+def incr_pagerank_oracle(
+    edges_cte: str,
+    vertices_cte: str,
+    added_values: str,
+    pre_iter: int = 6,
+    post_iter: int = 3,
+    beta: float = 0.85,
+    round_to: int = 6,
+) -> tuple[str, str]:
+    """(CTEs, final SELECT): phase-1 unrolled PR on the base edges,
+    phase-2 resumed on base ∪ ``added_values`` (SQL VALUES rows of
+    (src, dst, value))."""
+
+    def phase(prefix, edges, n_iter, init_cte):
+        ctes = [
+            f"""{prefix}_deg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg
+  FROM {edges} GROUP BY 1)""",
+        ]
+        prev = init_cte
+        for i in range(1, n_iter + 1):
+            ctes.append(
+                f"""{prefix}_r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {beta!r}) / (SELECT COUNT(*) FROM {vertices_cte})
+           + {beta!r} * COALESCE(m.s, 0.0) AS rank
+  FROM {vertices_cte} v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS s
+    FROM {prev} r
+    JOIN {edges} e ON r.id = e.src
+    JOIN {prefix}_deg d ON d.id = e.src
+    GROUP BY 1
+  ) m ON v.id = m.id)"""
+            )
+            prev = f"{prefix}_r{i}"
+        return ctes, prev
+
+    base = [
+        f"""ip_r0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT COUNT(*) FROM {vertices_cte}) AS rank
+  FROM {vertices_cte})""",
+        f"""ip_e2 AS MATERIALIZED (
+  SELECT src, dst, value FROM {edges_cte}
+  UNION ALL
+  SELECT * FROM (VALUES {added_values}) t(src, dst, value))""",
+    ]
+    p1, last1 = phase("ip_a", edges_cte, pre_iter, "ip_r0")
+    p2, last2 = phase("ip_b", "ip_e2", post_iter, last1)
+    final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM {last2}"
+    return ",\n".join(base + p1 + p2), final

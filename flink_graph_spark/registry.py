@@ -26,6 +26,7 @@ from .library import hits as hits_mod
 from .library import kcore as kcore_mod
 from .library import jaccard as jaccard_mod
 from .library import label_propagation as lpa_mod
+from .library import incremental as incr_mod
 from .library import matching as match_mod
 from .library import mst as mst_mod
 from .library import wl as wl_mod
@@ -3215,6 +3216,29 @@ def rmat_degree_zipf(spark, sf_dir):
     )
 
 
+@_register(
+    "incremental_pagerank_golden",
+    _with(
+        GOLDEN_SQL,
+        *incr_mod.incr_pagerank_oracle(
+            "golden_edges", "golden_vertices", "(2, 5, 25)"
+        ),
+    ),
+)
+def incremental_pagerank_golden(spark, sf_dir):
+    """PageRank maintained under edge insertion on the golden fixture:
+    6 base supersteps, add edge (2,5), resume 3 supersteps from the old
+    ranks instead of restarting at 1/n — the PageRank face of the
+    incremental-maintenance contract."""
+    tune_session(spark)
+    with _fixture_partitions(spark, 4):
+        g = golden_graph(spark)
+        added = spark.createDataFrame(
+            [(2, 5, 25)], "src long, dst long, value long"
+        )
+        return incr_mod.incremental_pagerank(g, added)
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3322,6 +3346,7 @@ _NEVER_SIGNED = [
     "quality_length_corr",
     "session_duration_histogram",
     "rmat_degree_zipf",
+    "incremental_pagerank_golden",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -817,3 +817,32 @@ def test_rmat_degree_zipf_is_negative_and_steeper_than_uniform(spark):
         F.round(F.expr("regr_slope(ln(od * 1.0), ln(r * 1.0))"), 6).alias("s")
     ).collect()[0]["s"]
     assert flat == 0.0
+
+
+def test_incremental_pagerank_converges_to_full_recompute(spark):
+    """The warm restart must land where a full run on the modified
+    graph lands (power iteration has a unique fixed point): after
+    enough resume supersteps the two agree to 6 decimals."""
+    from flink_graph_spark.library import pagerank as pr_mod
+    from flink_graph_spark.library.incremental import incremental_pagerank
+    from flink_graph_spark.sources.graphs import golden_graph
+    from flink_graph_spark.graph import Graph
+
+    g = golden_graph(spark)
+    added = spark.createDataFrame(
+        [(2, 5, 25)], "src long, dst long, value long"
+    )
+    warm = {
+        r["id"]: r["rank"]
+        for r in incremental_pagerank(
+            g, added, pre_iter=6, post_iter=12
+        ).collect()
+    }
+    g2 = Graph(g.vertices, g.edges.unionByName(added))
+    full = {
+        r["id"]: r["rank"]
+        for r in pr_mod.page_rank(g2, max_iter=18).collect()
+    }
+    assert set(warm) == set(full)
+    for k in warm:
+        assert abs(warm[k] - full[k]) < 1e-3
