@@ -183,6 +183,7 @@ HEADLINE = [
     "quality_length_corr",
     "session_duration_histogram",
     "rmat_degree_zipf",
+    "source_top_terms",
 ]
 
 

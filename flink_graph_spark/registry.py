@@ -3239,6 +3239,61 @@ def incremental_pagerank_golden(spark, sf_dir):
         return incr_mod.incremental_pagerank(g, added)
 
 
+@_register(
+    "source_top_terms",
+    """WITH st_tf AS MATERIALIZED (
+    SELECT source, tok, COUNT(*) AS tf FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+    GROUP BY 1, 2),
+st_df AS MATERIALIZED (
+    SELECT tok, COUNT(*) AS df FROM st_tf GROUP BY 1),
+st_n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns
+         FROM documents)
+SELECT source, tok, CAST(tf AS BIGINT) AS tf,
+       ROUND(tf * ln((SELECT ns FROM st_n) / df), 6) AS tfidf
+FROM (
+    SELECT t.source, t.tok, t.tf, d.df,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.source
+               ORDER BY t.tf * ln((SELECT ns FROM st_n) / d.df) DESC,
+                        t.tok ASC) AS rn
+    FROM st_tf t JOIN st_df d ON t.tok = d.tok)
+WHERE rn <= 3""",
+)
+def source_top_terms(spark, sf_dir):
+    """What characterizes each source: top-3 terms by source-level
+    TF-IDF (idf over the SOURCE axis — terms common to every source
+    wash out). Vocab-bounded aggregates; the ranking window runs over
+    source x vocab cells, never token occurrences."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    ns = docs.select("source").distinct().count()
+    scored = tf.join(df, "tok").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(ns)) / F.col("df"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "source",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3347,6 +3402,7 @@ _NEVER_SIGNED = [
     "session_duration_histogram",
     "rmat_degree_zipf",
     "incremental_pagerank_golden",
+    "source_top_terms",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

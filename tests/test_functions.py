@@ -1552,3 +1552,28 @@ def test_session_duration_histogram_buckets(spark):
     out = {r["bucket_minutes"]: r["n_sessions"]
            for r in sess_mod.session_duration_histogram(e).collect()}
     assert out == {16: 1, 0: 1}
+
+
+def test_source_top_terms_idf_washes_out_common_terms(spark):
+    """A term in every source has idf ln(1)=0 and can never rank; a
+    source-exclusive term dominates its source's top-3."""
+    d = spark.createDataFrame(
+        [
+            (1, "common alpha alpha", "s1"),
+            (2, "common beta", "s2"),
+            (3, "common gamma gamma gamma", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from pyspark.sql import Window
+
+    tf = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(3.0) / F.col("df")))
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("tok"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1).collect())
+    best = {r["source"]: r["tok"] for r in top}
+    assert best == {"s1": "alpha", "s2": "beta", "s3": "gamma"}
