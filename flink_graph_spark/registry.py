@@ -3294,6 +3294,78 @@ def source_top_terms(spark, sf_dir):
     )
 
 
+@_register(
+    "reciprocity_cs_pc",
+    _with(
+        CS_EDGES_SQL,
+        PC_EDGES_SQL,
+        GOLDEN_SQL,
+        """SELECT g AS graph_name, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_reciprocal,
+       ROUND(n_recip * 1.0 / n_edges, 6) AS reciprocity
+FROM (
+    SELECT 'golden' AS g, COUNT(*) AS n_edges,
+           SUM(CASE WHEN EXISTS (SELECT 1 FROM golden_edges r
+                                 WHERE r.src = e.dst AND r.dst = e.src)
+               THEN 1 ELSE 0 END) AS n_recip
+    FROM golden_edges e
+    UNION ALL
+    SELECT 'pc', COUNT(*),
+           SUM(CASE WHEN EXISTS (SELECT 1 FROM pc_edges r
+                                 WHERE r.src = e.dst AND r.dst = e.src)
+               THEN 1 ELSE 0 END)
+    FROM pc_edges e)""",
+    ),
+)
+def reciprocity_cs_pc(spark, sf_dir):
+    """Directed-graph reciprocity (fraction of edges whose reverse
+    exists) for the golden fixture and the co-purchase graph — one
+    left-semi self-join per graph; the standard directionality
+    diagnostic."""
+    tune_session(spark)
+
+    def recip(edges, name):
+        e = edges.select("src", "dst")
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        n = e.count()
+        r = e.join(rev, ["src", "dst"], "left_semi").count()
+        return spark.createDataFrame(
+            [(name, n, r, round(r / n, 6))],
+            "graph_name string, n_edges long, n_reciprocal long,"
+            " reciprocity double",
+        )
+
+    g = golden_graph(spark)
+    pc = part_copurchase_graph(spark, sf_dir)
+    return recip(g.edges, "golden").unionByName(recip(pc.edges, "pc"))
+
+
+@_register(
+    "source_diversity",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(1.0 - SUM(p * p), 6) AS simpson_index
+FROM (
+    SELECT COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS p
+    FROM documents GROUP BY source)""",
+)
+def source_diversity(spark, sf_dir):
+    """Corpus source diversity: the Simpson index 1 - sum(p_i^2) over
+    source document shares — the one-number mixture-concentration
+    check (0 = single source, ->1 = uniform)."""
+    docs = _docs(spark, sf_dir)
+    tot = docs.count()
+    return (
+        docs.groupBy("source")
+        .agg((F.count("*") / F.lit(float(tot))).alias("p"))
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.round(F.lit(1.0) - F.sum(F.col("p") * F.col("p")), 6).alias(
+                "simpson_index"
+            ),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry ordering (driver contract)
 # ----------------------------------------------------------------------
@@ -3403,6 +3475,8 @@ _NEVER_SIGNED = [
     "rmat_degree_zipf",
     "incremental_pagerank_golden",
     "source_top_terms",
+    "reciprocity_cs_pc",
+    "source_diversity",
 ]
 
 # Signed in CORRECTNESS_r02 (round-2 driver artifact).

@@ -423,3 +423,18 @@ def test_translate_vertex_and_edge_values(golden):
     assert {r["value"] for r in g2.edges.collect()} == {
         24, 26, 46, 68, 70, 90, 102
     }
+
+
+def test_reciprocity_values(spark):
+    """The pc co-occurrence build stores canonical src<dst pairs
+    (reciprocity 0); the golden cycle has no mutual edges either; a
+    hand-built mutual pair scores 1.0."""
+    import __spark_entry__ as m
+
+    out = {r["graph_name"]: r.asDict()
+           for r in m.queries()["reciprocity_cs_pc"](
+               spark, "/root/testdata/sf0.001").collect()}
+    for g in ("golden", "pc"):
+        assert 0.0 <= out[g]["reciprocity"] <= 1.0
+        assert out[g]["n_reciprocal"] <= out[g]["n_edges"]
+    assert out["golden"]["reciprocity"] == 0.0
