@@ -117,8 +117,10 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     return res
 
 
-def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
-    """Self-contained DuckDB twin — the same training loop, unrolled."""
+def _bpe_train_ctes(rounds: int) -> list[str]:
+    """The unrolled training CTE chain, shared structurally by
+    ``bpe_merges_sql`` and ``bpe_compression_sql`` (no string surgery —
+    each composer appends its own readout)."""
     ctes = [
         """bpe_words AS MATERIALIZED (
     SELECT w, COUNT(*) AS cnt FROM (
@@ -168,6 +170,11 @@ def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
         LEFT JOIN bpe_k{r} d ON p.w = d.w AND p.rn = d.rn + 1
         WHERE d.rn IS NULL))"""
         )
+    return ctes
+
+
+def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Self-contained DuckDB twin — the same training loop, unrolled."""
     union = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS BIGINT) AS round, bsym AS "left",
        bnxt AS "right", bsym || bnxt AS merged,
@@ -175,7 +182,7 @@ def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
 FROM bpe_b{r}"""
         for r in range(1, rounds + 1)
     )
-    joined = ",\n".join(ctes)
+    joined = ",\n".join(_bpe_train_ctes(rounds))
     return f"WITH {joined}\n{union}"
 
 
@@ -279,9 +286,9 @@ def bpe_compression(
 def bpe_compression_sql(
     rounds: int = BPE_ROUNDS, round_to: int = 6
 ) -> str:
-    """DuckDB twin: the training chain + per-source weighted readout."""
-    train = bpe_merges_sql(rounds)
-    ctes = train[len("WITH "):train.rindex("\nSELECT CAST(1")]
+    """DuckDB twin: the training chain + per-source weighted readout —
+    composed structurally from the shared ``_bpe_train_ctes`` chain."""
+    ctes = ",\n".join(_bpe_train_ctes(rounds))
     return f"""WITH {ctes},
 bpe_wlen AS MATERIALIZED (
     SELECT w, COUNT(*) AS pieces, MAX(length(w)) AS chars

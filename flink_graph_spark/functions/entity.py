@@ -100,12 +100,16 @@ def entity_matches(
     sim = F.lit(0.7) * name_sim + F.lit(0.3) * (
         F.col("ba") == F.col("bb")
     ).cast("double")
+    # Filter on the RAW score, round only for output — the SQL twin
+    # does WHERE raw >= threshold with ROUND in the SELECT, and both
+    # sides must compare the same quantity or a raw score in
+    # [threshold - 5e-7, threshold) diverges at the boundary.
     return (
         a.join(b, "bk")
         .filter(F.col("ka") < F.col("kb"))
-        .withColumn("sim", F.round(sim, round_to))
-        .filter(F.col("sim") >= threshold)
-        .select("ka", "kb", "sim")
+        .withColumn("__sim_raw", sim)
+        .filter(F.col("__sim_raw") >= threshold)
+        .select("ka", "kb", F.round("__sim_raw", round_to).alias("sim"))
     )
 
 

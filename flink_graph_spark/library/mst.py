@@ -120,6 +120,20 @@ def boruvka_mst(
             ptr = ptr.join(nxt, "p").select(
                 "comp", F.col("pn").alias("p")
             ).localCheckpoint(eager=True)
+        # Convergence guard: every pointer must now reach a root
+        # (p == p∘p). The oracle unrolls the SAME fixed jump count, so
+        # an unconverged chain would not be a parity mismatch — it
+        # would be the SAME silent cycle edge in both engines. Fail
+        # loudly instead: one count over the ≤n-row component table.
+        pj = ptr.select(F.col("comp").alias("p"), F.col("p").alias("p2"))
+        stale = ptr.join(pj, "p").filter(F.col("p") != F.col("p2")).count()
+        if stale:
+            raise RuntimeError(
+                f"boruvka_mst: {stale} component pointers unconverged "
+                f"after {jumps} jumps (merge chain > 2^{jumps} labels); "
+                "raise `jumps` — the DuckDB oracle unrolls the same "
+                "count, so both sides must use the larger value"
+            )
         labels = labels.join(
             ptr, labels["comp"] == ptr["comp"]
         ).select("id", F.col("p").alias("comp")).localCheckpoint(eager=True)

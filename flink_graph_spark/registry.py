@@ -3295,9 +3295,8 @@ def source_top_terms(spark, sf_dir):
 
 
 @_register(
-    "reciprocity_cs_pc",
+    "reciprocity_golden_pc",
     _with(
-        CS_EDGES_SQL,
         PC_EDGES_SQL,
         GOLDEN_SQL,
         """SELECT g AS graph_name, CAST(n_edges AS BIGINT) AS n_edges,
@@ -3317,7 +3316,7 @@ FROM (
     FROM pc_edges e)""",
     ),
 )
-def reciprocity_cs_pc(spark, sf_dir):
+def reciprocity_golden_pc(spark, sf_dir):
     """Directed-graph reciprocity (fraction of edges whose reverse
     exists) for the golden fixture and the co-purchase graph — one
     left-semi self-join per graph; the standard directionality
@@ -3475,7 +3474,7 @@ _NEVER_SIGNED = [
     "rmat_degree_zipf",
     "incremental_pagerank_golden",
     "source_top_terms",
-    "reciprocity_cs_pc",
+    "reciprocity_golden_pc",
     "source_diversity",
 ]
 
@@ -3540,8 +3539,70 @@ _SIGNED_R2_B = [
 ]
 
 
+# Signed by the round-3 driver artifact (CORRECTNESS_r03.json): 49
+# green + 1 no_oracle (semantic_dedup_lsh, rows-only by design).
+_SIGNED_R3 = [
+    "scc_fixture",
+    "streaming_click_purchase",
+    "summarize_nation_vertices",
+    "summarize_nation_edges",
+    "chunk_documents",
+    "boilerplate_flags",
+    "vertex_metrics_cs",
+    "count_min_tokens",
+    "collocations_pmi",
+    "dedup_keep_set",
+    "incremental_sssp_golden",
+    "source_quota_sample",
+    "knn_label_vote",
+    "semantic_dedup_clusters",
+    "semantic_dedup_lsh",
+    "community_detection_uu",
+    "pagerank_bucketed_cs",
+    "quality_filters",
+    "passage_dedup",
+    "skipgram_pairs",
+    "zipf_slope",
+    "bigram_nll",
+    "gsa_sssp_golden",
+    "mixture_weights",
+    "token_budget_select",
+    "corpus_report",
+    "embedding_outliers",
+    "edge_support_uu",
+    "histogram_quantiles",
+    "closeness_sample_uu",
+    "ktruss_uu",
+    "ppr_cs",
+    "neighborhood_function_uu",
+    "streaming_quality_by_source",
+    "rmat_degree_histogram",
+    "winnow_dup_pairs",
+    "pretrain_funnel",
+    "embedding_quantize",
+    "bipartite_projection_cs",
+    "assortativity_uu",
+    "principal_direction",
+    "kmeans_clusters",
+    "embedding_label_spread",
+    "betweenness_grid",
+    "dag_longest_path",
+    "effective_diameter_uu",
+    "graph_coloring_grid",
+    "ngram_containment_topk",
+    "cross_source_overlap",
+    "translate_golden",
+]
+
+
 def _apply_priority_order() -> None:
-    front = _NEVER_SIGNED + _SIGNED_R2_B + _SIGNED_R2_A
+    # Round-4 rotation (r3 verdict item 1): the driver signs ~50
+    # entries per round, front of this order first. Every query the
+    # r1/r2/r3 artifacts already signed goes BEHIND the never-signed
+    # block, so the round-4 artifact completes the 193/193 union
+    # (43 never-signed lead the line; re-signing the rest is bonus).
+    never_signed = [q for q in _NEVER_SIGNED if q not in set(_SIGNED_R3)]
+    front = never_signed + _SIGNED_R3 + _SIGNED_R2_B + _SIGNED_R2_A
     assert set(front) <= set(SPARK_QUERIES), set(front) - set(SPARK_QUERIES)
     order = front + [n for n in SPARK_QUERIES if n not in front]
     for d in (SPARK_QUERIES, ORACLE_SQL):

@@ -432,7 +432,7 @@ def test_reciprocity_values(spark):
     import __spark_entry__ as m
 
     out = {r["graph_name"]: r.asDict()
-           for r in m.queries()["reciprocity_cs_pc"](
+           for r in m.queries()["reciprocity_golden_pc"](
                spark, "/root/testdata/sf0.001").collect()}
     for g in ("golden", "pc"):
         assert 0.0 <= out[g]["reciprocity"] <= 1.0
