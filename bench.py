@@ -186,6 +186,70 @@ HEADLINE = [
     "source_top_terms",
 ]
 
+# HEADLINE is FROZEN at the round-3 composition (111 queries): its
+# membership never changes again, so ``value``, ``pass_totals`` and
+# ``r1_set_subtotal`` stay comparable across rounds. Queries added in
+# round 4+ go in NEW_SET and are reported per-query plus as a separate
+# ``new_set_subtotal`` — the 2x-vs-baseline gate keeps evaluating the
+# same-composition set.
+NEW_SET: list[str] = []
+
+# Recall gates for the three rows-only (no-SQL-oracle) queries — the
+# driver artifact records the measured recall, not just "no_oracle".
+# Measured at sf0.01 (the driver's correctness SF, where the exact
+# brute-force baselines are cheap) regardless of the bench SF; each
+# value must clear its gate (same floors as tests/test_sinks_ann.py).
+RECALL_SF_DIR = "/root/testdata/sf0.01"
+RECALL_GATES = {
+    "ann_topk_lsh": 0.9,
+    "ann_topk_ivf": 0.8,
+    "semantic_dedup_lsh": 0.5,
+}
+
+
+def measure_recall(spark, sf_dir: str = RECALL_SF_DIR) -> dict:
+    """{query: {"recall": r, "gate": g, "ok": bool}} for the three
+    rows-only queries — recall@10 over 5 probe queries vs exact
+    brute-force for the ANN paths, pair recall vs the exact all-pairs
+    near-dup set for semantic LSH dedup."""
+    from flink_graph_spark.functions import similarity as sim
+    from flink_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ann_topk_bruteforce(emb, n_queries=5, k=10).collect()
+    }
+
+    out = {}
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ann_topk_lsh(
+            emb, n_queries=5, k=10, multi_probe=True
+        ).collect()
+    }
+    out["ann_topk_lsh"] = round(len(exact & lsh) / len(exact), 4)
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ann_topk_ivf(emb, n_queries=5, k=10).collect()
+    }
+    out["ann_topk_ivf"] = round(len(exact & ivf) / len(exact), 4)
+    pairs_exact = {
+        (r["va"], r["vb"])
+        for r in sim.embedding_near_dup(emb, 0.4).collect()
+    }
+    pairs_lsh = {
+        (r["va"], r["vb"])
+        for r in sim.semantic_near_dup_pairs_lsh(emb, 0.4).collect()
+    }
+    out["semantic_dedup_lsh"] = round(
+        len(pairs_exact & pairs_lsh) / len(pairs_exact), 4
+    )
+    return {
+        q: {"recall": v, "gate": RECALL_GATES[q], "ok": v >= RECALL_GATES[q]}
+        for q, v in out.items()
+    }
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -281,11 +345,12 @@ def main() -> int:
     except ValueError:
         pass  # non-main thread (embedded use)
 
+    bench_set = HEADLINE + NEW_SET
     per_pass: list[dict[str, float]] = []
     for _pass in range(2):
         pass_timings: dict[str, float] = {}
         per_pass.append(pass_timings)
-        for name in HEADLINE:
+        for name in bench_set:
             fn = queries.get(name)
             if fn is None:
                 continue
@@ -301,15 +366,27 @@ def main() -> int:
     per_pass = [p for p in per_pass if p]
     timings = {
         n: min(p[n] for p in per_pass if n in p)
-        for n in HEADLINE
+        for n in bench_set
         if any(n in p for p in per_pass)
     }
+
+    # Recall measurement for the rows-only queries (outside the timing
+    # loop; its own SF — see measure_recall). Guarded so a recall
+    # failure degrades to an error string instead of losing the bench.
+    try:
+        recall = measure_recall(spark)
+    except Exception as e:  # pragma: no cover - defensive harness path
+        recall = {"error": repr(e)}
 
     # The headline is the sum of per-query MIN across the two passes — a
     # best-case steady-state statistic (named accordingly), biased low vs
     # any single-run wall time. Both raw pass totals are reported
-    # alongside so the bias is visible, not hidden.
-    total = round(sum(timings.values()), 3)
+    # alongside so the bias is visible, not hidden. `value` and the
+    # subtotals are computed over the FROZEN headline composition only;
+    # round-4+ additions appear per-query and in new_set_subtotal.
+    total = round(
+        sum(t for n, t in timings.items() if n in set(HEADLINE)), 3
+    )
     r1_set = HEADLINE[: HEADLINE.index("hits_cs")]
     print(
         json.dumps(
@@ -325,6 +402,13 @@ def main() -> int:
                 "r1_set_subtotal": round(
                     sum(t for n, t in timings.items() if n in r1_set), 3
                 ),
+                "new_set_subtotal": round(
+                    sum(
+                        t for n, t in timings.items() if n in set(NEW_SET)
+                    ),
+                    3,
+                ),
+                "recall": recall,
                 "partial": interrupted["flag"] or None,
                 "sf": sf,
             }

@@ -44,8 +44,12 @@ def adamic_adar(
 
     a = adj.select(F.col("id").alias("src"), F.col("ns").alias("na"))
     b = adj.select(F.col("id").alias("dst"), F.col("ns").alias("nb"))
+    # score per DISTINCT edge — a duplicated edge row would explode its
+    # intersection twice and the groupBy sum would double `s` (same
+    # multigraph hazard as jaccard_similarity_counts); the final join
+    # still emits one output row per ORIGINAL edge row
     commons = (
-        e.join(a, "src")
+        e.distinct().join(a, "src")
         .join(b, "dst")
         .select(
             "src", "dst", F.explode(F.array_intersect("na", "nb")).alias("w")
@@ -78,7 +82,7 @@ def oracle_ctes(edges_cte: str, round_to: int = 6) -> tuple[str, str]:
         " FROM aa_adj GROUP BY 1)",
         f"""aa_s AS MATERIALIZED (
   SELECT e.src, e.dst, SUM(1.0 / ln(d.deg)) AS s
-  FROM {edges_cte} e
+  FROM (SELECT DISTINCT src, dst FROM {edges_cte}) e
   JOIN aa_adj a ON a.id = e.src
   JOIN aa_adj b ON b.id = e.dst AND b.nbr = a.nbr
   JOIN aa_deg d ON d.id = a.nbr

@@ -78,6 +78,12 @@ def jaccard_similarity_counts(graph: Graph, round_to: int = 6) -> DataFrame:
     max degree is bounded.
     """
     e = graph.edges.select("src", "dst")
+    # the wedge join must run over DISTINCT edges: a duplicated edge
+    # row would double `common` past the inclusion-exclusion bound and
+    # the denominator ds+dd-common can reach 0 (divide-by-zero under
+    # ANSI mode) — found by the skewed-RMat integration test, whose
+    # generator emits multi-edges
+    ed = e.distinct()
     adj = (
         e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
         .unionByName(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
@@ -88,7 +94,7 @@ def jaccard_similarity_counts(graph: Graph, round_to: int = 6) -> DataFrame:
     a = adj.select(F.col("id").alias("src"), F.col("nbr").alias("na"))
     b = adj.select(F.col("id").alias("bid"), F.col("nbr").alias("nb"))
     common = (
-        e.join(a, "src")
+        ed.join(a, "src")
         .join(b, (F.col("dst") == F.col("bid")) & (F.col("na") == F.col("nb")))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("common"))
@@ -122,7 +128,7 @@ def oracle_ctes(edges_cte: str, round_to: int = 6) -> tuple[str, str]:
         "jc_deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM jc_adj GROUP BY 1)",
         f"""jc_common AS MATERIALIZED (
   SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS common
-  FROM {edges_cte} e
+  FROM (SELECT DISTINCT src, dst FROM {edges_cte}) e
   JOIN jc_adj a ON a.id = e.src
   JOIN jc_adj b ON b.id = e.dst AND b.nbr = a.nbr
   GROUP BY 1, 2

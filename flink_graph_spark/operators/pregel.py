@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 
 @dataclass
@@ -94,6 +95,10 @@ def pregel(
     edges = graph.edges
     v = graph.vertices.select("id", initial.alias(state_col)).localCheckpoint(eager=True)
     active = v if delta else None
+    # the checkpoint the CURRENT state still reads; released (blocks
+    # unpersisted) the moment a newer one is materialized — see
+    # plans/checkpoints.py for why Spark won't do this for us
+    live_ckpt = v
 
     it = 0
     converged = False
@@ -113,6 +118,8 @@ def pregel(
         )
         if it % checkpoint_every == 0 or it == max_iter or check_convergence or delta:
             v_new = v_new.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = v_new
         if delta:
             active = v_new.filter(
                 ~F.col(state_col).eqNullSafe(F.col("__old"))

@@ -228,3 +228,15 @@ def test_orc_graph_round_trip(spark, tmp_path, golden):
     assert {tuple(r) for r in back.edges.collect()} == {
         tuple(r) for r in golden.edges.collect()
     }
+
+
+def test_bench_recall_harness_clears_gates(spark):
+    """bench.measure_recall (the driver-artifact recall emitter for the
+    three rows-only queries) returns every gate key with ok=True at the
+    fixture SF — the same floors test_ann_recall_gate asserts directly."""
+    import bench
+
+    got = bench.measure_recall(spark, SF_DIR)
+    assert set(got) == set(bench.RECALL_GATES)
+    for q, row in got.items():
+        assert row["ok"], f"{q} recall {row['recall']} < gate {row['gate']}"

@@ -1,0 +1,163 @@
+"""End-to-end skew hardening (r3 verdict item 6).
+
+Unit tests already prove ``salted_agg``/``salted_adjacency`` correct on
+tiny frames; these tests drive the SAME machinery through a full
+library operator on a deliberately skewed graph, and prove the AQE
+skew-join escape hatch actually fires inside this engine's session
+config — the two claims SCALING.md §7 makes about the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_graph_spark.library.jaccard import (
+    jaccard_similarity,
+    jaccard_similarity_counts,
+)
+from flink_graph_spark.sources.generators import rmat_graph
+
+
+def _as_map(df):
+    return {(r["src"], r["dst"]): r["jaccard"] for r in df.collect()}
+
+
+def test_jaccard_salted_end_to_end_on_skewed_rmat(spark):
+    """All three Jaccard plans — direct collect_set adjacency, salted
+    two-phase adjacency, and array-free wedge counts — agree edge for
+    edge on a power-law RMat graph whose hubs make collect_set the
+    skew-fragile path. This is the end-to-end twin of the unit-level
+    salted_adjacency parity test."""
+    g = rmat_graph(spark, scale=9, n_edges=8000)
+    # confirm the fixture actually IS skewed (hub degree >> mean),
+    # otherwise the test exercises nothing
+    deg = g.edges.select(F.explode(F.array("src", "dst")).alias("id")) \
+        .groupBy("id").count()
+    stats = deg.agg(F.max("count").alias("mx"), F.avg("count").alias("av")) \
+        .collect()[0]
+    assert stats["mx"] > 10 * stats["av"], "fixture lost its skew"
+
+    direct = _as_map(jaccard_similarity(g))
+    salted = _as_map(jaccard_similarity(g, salt_buckets=8))
+    counts = _as_map(jaccard_similarity_counts(g))
+    assert salted == direct
+    assert counts == direct
+
+
+def test_aqe_skew_join_fires_on_hub_key(spark):
+    """With the engine's session (AQE on), a shuffle join whose left
+    side concentrates ~all rows on one key gets its skewed partition
+    split at runtime — the executed plan carries the skew marker. The
+    size thresholds are lowered to make a test-scale partition count
+    as 'skewed'; production uses Spark defaults, the MECHANISM is what
+    this test pins."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 60_000
+        fact = spark.range(n).select(
+            # 95% of rows land on key 7; the rest spread over 1000 keys
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim_"), F.col("id")).alias("d"),
+        )
+        joined = fact.join(dim, "k")
+        # drive THIS DataFrame's own QueryExecution to completion —
+        # count()/noop-write build a separate QueryExecution, leaving
+        # this one's AQE plan unfinalized (isFinalPlan=false)
+        assert len(joined.collect()) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_pregel_soak_no_cache_growth(spark):
+    """Lineage/driver-memory soak (r3 verdict item 6b): the three big
+    Pregel consumers run back-to-back repeatedly in ONE session; the
+    persistent-RDD census after each sweep must return to the baseline
+    — proving the localCheckpoint cadence + unpersist discipline holds
+    over a long gate session instead of accreting blocks."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    queries = entrymod.queries()
+    names = ("pagerank_cs", "cc_cs", "sssp_cs")
+    jsc = spark.sparkContext._jsc
+
+    def census(jvm_gc: bool = False) -> int:
+        import gc
+
+        gc.collect()  # free py4j refs so JVM-side blocks can drop
+        if jvm_gc:
+            # ContextCleaner is weak-reference driven: blocks whose
+            # RDD handles are unreachable are only enqueued for
+            # unpersist when a JVM GC actually runs
+            spark.sparkContext._jvm.System.gc()
+        return int(jsc.getPersistentRDDs().size())
+
+    counts = []
+    for sweep in range(10):
+        for name in names:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        counts.append(census())
+    # Pregel releases superseded checkpoints explicitly
+    # (plans/checkpoints.py), so the census is near-flat by
+    # construction: each sweep leaves only the three final-state
+    # blocks (reclaimed lazily once Python drops the result handles)
+    # on top of the memoized graph caches. Bound the drift tightly —
+    # before the explicit release this same loop drifted to ~3x
+    # baseline on ContextCleaner lag, and a real accretion bug (r2
+    # measured ~5+/sweep) blows through both bounds immediately.
+    assert max(counts) <= counts[0] + 12, counts
+    import time
+
+    deadline = time.monotonic() + 30
+    final = census(jvm_gc=True)
+    while final > counts[0] + 3 and time.monotonic() < deadline:
+        time.sleep(2)
+        final = census(jvm_gc=True)
+    assert final <= counts[0] + 3, (counts, final)
+
+
+def test_multigraph_duplicate_edges_do_not_double_scores(spark):
+    """Duplicate edge rows must not inflate wedge-count scores: the
+    count-based Jaccard and Adamic-Adar score each DISTINCT edge once
+    (dup rows re-emit the same value). Found via the RMat multigraph:
+    doubled `common` overflowed inclusion-exclusion into a zero (then
+    negative) denominator."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.adamic_adar import adamic_adar
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    dup = spark.createDataFrame(base + base, "src long, dst long")
+    ded = spark.createDataFrame(base, "src long, dst long")
+    g_dup = Graph.from_edges(dup.withColumn("value", F.lit(1)))
+    g_ded = Graph.from_edges(ded.withColumn("value", F.lit(1)))
+
+    for fn in (jaccard_similarity_counts, adamic_adar):
+        want = {(r[0], r[1]): r[2] for r in fn(g_ded).collect()}
+        got = {(r[0], r[1]): r[2] for r in fn(g_dup).collect()}
+        assert got == want, fn.__name__
