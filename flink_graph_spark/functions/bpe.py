@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.checkpoints import release_local_checkpoint
+
 BPE_ROUNDS = 4
 
 _CHARS_T = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -108,9 +110,13 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
                 ).otherwise(F.col("sym")).alias("sym"),
             )
         )
+        state_prev = state
         state = applied.select(
             "w", "cnt", F.row_number().over(wlead).alias("rn"), "sym"
         ).localCheckpoint(eager=True)
+        release_local_checkpoint(state_prev)
+    # the result reads only the per-round `best` checkpoints
+    release_local_checkpoint(state)
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
@@ -229,6 +235,7 @@ def _final_state(docs: DataFrame, rounds: int) -> DataFrame:
             .filter(((F.col("rn") - F.col("mn")) % 2) == 0)
             .select("w", "rn", F.lit(1).alias("k"))
         )
+        state_prev = state
         state = (
             paired.join(keep, ["w", "rn"], "left")
             .join(
@@ -252,6 +259,8 @@ def _final_state(docs: DataFrame, rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(state_prev)
+        release_local_checkpoint(best)
     return state
 
 

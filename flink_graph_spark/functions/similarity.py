@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.checkpoints import release_local_checkpoint
+
 DIM = 64
 
 # ---- portable cosine -------------------------------------------------
@@ -878,11 +880,16 @@ def principal_direction(
             .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+        v_prev = v
         v = (
             w.crossJoin(F.broadcast(norm))
             .select("pos", (F.col("w") / F.col("nm")).alias("v"))
             .localCheckpoint(eager=True)
         )
+        # first v_prev is a plain range (release no-ops); later ones
+        # are superseded loop checkpoints
+        release_local_checkpoint(v_prev)
+    release_local_checkpoint(x)
     return v.select(
         "pos", F.round("v", round_to).alias("loading")
     ).orderBy("pos")
@@ -976,17 +983,21 @@ def kmeans_clusters(
                 ).alias("d2")
             )
         )
+        assign_prev = assign
         assign = (
             d2.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("vec_id", "cid")
             .localCheckpoint(eager=True)
         )
+        if assign_prev is not None:
+            release_local_checkpoint(assign_prev)
         cent = (
             dims.join(assign, "vec_id")
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("cval"))
         )
+    release_local_checkpoint(dims)
     return assign.select(
         "vec_id", F.col("cid").cast("long").alias("cluster")
     ).orderBy("vec_id")
@@ -1214,17 +1225,21 @@ def pq_codes(
                 ).alias("d2")
             )
         )
+        assign_prev = assign
         assign = (
             d2.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("vec_id", "sub", "cid")
             .localCheckpoint(eager=True)
         )
+        if assign_prev is not None:
+            release_local_checkpoint(assign_prev)
         cent = (
             dims.join(assign, ["vec_id", "sub"])
             .groupBy("sub", "cid", "pos")
             .agg(F.avg("val").alias("cval"))
         )
+    release_local_checkpoint(dims)
     return assign.select(
         "vec_id",
         F.col("sub").cast("long").alias("sub"),
@@ -1392,6 +1407,7 @@ def feature_propagation(
             .groupBy(F.col("src").alias("vec_id"), "dim")
             .agg(F.avg("x").alias("nx"))
         )
+        x_prev = x
         x = (
             x.join(nb, ["vec_id", "dim"], "left")
             .select(
@@ -1404,6 +1420,8 @@ def feature_propagation(
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(x_prev)
+    release_local_checkpoint(e)
     return x.filter(F.col("dim") <= out_dims).select(
         "vec_id",
         F.col("dim").cast("long").alias("dim"),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 PRIO_SHIFT = 1 << 20
 
@@ -68,6 +69,7 @@ def color_graph(graph: Graph, max_rounds: int) -> DataFrame:
             .agg(F.max("np").alias("m"))
             .withColumnRenamed("src", "id")
         )
+        prev = state
         state = (
             state.join(nbr_max, "id", "left")
             .select(
@@ -83,6 +85,8 @@ def color_graph(graph: Graph, max_rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    release_local_checkpoint(sym)
     return state.select("id", "color")
 
 

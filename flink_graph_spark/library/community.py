@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, GraphAlgorithm
+from ..plans.checkpoints import release_local_checkpoint
 
 DELTA = 0.5  # hop attenuation; keep k/2-exact (see module docstring)
 
@@ -51,6 +52,7 @@ def community_detection(
     v = graph.vertices.select(
         "id", F.col("id").alias("label"), F.lit(1.0).alias("score")
     ).localCheckpoint(eager=True)
+    live_ckpt = v
 
     for it in range(1, max_iter + 1):
         st = v.select(
@@ -108,6 +110,8 @@ def community_detection(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             v = v.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = v
     return v
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 from ..sources.generators import grid_graph
 
 W_MOD = 50  # weights in 1..50
@@ -65,6 +66,7 @@ def dag_longest_path(graph: Graph, max_rounds: int) -> DataFrame:
         agg = msgs.groupBy("id").agg(
             F.max("lvl_m").alias("lvl_m"), F.max("lng_m").alias("lng_m")
         )
+        prev = state
         state = (
             state.join(agg, "id", "left")
             .select(
@@ -79,6 +81,9 @@ def dag_longest_path(graph: Graph, max_rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    # result reads only the final state checkpoint; drop the edge scratch
+    release_local_checkpoint(e)
     return state.select(
         "id", F.col("level").cast("long").alias("level"), "longest"
     )

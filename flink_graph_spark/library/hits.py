@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, GraphAlgorithm
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def hits(graph: Graph, max_iter: int = 5, round_to: int | None = 6) -> DataFrame:
@@ -39,6 +40,7 @@ def hits(graph: Graph, max_iter: int = 5, round_to: int | None = 6) -> DataFrame
     v = graph.vertices.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     ).localCheckpoint(eager=True)
+    live_ckpt = v
 
     for it in range(max_iter):
         auth_msgs = graph.aggregate_messages(
@@ -76,6 +78,8 @@ def hits(graph: Graph, max_iter: int = 5, round_to: int | None = 6) -> DataFrame
         # action directly, so no trailing checkpoint.
         if (it + 1) % 3 == 0 and it != max_iter - 1:
             v = v.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = v
 
     totals = v.agg(
         F.sum("hub").alias("__ht"), F.sum("auth").alias("__at")

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 from ..operators.pregel import pregel
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def incremental_sssp_remove_edge(
@@ -141,6 +142,7 @@ def incremental_pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
         )
+        prev = r
         r = (
             graph.vertices.select("id")
             .join(contrib, "id", "left")
@@ -153,6 +155,11 @@ def incremental_pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # no-op for the first prev (page_rank's select wrapper — its own
+        # final checkpoint is not directly releasable here), real for
+        # every superseded loop checkpoint
+        release_local_checkpoint(prev)
+    release_local_checkpoint(e2)
     return r.select("id", F.round("rank", round_to).alias("rank"))
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def k_core(graph: Graph, k: int = 3, max_iter: int = 8) -> DataFrame:
@@ -41,11 +42,13 @@ def k_core(graph: Graph, k: int = 3, max_iter: int = 8) -> DataFrame:
         removed = deg.where(F.col("deg") < k)
         if removed.isEmpty():
             break
+        prev = e
         e = (
             e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
     return (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").cast("bigint").alias("core_deg"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, GraphAlgorithm
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def label_propagation(
@@ -38,6 +39,7 @@ def label_propagation(
     labels = graph.vertices.select(
         "id", F.col(label_col).alias("label")
     ).localCheckpoint(eager=True)
+    live_ckpt = labels
 
     for it in range(1, max_iter + 1):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
@@ -55,6 +57,8 @@ def label_propagation(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             labels = labels.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = labels
     if owns_edge_cache:
         edges.unpersist()
     return labels
@@ -121,6 +125,7 @@ def label_spread(
     labels = graph.vertices.select(
         "id", F.col(label_col).alias("label"), F.col(seed_col).alias("seed")
     ).localCheckpoint(eager=True)
+    live_ckpt = labels
 
     for it in range(1, max_iter + 1):
         senders = labels.filter(F.col("label") != unlabeled)
@@ -140,6 +145,8 @@ def label_spread(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             labels = labels.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = labels
     if owns_edge_cache:
         edges.unpersist()
     return labels.select("id", "label")

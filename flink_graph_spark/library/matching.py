@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def bipartite_matching(graph: Graph, max_rounds: int = 5) -> DataFrame:
@@ -39,11 +40,16 @@ def bipartite_matching(graph: Graph, max_rounds: int = 5) -> DataFrame:
         )
         acc = acc.localCheckpoint(eager=True)
         matched = acc if matched is None else matched.unionByName(acc)
+        # the per-round `acc` checkpoints all survive — the returned
+        # union reads every one of them; only `free` is rolling scratch
+        prev = free
         free = (
             free.join(acc.select("src"), "src", "left_anti")
             .join(acc.select("dst"), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    release_local_checkpoint(free)
     return matched
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 PRIORITY_MULT = 2654435761
 PRIORITY_MOD = 4294967296
@@ -80,9 +81,16 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
             ue.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
         ).distinct()
+        mis_prev, und_prev = mis, und
         mis = mis.unionByName(winners).localCheckpoint(eager=True)
         und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        # both new checkpoints are materialized; the previous round's
+        # (which `winners`/`removed` read) are now unreferenced
+        release_local_checkpoint(mis_prev)
+        release_local_checkpoint(und_prev)
 
+    release_local_checkpoint(edges)
+    release_local_checkpoint(und)
     return mis.orderBy("id")
 
 

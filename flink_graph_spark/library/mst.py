@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 W_MOD = 1000
 
@@ -87,10 +88,14 @@ def boruvka_mst(
             # rounds are no-ops in BOTH engines (the oracle's unrolled
             # sel_r CTEs come up empty), so stopping early preserves
             # parity while skipping dead scheduler rounds.
+            release_local_checkpoint(sel)
             break
         chosen = sel.select("cs", "cd", "w").distinct()
+        mst_prev = mst
         mst = chosen if mst is None else mst.unionByName(chosen).distinct()
         mst = mst.localCheckpoint(eager=True)
+        if mst_prev is not None:
+            release_local_checkpoint(mst_prev)
         # pointer graph over components: p(c) = partner of the chosen
         # edge, identity for finished components
         comps = labels.select("comp").distinct()
@@ -115,11 +120,16 @@ def boruvka_mst(
             )
             .localCheckpoint(eager=True)
         )
+        # ptr's blocks are materialized; sel is no longer read by any
+        # surviving plan (mst was checkpointed above)
+        release_local_checkpoint(sel)
         for _j in range(jumps):
             nxt = ptr.select(F.col("comp").alias("p"), F.col("p").alias("pn"))
+            ptr_prev = ptr
             ptr = ptr.join(nxt, "p").select(
                 "comp", F.col("pn").alias("p")
             ).localCheckpoint(eager=True)
+            release_local_checkpoint(ptr_prev)
         # Convergence guard: every pointer must now reach a root
         # (p == p∘p). The oracle unrolls the SAME fixed jump count, so
         # an unconverged chain would not be a parity mismatch — it
@@ -134,9 +144,15 @@ def boruvka_mst(
                 "raise `jumps` — the DuckDB oracle unrolls the same "
                 "count, so both sides must use the larger value"
             )
+        labels_prev = labels
         labels = labels.join(
             ptr, labels["comp"] == ptr["comp"]
         ).select("id", F.col("p").alias("comp")).localCheckpoint(eager=True)
+        release_local_checkpoint(labels_prev)
+        release_local_checkpoint(ptr)
+    # the result reads only the final mst checkpoint
+    release_local_checkpoint(labels)
+    release_local_checkpoint(canon)
     return mst.select(
         F.col("cs").alias("src"), F.col("cd").alias("dst"), "w"
     )

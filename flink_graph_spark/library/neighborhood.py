@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 NF_M = 16  # registers per vertex (2^4 buckets)
 NF_REST_BITS = 28  # 32-bit hash minus 4 bucket bits
@@ -305,11 +306,14 @@ def spectral_radius(
             "id", (F.col("x") + F.coalesce("ny", F.lit(0.0))).alias("y")
         )
         nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
+        x_prev = x
         x = (
             y.crossJoin(F.broadcast(nrm))
             .select("id", (F.col("y") / F.col("n")).alias("x"))
             .localCheckpoint(eager=True)
         )
+        # sym stays — the lazy Rayleigh readout below still reads it
+        release_local_checkpoint(x_prev)
     # Rayleigh quotient x'Ax / x'x (x already unit-norm up to the
     # isolated-vertex zeros)
     ax = (

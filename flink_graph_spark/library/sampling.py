@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 W_MULT_C = 2654435761
 W_MULT_S = 40503
@@ -68,6 +69,7 @@ def random_walks(graph: Graph, length: int = 3) -> DataFrame:
             .agg(F.min(_hop_hash("__cur", s, "__n")).alias("__h"))
             .select("start_id", (F.col("__h") % W_SHIFT).alias(f"v{s}"))
         )
+        prev = walks
         walks = (
             walks.join(hop, "start_id", "left")
             .select(
@@ -78,6 +80,8 @@ def random_walks(graph: Graph, length: int = 3) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    release_local_checkpoint(adj)
     return walks.drop("__cur").orderBy("start_id")
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph, GraphAlgorithm
 from ..operators.pregel import pregel
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def _fwd_bwd_labels(
@@ -141,8 +142,15 @@ def scc(
             .select("src", "dst")
         )
         if delta:
+            v_prev, e_prev = v, e
             v = v.localCheckpoint(eager=True)
             e = e.localCheckpoint(eager=True)
+            # per-round `completed` checkpoints all survive (the
+            # returned union reads them); only the shrinking remainder
+            # frames are rolling scratch. First-round prev frames are
+            # plain projections — release is a defensive no-op there.
+            release_local_checkpoint(v_prev)
+            release_local_checkpoint(e_prev)
         # in fixed mode the remainder frames stay lazy: `completed`
         # derives from the inner Pregel's own final checkpoint, so the
         # next round's lineage is one filter + two anti-joins deep —
@@ -151,6 +159,9 @@ def scc(
         # than on data)
 
     assert done is not None, "scc called on an empty graph"
+    # the result reads only the per-round `completed` checkpoints
+    release_local_checkpoint(v)
+    release_local_checkpoint(e)
     return done
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def _oriented_edges(e: DataFrame) -> DataFrame:
@@ -231,12 +232,17 @@ def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
         )
         dropped = sup.filter(F.col("support") < thresh)
         if dropped.isEmpty():
+            release_local_checkpoint(sup)
             break
+        e_prev = e
         e = (
             sup.filter(F.col("support") >= thresh)
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(e_prev)
+        release_local_checkpoint(sup)
+    # final e stays — the returned lazy support recomputation reads it
     return edge_support(Graph(graph.vertices, e)).filter(
         F.col("support") >= thresh
     )

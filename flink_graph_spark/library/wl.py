@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_sql
 from ..graph import Graph
+from ..plans.checkpoints import release_local_checkpoint
 
 
 def wl_color_classes(graph: Graph, rounds: int = 3) -> DataFrame:
@@ -61,6 +62,7 @@ def wl_color_classes(graph: Graph, rounds: int = 3) -> DataFrame:
                 ).alias("sig")
             )
         )
+        prev = state
         state = (
             state.join(nbr, "id", "left")
             .select(
@@ -75,6 +77,10 @@ def wl_color_classes(graph: Graph, rounds: int = 3) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)
+    # the result reads only the FINAL state checkpoint (its lineage is
+    # truncated), so the scratch symmetric-edge checkpoint can go too
+    release_local_checkpoint(sym)
     return state.groupBy(F.col("c").alias("color")).agg(
         F.count("*").cast("long").alias("n")
     )

@@ -267,3 +267,27 @@ def test_vocab_fit_broadcasts_back_to_scan(spark, queries):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
 
+
+
+def test_release_local_checkpoint_contract(spark):
+    """plans/checkpoints.py: a direct localCheckpoint result is
+    released (blocks leave the persistent-RDD census immediately, no
+    GC involved); a select() wrapper or plain DataFrame is a False
+    no-op — the narrow contract every loop's release calls rely on."""
+    from flink_graph_spark.plans.checkpoints import release_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def census() -> int:
+        return int(sc._jsc.getPersistentRDDs().size())
+
+    base = census()
+    ck = spark.range(50).localCheckpoint(eager=True)
+    assert census() == base + 1
+    # wrapper: refused (releasing through it would free blocks the
+    # wrapper itself still reads)
+    assert release_local_checkpoint(ck.select("id")) is False
+    assert release_local_checkpoint(spark.range(5)) is False
+    assert census() == base + 1
+    assert release_local_checkpoint(ck) is True
+    assert census() == base
