@@ -29,6 +29,11 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
     (a, b, bkey) with a the lower-(degree,id) endpoint and bkey = b's
     (degree, id) sort key for once-per-wedge pairing.
     """
+    # multigraph safety (same hazard as jaccard_similarity_counts): a
+    # duplicated canonical edge row would re-drive every wedge it
+    # participates in AND skew the orientation degrees, multiplying
+    # triangle counts. Enumerate over the DISTINCT edge set.
+    e = e.distinct()
     deg = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -99,7 +104,7 @@ def clustering_coefficient(graph: Graph, round_to: int = 6) -> DataFrame:
     aggregate — the expensive leg is shared machinery, the coefficient
     itself is one left join and a column expression.
     """
-    e = graph.edges.select("src", "dst")
+    e = graph.edges.select("src", "dst").distinct()
     deg = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -124,41 +129,46 @@ def clustering_coefficient(graph: Graph, round_to: int = 6) -> DataFrame:
 
 
 def oracle_sql(edges_cte: str) -> str:
+    # DISTINCT mirrors _oriented_edges' multigraph guard
     return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM {edges_cte} ab
-JOIN {edges_cte} bc ON ab.dst = bc.src
-JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst"""
+FROM (SELECT DISTINCT src, dst FROM {edges_cte}) ab
+JOIN (SELECT DISTINCT src, dst FROM {edges_cte}) bc ON ab.dst = bc.src
+JOIN (SELECT DISTINCT src, dst FROM {edges_cte}) ac
+  ON ac.src = ab.src AND ac.dst = bc.dst"""
 
 
-def clustering_sql(edges_cte: str, round_to: int = 6) -> str:
-    """DuckDB twin of clustering_coefficient over a canonical
-    (src<dst) edges CTE."""
-    return f"""SELECT d.id, d.degree,
+def clustering_sql(edges_cte: str, round_to: int = 6) -> tuple[str, str]:
+    """(CTE text, final SELECT) DuckDB twin of clustering_coefficient
+    over a canonical (src<dst) edges CTE; the DISTINCT CTE mirrors the
+    Spark side's multigraph guard."""
+    cte = f"cl_de AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte})"
+    final = f"""SELECT d.id, d.degree,
        ROUND(CASE WHEN d.degree >= 2
              THEN 2.0 * COALESCE(t.n_triangles, 0)
                   / (d.degree * (d.degree - 1.0))
              ELSE 0.0 END, {round_to}) AS coeff
 FROM (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
-    SELECT src AS id FROM {edges_cte}
-    UNION ALL SELECT dst FROM {edges_cte}
+    SELECT src AS id FROM cl_de
+    UNION ALL SELECT dst FROM cl_de
   ) GROUP BY 1
 ) d
 LEFT JOIN (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-    SELECT ab.src AS id FROM {edges_cte} ab
-    JOIN {edges_cte} bc ON ab.dst = bc.src
-    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    SELECT ab.src AS id FROM cl_de ab
+    JOIN cl_de bc ON ab.dst = bc.src
+    JOIN cl_de ac ON ac.src = ab.src AND ac.dst = bc.dst
     UNION ALL
-    SELECT ab.dst FROM {edges_cte} ab
-    JOIN {edges_cte} bc ON ab.dst = bc.src
-    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    SELECT ab.dst FROM cl_de ab
+    JOIN cl_de bc ON ab.dst = bc.src
+    JOIN cl_de ac ON ac.src = ab.src AND ac.dst = bc.dst
     UNION ALL
-    SELECT bc.dst FROM {edges_cte} ab
-    JOIN {edges_cte} bc ON ab.dst = bc.src
-    JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+    SELECT bc.dst FROM cl_de ab
+    JOIN cl_de bc ON ab.dst = bc.src
+    JOIN cl_de ac ON ac.src = ab.src AND ac.dst = bc.dst
   ) GROUP BY 1
 ) t USING (id)"""
+    return cte, final
 
 
 def edge_support(graph: Graph) -> DataFrame:
@@ -193,26 +203,31 @@ def edge_support(graph: Graph) -> DataFrame:
     )
 
 
-def edge_support_sql(edges_cte: str) -> str:
-    """DuckDB twin over a canonical (src<dst) edges CTE."""
-    return f"""SELECT e.src, e.dst,
+def edge_support_sql(edges_cte: str) -> tuple[str, str]:
+    """(CTE text, final SELECT) DuckDB twin over a canonical (src<dst)
+    edges CTE. Triangle enumeration runs over the DISTINCT edge set
+    (mirroring _oriented_edges' multigraph guard); the outer join back
+    re-emits one row per ORIGINAL edge row, like the Spark side."""
+    cte = f"es_de AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_cte})"
+    final = f"""SELECT e.src, e.dst,
        CAST(COALESCE(s.support, 0) AS BIGINT) AS support
 FROM {edges_cte} e
 LEFT JOIN (
     SELECT src, dst, COUNT(*) AS support FROM (
-        SELECT ab.src AS src, ab.dst AS dst FROM {edges_cte} ab
-        JOIN {edges_cte} bc ON ab.dst = bc.src
-        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.src AS src, ab.dst AS dst FROM es_de ab
+        JOIN es_de bc ON ab.dst = bc.src
+        JOIN es_de ac ON ac.src = ab.src AND ac.dst = bc.dst
         UNION ALL
-        SELECT ab.src, bc.dst FROM {edges_cte} ab
-        JOIN {edges_cte} bc ON ab.dst = bc.src
-        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.src, bc.dst FROM es_de ab
+        JOIN es_de bc ON ab.dst = bc.src
+        JOIN es_de ac ON ac.src = ab.src AND ac.dst = bc.dst
         UNION ALL
-        SELECT ab.dst, bc.dst FROM {edges_cte} ab
-        JOIN {edges_cte} bc ON ab.dst = bc.src
-        JOIN {edges_cte} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.dst, bc.dst FROM es_de ab
+        JOIN es_de bc ON ab.dst = bc.src
+        JOIN es_de ac ON ac.src = ab.src AND ac.dst = bc.dst
     ) GROUP BY 1, 2
 ) s ON e.src = s.src AND e.dst = s.dst"""
+    return cte, final
 
 
 def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
@@ -252,39 +267,51 @@ def k_truss_ctes(
     edges_cte: str, k: int = 3, max_rounds: int = 3
 ) -> tuple[str, str]:
     """(CTE text, final SELECT) — unrolled peel rounds. Each round
-    recomputes per-edge support over the surviving edge set."""
+    recomputes per-edge support over the surviving edge set; the
+    triangle legs read the round's DISTINCT edges (multigraph guard,
+    as on the Spark side) while the outer support join re-emits one
+    row per surviving original edge row."""
     thresh = k - 2
 
-    def support_sql(e: str) -> str:
+    def support_sql(outer: str, inner: str) -> str:
         return f"""SELECT e.src, e.dst,
        CAST(COALESCE(s.support, 0) AS BIGINT) AS support
-FROM {e} e
+FROM {outer} e
 LEFT JOIN (
     SELECT src, dst, COUNT(*) AS support FROM (
-        SELECT ab.src AS src, ab.dst AS dst FROM {e} ab
-        JOIN {e} bc ON ab.dst = bc.src
-        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.src AS src, ab.dst AS dst FROM {inner} ab
+        JOIN {inner} bc ON ab.dst = bc.src
+        JOIN {inner} ac ON ac.src = ab.src AND ac.dst = bc.dst
         UNION ALL
-        SELECT ab.src, bc.dst FROM {e} ab
-        JOIN {e} bc ON ab.dst = bc.src
-        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.src, bc.dst FROM {inner} ab
+        JOIN {inner} bc ON ab.dst = bc.src
+        JOIN {inner} ac ON ac.src = ab.src AND ac.dst = bc.dst
         UNION ALL
-        SELECT ab.dst, bc.dst FROM {e} ab
-        JOIN {e} bc ON ab.dst = bc.src
-        JOIN {e} ac ON ac.src = ab.src AND ac.dst = bc.dst
+        SELECT ab.dst, bc.dst FROM {inner} ab
+        JOIN {inner} bc ON ab.dst = bc.src
+        JOIN {inner} ac ON ac.src = ab.src AND ac.dst = bc.dst
     ) GROUP BY 1, 2
 ) s ON e.src = s.src AND e.dst = s.dst"""
 
     ctes = [f"kt_e0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})"]
     for i in range(1, max_rounds + 1):
         ctes.append(
+            f"kt_d{i - 1} AS MATERIALIZED"
+            f" (SELECT DISTINCT src, dst FROM kt_e{i - 1})"
+        )
+        ctes.append(
             f"""kt_e{i} AS MATERIALIZED (
-  SELECT src, dst FROM ({support_sql(f'kt_e{i - 1}')})
+  SELECT src, dst FROM ({support_sql(f'kt_e{i - 1}', f'kt_d{i - 1}')})
   WHERE support >= {thresh}
 )"""
         )
+    ctes.append(
+        f"kt_d{max_rounds} AS MATERIALIZED"
+        f" (SELECT DISTINCT src, dst FROM kt_e{max_rounds})"
+    )
     final = (
-        f"SELECT * FROM ({support_sql(f'kt_e{max_rounds}')})"
+        f"SELECT * FROM"
+        f" ({support_sql(f'kt_e{max_rounds}', f'kt_d{max_rounds}')})"
         f" WHERE support >= {thresh}"
     )
     return ",\n".join(ctes), final

@@ -1755,7 +1755,7 @@ def triangles_per_vertex_uu(spark, sf_dir):
 
 @_register(
     "clustering_coeff_uu",
-    _with(UU_EDGES_SQL, tri_mod.clustering_sql("uu_edges")),
+    _with(UU_EDGES_SQL, *tri_mod.clustering_sql("uu_edges")),
 )
 def clustering_coeff_uu(spark, sf_dir):
     """Local clustering coefficient per vertex of the user-cooccurrence
@@ -2160,7 +2160,7 @@ def embedding_outliers(spark, sf_dir):
 
 @_register(
     "edge_support_uu",
-    _with(UU_EDGES_SQL, tri_mod.edge_support_sql("uu_edges")),
+    _with(UU_EDGES_SQL, *tri_mod.edge_support_sql("uu_edges")),
 )
 def edge_support_uu(spark, sf_dir):
     """Per-edge triangle support (k-truss building block) on the user

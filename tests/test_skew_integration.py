@@ -162,3 +162,36 @@ def test_multigraph_duplicate_edges_do_not_double_scores(spark):
         want = {(r[0], r[1]): r[2] for r in fn(g_ded).collect()}
         got = {(r[0], r[1]): r[2] for r in fn(g_dup).collect()}
         assert got == want, fn.__name__
+
+
+def test_multigraph_duplicate_edges_triangle_family(spark):
+    """The triangle family (count / per-vertex / clustering coeff /
+    edge support) enumerates over the DISTINCT edge set: a duplicated
+    canonical edge row must not multiply wedge paths or skew the
+    orientation degrees. edge_support re-emits one row per ORIGINAL
+    edge row (same re-emit contract as jaccard), with identical
+    support values."""
+    from flink_graph_spark.graph import Graph
+    from flink_graph_spark.library.triangles import (
+        clustering_coefficient,
+        edge_support,
+        triangle_count,
+        triangles_per_vertex,
+    )
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]  # canonical src<dst
+    dup = spark.createDataFrame(base + base, "src long, dst long")
+    ded = spark.createDataFrame(base, "src long, dst long")
+    g_dup = Graph.from_edges(dup.withColumn("value", F.lit(1)))
+    g_ded = Graph.from_edges(ded.withColumn("value", F.lit(1)))
+
+    assert triangle_count(g_dup).collect()[0][0] == 1
+    assert triangle_count(g_ded).collect()[0][0] == 1
+    for fn in (triangles_per_vertex, clustering_coefficient):
+        want = {tuple(r) for r in fn(g_ded).collect()}
+        got = {tuple(r) for r in fn(g_dup).collect()}
+        assert got == want, fn.__name__
+    # support values identical; dup rows re-emit (2x row count)
+    want = sorted(tuple(r) for r in edge_support(g_ded).collect())
+    got = sorted(tuple(r) for r in edge_support(g_dup).collect())
+    assert got == sorted(want + want)
