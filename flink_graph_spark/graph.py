@@ -65,7 +65,11 @@ class Graph:
     """
 
     def __init__(
-        self, vertices: DataFrame, edges: DataFrame, src_partitioned: bool = False
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        src_partitioned: bool = False,
+        distinct_edges: bool = False,
     ):
         vcols = vertices.columns
         ecols = edges.columns
@@ -79,6 +83,13 @@ class Graph:
         #: 100 TB posture is an edge table bucketed by src, so iterative
         #: consumers (pregel, LPA) must not re-shuffle or re-cache it.
         self.src_partitioned = src_partitioned
+        #: construction-time guarantee that no (src, dst) edge row is
+        #: duplicated (e.g. the edge table is a groupBy output). Lets
+        #: multigraph-guarded consumers (the triangle family) skip
+        #: their defensive `.distinct()` — at scale that is one full
+        #: edge-table shuffle, recomputed per plan leg. False means
+        #: "unknown", not "has duplicates": consumers must dedup.
+        self.distinct_edges = distinct_edges
         # Memoized scalar vertex count, held in a one-slot list so
         # vertex-preserving derivations (reverse, edge maps/joins,
         # partition_by_src, the symmetrized view) SHARE the memo with
@@ -236,6 +247,8 @@ class Graph:
                 self._edges.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst"), *others
                 ),
+                # endpoint swap is a row bijection: distinctness survives
+                distinct_edges=self.distinct_edges,
             )
         )
 
@@ -263,7 +276,9 @@ class Graph:
             .join(ids, F.col("dst") == ids["id"], "left_semi")
             .filter(edge_pred)
         )
-        return Graph(v2, e2)
+        # semi-joins and the filter only drop edge rows: distinctness
+        # survives from the parent
+        return Graph(v2, e2, distinct_edges=self.distinct_edges)
 
     def filter_on_vertices(self, vertex_pred: Column) -> "Graph":
         """subgraph with edge-pred = true (filterOnVertices ~L265-300)."""
@@ -272,7 +287,12 @@ class Graph:
     def filter_on_edges(self, edge_pred: Column) -> "Graph":
         """Filter edges only; vertex set unchanged (filterOnEdges ~L305-330)."""
         return self._count_preserved(
-            Graph(self._vertices, self._edges.filter(edge_pred))
+            # filtering only drops rows: distinctness survives
+            Graph(
+                self._vertices,
+                self._edges.filter(edge_pred),
+                distinct_edges=self.distinct_edges,
+            )
         )
 
     # ------------------------------------------------------------------
@@ -825,12 +845,21 @@ class Graph:
             else self._edges.repartition("src")
         )
         return self._count_preserved(
-            Graph(self._vertices, e.persist(), src_partitioned=True)
+            Graph(
+                self._vertices,
+                e.persist(),
+                src_partitioned=True,
+                distinct_edges=self.distinct_edges,
+            )
         )
 
     def persist(self) -> "Graph":
         return self._count_preserved(
-            Graph(self._vertices.persist(), self._edges.persist())
+            Graph(
+                self._vertices.persist(),
+                self._edges.persist(),
+                distinct_edges=self.distinct_edges,
+            )
         )
 
     def unpersist(self) -> "Graph":

@@ -47,9 +47,12 @@ def adamic_adar(
     # score per DISTINCT edge — a duplicated edge row would explode its
     # intersection twice and the groupBy sum would double `s` (same
     # multigraph hazard as jaccard_similarity_counts); the final join
-    # still emits one output row per ORIGINAL edge row
+    # still emits one output row per ORIGINAL edge row. Builders that
+    # guarantee distinctness (Graph.distinct_edges) skip the extra
+    # edge-table shuffle.
+    ed = e if graph.distinct_edges else e.distinct()
     commons = (
-        e.distinct().join(a, "src")
+        ed.join(a, "src")
         .join(b, "dst")
         .select(
             "src", "dst", F.explode(F.array_intersect("na", "nb")).alias("w")

@@ -82,8 +82,9 @@ def jaccard_similarity_counts(graph: Graph, round_to: int = 6) -> DataFrame:
     # row would double `common` past the inclusion-exclusion bound and
     # the denominator ds+dd-common can reach 0 (divide-by-zero under
     # ANSI mode) — found by the skewed-RMat integration test, whose
-    # generator emits multi-edges
-    ed = e.distinct()
+    # generator emits multi-edges. Builders that guarantee distinctness
+    # (Graph.distinct_edges) skip the extra edge-table shuffle.
+    ed = e if graph.distinct_edges else e.distinct()
     adj = (
         e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
         .unionByName(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))

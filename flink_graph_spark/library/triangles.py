@@ -28,12 +28,11 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
     """Re-orient canonical (src<dst) edges by (degree, id): returns
     (a, b, bkey) with a the lower-(degree,id) endpoint and bkey = b's
     (degree, id) sort key for once-per-wedge pairing.
+
+    ``e`` MUST be duplicate-free (see ``_distinct_edges``): a duplicated
+    canonical edge row would re-drive every wedge it participates in AND
+    skew the orientation degrees, multiplying triangle counts.
     """
-    # multigraph safety (same hazard as jaccard_similarity_counts): a
-    # duplicated canonical edge row would re-drive every wedge it
-    # participates in AND skew the orientation degrees, multiplying
-    # triangle counts. Enumerate over the DISTINCT edge set.
-    e = e.distinct()
     deg = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -53,7 +52,23 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
     )
 
 
-def _closed_wedges(e: DataFrame) -> DataFrame:
+def _distinct_edges(e: DataFrame, assume_distinct: bool) -> DataFrame:
+    """Multigraph guard for the wedge machinery (same hazard as
+    jaccard_similarity_counts). When the Graph carries the builder's
+    ``distinct_edges`` guarantee this is FREE — the defensive distinct
+    is one full edge-table shuffle, and every plan leg that re-reads it
+    (degree union, degree joins) recomputes it, so skipping it on
+    groupBy-built graphs is the difference between the r3 plan and a
+    3x-shuffled one. When dedup IS needed it's materialized once
+    (localCheckpoint) so downstream legs share the deduped blocks
+    instead of re-shuffling per leg.
+    """
+    if assume_distinct:
+        return e
+    return e.distinct().localCheckpoint(eager=True)
+
+
+def _closed_wedges(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
     """(a, b, c) triangle corners, each triangle exactly once.
 
     Paths a→b→c through the oriented DAG (each triangle has exactly one
@@ -63,10 +78,15 @@ def _closed_wedges(e: DataFrame) -> DataFrame:
     and filters half away — and stays O(m^1.5) under the degree
     orientation (out-fan capped at O(sqrt m) everywhere).
     """
+    de = _distinct_edges(e, assume_distinct)
     # materialize the oriented edge list once — it feeds all three legs
     # (xy, yz, and the closing semi-join); without this the degree joins
     # re-run per leg (3x the work, measured 2x slower at sf0.1)
-    oe = _oriented_edges(e).select("a", "b").localCheckpoint(eager=True)
+    oe = _oriented_edges(de).select("a", "b").localCheckpoint(eager=True)
+    if de is not e:
+        # the deduped scratch blocks fed the (now-materialized) oriented
+        # list and nothing else — release them immediately
+        release_local_checkpoint(de)
     xy = oe.select(F.col("a").alias("a"), F.col("b").alias("b"))
     yz = oe.select(F.col("a").alias("b"), F.col("b").alias("c"))
     paths = xy.join(yz, "b")
@@ -81,13 +101,15 @@ def triangle_count(graph: Graph) -> DataFrame:
     """1-row frame (n_triangles BIGINT). Edges must be canonical
     (src < dst); symmetrize + filter first if not.
     """
-    closed = _closed_wedges(graph.edges.select("src", "dst"))
+    closed = _closed_wedges(
+        graph.edges.select("src", "dst"), graph.distinct_edges
+    )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:
     """(id, n_triangles) for every vertex participating in ≥1 triangle."""
-    tri = _closed_wedges(graph.edges.select("src", "dst"))
+    tri = _closed_wedges(graph.edges.select("src", "dst"), graph.distinct_edges)
     corners = (
         tri.select(F.col("a").alias("id"))
         .unionByName(tri.select(F.col("b").alias("id")))
@@ -104,14 +126,25 @@ def clustering_coefficient(graph: Graph, round_to: int = 6) -> DataFrame:
     aggregate — the expensive leg is shared machinery, the coefficient
     itself is one left join and a column expression.
     """
-    e = graph.edges.select("src", "dst").distinct()
+    e = _distinct_edges(graph.edges.select("src", "dst"), graph.distinct_edges)
     deg = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("degree"))
     )
-    tri = triangles_per_vertex(graph)
+    # reuse the (possibly checkpoint-materialized) deduped edge set for
+    # the wedge leg too — the degree union above still reads it lazily,
+    # so its checkpoint (if any) stays live with the returned plan
+    tri_src = _closed_wedges(e, assume_distinct=True)
+    corners = (
+        tri_src.select(F.col("a").alias("id"))
+        .unionByName(tri_src.select(F.col("b").alias("id")))
+        .unionByName(tri_src.select(F.col("c").alias("id")))
+    )
+    tri = corners.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
     d = F.col("degree").cast("double")
     return (
@@ -180,7 +213,7 @@ def edge_support(graph: Graph) -> DataFrame:
     join back to the edge list (edges in no triangle report 0).
     """
     e = graph.edges.select("src", "dst")
-    tri = _closed_wedges(e)
+    tri = _closed_wedges(e, graph.distinct_edges)
     mm = lambda x, y: F.struct(  # noqa: E731 — canonical (min,max) pair
         F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
     )
@@ -242,7 +275,9 @@ def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
     e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     thresh = k - 2
     for _ in range(max_rounds):
-        sup = edge_support(Graph(graph.vertices, e)).localCheckpoint(
+        sup = edge_support(
+        Graph(graph.vertices, e, distinct_edges=graph.distinct_edges)
+    ).localCheckpoint(
             eager=True
         )
         dropped = sup.filter(F.col("support") < thresh)
@@ -258,7 +293,9 @@ def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
         release_local_checkpoint(e_prev)
         release_local_checkpoint(sup)
     # final e stays — the returned lazy support recomputation reads it
-    return edge_support(Graph(graph.vertices, e)).filter(
+    return edge_support(
+        Graph(graph.vertices, e, distinct_edges=graph.distinct_edges)
+    ).filter(
         F.col("support") >= thresh
     )
 

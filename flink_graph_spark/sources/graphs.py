@@ -86,7 +86,11 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
     # the derived vertex set (distinct endpoints) is also persisted —
     # it's tiny relative to the edges, and every consumer (counts, pregel
     # init, degree joins) otherwise re-runs the union+distinct shuffle
-    return Graph(g.vertices.persist(), g.edges, src_partitioned=True)
+    return Graph(
+        g.vertices.persist(), g.edges, src_partitioned=True,
+        # groupBy output: one row per (src, dst) by construction
+        distinct_edges=True,
+    )
 
 
 @_memo_graph("cs_und")
@@ -108,7 +112,11 @@ def customer_supplier_undirected_graph(spark: SparkSession, sf_dir: str) -> Grap
     )
     # shares the directed graph's vertex-count memo (same vertex set):
     # pagerank-over-undirected issues no second count job
-    return g._count_preserved(Graph(g.vertices, ue, src_partitioned=True))
+    return g._count_preserved(
+        # distinct forward pairs ∪ their reverses over disjoint id spaces:
+        # no duplicate rows in the symmetrized table
+        Graph(g.vertices, ue, src_partitioned=True, distinct_edges=True)
+    )
 
 
 @_memo_graph("cs_bucketed")
@@ -136,7 +144,9 @@ def customer_supplier_bucketed_graph(spark: SparkSession, sf_dir: str) -> Graph:
     e = read_edges_bucketed(spark, table)
     # src_partitioned=True: pregel must NOT re-shuffle/re-cache — the
     # bucketed scan IS the partitioning; count memo shared (same set)
-    return g._count_preserved(Graph(g.vertices, e, src_partitioned=True))
+    return g._count_preserved(
+        Graph(g.vertices, e, src_partitioned=True, distinct_edges=g.distinct_edges)
+    )
 
 
 # --- C.2 user–user co-occurrence graph --------------------------------
@@ -215,7 +225,11 @@ def user_cooccurrence_graph(
     # the derived vertex set (distinct endpoints) is also persisted —
     # it's tiny relative to the edges, and every consumer (counts, pregel
     # init, degree joins) otherwise re-runs the union+distinct shuffle
-    return Graph(g.vertices.persist(), g.edges, src_partitioned=True)
+    return Graph(
+        g.vertices.persist(), g.edges, src_partitioned=True,
+        # groupBy output: one row per (src, dst) by construction
+        distinct_edges=True,
+    )
 
 
 # --- C.3 part co-purchase graph ---------------------------------------
@@ -253,7 +267,11 @@ def part_copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
     # the derived vertex set (distinct endpoints) is also persisted —
     # it's tiny relative to the edges, and every consumer (counts, pregel
     # init, degree joins) otherwise re-runs the union+distinct shuffle
-    return Graph(g.vertices.persist(), g.edges, src_partitioned=True)
+    return Graph(
+        g.vertices.persist(), g.edges, src_partitioned=True,
+        # groupBy output: one row per (src, dst) by construction
+        distinct_edges=True,
+    )
 
 
 # --- C.4 golden fixture graph (reference TestGraphUtils) --------------
