@@ -43,7 +43,7 @@ DELTA = 0.5  # hop attenuation; keep k/2-exact (see module docstring)
 
 
 def community_detection(
-    graph: Graph, max_iter: int = 4, checkpoint_every: int = 2
+    graph: Graph, max_iter: int = 4, checkpoint_every: int = 3
 ) -> DataFrame:
     """(id, label, score) after ``max_iter`` supersteps."""
     if not graph.src_partitioned:

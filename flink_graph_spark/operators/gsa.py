@@ -39,7 +39,7 @@ def gather_sum_apply(
     apply: Column,
     max_iter: int = 10,
     state_col: str = "state",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
     delta: bool = False,
     gather_reads: tuple[str, ...] | None = None,
 ) -> PregelResult:

@@ -14,7 +14,11 @@ Scale design:
   rescanned from parquet nor reshuffled.
 * ``localCheckpoint(eager=True)`` every ``checkpoint_every`` supersteps
   truncates the exponentially growing lineage — without it Catalyst
-  analysis time blows up around iteration ~20.
+  analysis time blows up around iteration ~20. Cadence 3 measured best
+  for the 1-join-per-superstep loop at sf0.1 (PageRank 4.8s at 2 vs
+  4.1s at 3; 4-5 plateau within noise but lengthen the analyzed chain
+  for more complex update expressions) — same sweet spot HITS measured
+  for its 2-join loop.
 * Convergence (optional) is checked with an aggregate on the delta
   frame (``isEmpty`` on changed rows), never a collect of the state.
 * No per-row Python: message/update expressions are Spark Columns, so
@@ -48,7 +52,7 @@ def pregel(
     msg_to_src: Column | None = None,
     max_iter: int = 10,
     state_col: str = "state",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
     check_convergence: bool = False,
     delta: bool = False,
     msg_to_dst_reads: tuple[str, ...] | None = None,
