@@ -43,9 +43,16 @@ DELTA = 0.5  # hop attenuation; keep k/2-exact (see module docstring)
 
 
 def community_detection(
-    graph: Graph, max_iter: int = 4, checkpoint_every: int = 3
+    graph: Graph, max_iter: int = 4, checkpoint_every: int = 2
 ) -> DataFrame:
-    """(id, label, score) after ``max_iter`` supersteps."""
+    """(id, label, score) after ``max_iter`` supersteps.
+
+    Cadence note: stays at checkpoint_every=2 (unlike pregel's 3) —
+    each iteration references ``v`` twice (state attach + update join)
+    and runs a heavy two-stage per-label aggregate, so an unchecked
+    chain re-executes those legs ~2^k-fold: measured at sf0.1 uu,
+    cadence 2 = 6.1s vs cadence 3 = 10.8s. Same for both LPA variants.
+    """
     if not graph.src_partitioned:
         graph = graph.partition_by_src()
     e = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))

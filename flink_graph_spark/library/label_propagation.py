@@ -23,7 +23,7 @@ from ..plans.checkpoints import release_local_checkpoint
 
 
 def label_propagation(
-    graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 3
+    graph: Graph, max_iter: int = 10, label_col: str = "value", checkpoint_every: int = 2
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex value."""
     # Loop-invariant edges: project, pre-partition by the join key (src)
@@ -106,7 +106,7 @@ def label_spread(
     label_col: str = "value",
     seed_col: str = "seed",
     unlabeled: int = -1,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Semi-supervised label SPREADING (Zhu & Ghahramani-style, mode
     vote): seed vertices are CLAMPED to their label; unlabeled vertices

@@ -18,7 +18,10 @@ Scale design:
   for the 1-join-per-superstep loop at sf0.1 (PageRank 4.8s at 2 vs
   4.1s at 3; 4-5 plateau within noise but lengthen the analyzed chain
   for more complex update expressions) — same sweet spot HITS measured
-  for its 2-join loop.
+  for its 2-join loop. NOT universal: loops whose per-iteration plan
+  re-references the state twice with heavy aggregates between
+  checkpoints (community detection, most-frequent-label LPA) measured
+  ~2x SLOWER at 3 — they pin cadence 2 locally.
 * Convergence (optional) is checked with an aggregate on the delta
   frame (``isEmpty`` on changed rows), never a collect of the state.
 * No per-row Python: message/update expressions are Spark Columns, so
