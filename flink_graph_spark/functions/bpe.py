@@ -73,6 +73,11 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
                 F.col("pcnt").cast("long").alias("pair_count"),
             )
         )
+        if r == rounds:
+            # the last learned merge is never APPLIED for the merge
+            # table readout — skip the apply/renumber stage (the
+            # oracle's unrolled chain stops at the same point)
+            break
         cand = (
             pairs.join(F.broadcast(best.select("bsym", "bnxt")),
                        (F.col("sym") == F.col("bsym"))
@@ -123,10 +128,14 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     return res
 
 
-def _bpe_train_ctes(rounds: int) -> list[str]:
+def _bpe_train_ctes(rounds: int, final_state: bool = True) -> list[str]:
     """The unrolled training CTE chain, shared structurally by
     ``bpe_merges_sql`` and ``bpe_compression_sql`` (no string surgery —
-    each composer appends its own readout)."""
+    each composer appends its own readout). ``final_state=False`` stops
+    after the last round's best-pair CTE (``bpe_b{rounds}``) — the
+    merge-table readout never APPLIES the last merge, so the apply and
+    renumber stages of the final round would be dead MATERIALIZED
+    work."""
     ctes = [
         """bpe_words AS MATERIALIZED (
     SELECT w, COUNT(*) AS cnt FROM (
@@ -150,6 +159,8 @@ def _bpe_train_ctes(rounds: int) -> list[str]:
     FROM bpe_p{r} WHERE nxt IS NOT NULL
     GROUP BY 1, 2 ORDER BY pcnt DESC, bsym ASC, bnxt ASC LIMIT 1)"""
         )
+        if r == rounds and not final_state:
+            break
         ctes.append(
             f"""bpe_k{r} AS MATERIALIZED (
     SELECT w, rn FROM (
@@ -188,7 +199,7 @@ def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
 FROM bpe_b{r}"""
         for r in range(1, rounds + 1)
     )
-    joined = ",\n".join(_bpe_train_ctes(rounds))
+    joined = ",\n".join(_bpe_train_ctes(rounds, final_state=False))
     return f"WITH {joined}\n{union}"
 
 

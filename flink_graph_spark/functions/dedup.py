@@ -180,7 +180,9 @@ pair_jaccard AS MATERIALIZED (
 
 # df-capped twin of the above — mirrors _pair_jaccard exactly (same
 # NGRAM_MAX_DF, same capped universe for sizes AND intersections).
-PAIR_JACCARD_CAPPED_SQL = f"""
+# Split in two so the containment readout (which reads pairc_inter /
+# shc_sizes directly) doesn't drag a dead MATERIALIZED jaccard CTE.
+PAIR_COUNTS_CAPPED_SQL = f"""
 sh_capped AS MATERIALIZED (
     SELECT doc_id, s FROM doc_shingles
     WHERE s NOT IN (
@@ -195,7 +197,9 @@ pairc_inter AS MATERIALIZED (
     FROM sh_capped a
     JOIN sh_capped b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-),
+)"""
+
+PAIR_JACCARD_CAPPED_SQL = PAIR_COUNTS_CAPPED_SQL + """,
 pair_jaccard_capped AS MATERIALIZED (
     SELECT p.da, p.db,
            ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6)
@@ -233,7 +237,7 @@ def ngram_containment_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
-# composes after PAIR_JACCARD_CAPPED_SQL (reuses pairc_inter/shc_sizes)
+# composes after PAIR_COUNTS_CAPPED_SQL (reuses pairc_inter/shc_sizes)
 NGRAM_CONTAINMENT_TOPK_SQL = """
 SELECT p.da, p.db,
        ROUND(CAST(p.inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)

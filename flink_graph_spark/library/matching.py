@@ -33,13 +33,18 @@ def bipartite_matching(graph: Graph, max_rounds: int = 5) -> DataFrame:
         )
     )
     matched: DataFrame | None = None
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         prop = free.groupBy("src").agg(F.max("dst").alias("dst"))
         acc = prop.groupBy("dst").agg(F.max("src").alias("src")).select(
             "src", "dst"
         )
         acc = acc.localCheckpoint(eager=True)
         matched = acc if matched is None else matched.unionByName(acc)
+        if r == max_rounds - 1:
+            # the final round's shrunken edge set feeds nothing — skip
+            # the two anti-joins (the oracle's unrolled chain stops at
+            # the same point)
+            break
         # the per-round `acc` checkpoints all survive — the returned
         # union reads every one of them; only `free` is rolling scratch
         prev = free
@@ -68,12 +73,14 @@ def oracle_ctes(edges_cte: str, max_rounds: int = 5) -> tuple[str, str]:
             f"""bm_a{r} AS MATERIALIZED (
   SELECT MAX(src) AS src, dst FROM bm_p{r} GROUP BY dst)"""
         )
-        ctes.append(
-            f"""bm_e{r} AS MATERIALIZED (
+        if r < max_rounds:
+            # the last round's residual edge set has no consumer
+            ctes.append(
+                f"""bm_e{r} AS MATERIALIZED (
   SELECT e.src, e.dst FROM bm_e{r - 1} e
   WHERE e.src NOT IN (SELECT src FROM bm_a{r})
     AND e.dst NOT IN (SELECT dst FROM bm_a{r}))"""
-        )
+            )
     union = "\nUNION ALL\n".join(
         f"SELECT src, dst FROM bm_a{r}" for r in range(1, max_rounds + 1)
     )

@@ -57,7 +57,7 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
     ).localCheckpoint(eager=True)
     mis = und.select("id").where(F.lit(False)).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         if und.isEmpty():
             break
         ue = (
@@ -77,16 +77,22 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
             .where(F.col("nmin").isNull() | (F.col("p") < F.col("nmin")))
             .select("id")
         )
+        mis_prev = mis
+        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        release_local_checkpoint(mis_prev)
+        if i == max_iter - 1:
+            # the final round's undecided-set update feeds nothing —
+            # skip it (the oracle's unrolled chain stops at the same
+            # point)
+            break
         removed = winners.unionByName(
             ue.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
         ).distinct()
-        mis_prev, und_prev = mis, und
-        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        und_prev = und
         und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
-        # both new checkpoints are materialized; the previous round's
-        # (which `winners`/`removed` read) are now unreferenced
-        release_local_checkpoint(mis_prev)
+        # the new checkpoint is materialized; the previous round's
+        # (which `winners`/`removed` read) is now unreferenced
         release_local_checkpoint(und_prev)
 
     release_local_checkpoint(edges)
@@ -135,8 +141,10 @@ def oracle_ctes(
   SELECT id FROM mis_m{p} UNION SELECT id FROM mis_w{i}
 )"""
         )
-        ctes.append(
-            f"""mis_u{i} AS MATERIALIZED (
+        if i < max_iter:
+            # the last round's undecided-set update has no consumer
+            ctes.append(
+                f"""mis_u{i} AS MATERIALIZED (
   SELECT u.id, u.p FROM mis_u{p} u
   WHERE u.id NOT IN (SELECT id FROM mis_w{i})
     AND u.id NOT IN (
@@ -144,7 +152,7 @@ def oracle_ctes(
       WHERE EXISTS (SELECT 1 FROM mis_u{p} x WHERE x.id = e.dst)
     )
 )"""
-        )
+            )
     final = f"SELECT id FROM mis_m{max_iter} ORDER BY id"
     return ",\n".join(ctes), final
 

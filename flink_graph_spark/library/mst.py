@@ -70,7 +70,7 @@ def boruvka_mst(
         "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=True)
     mst: DataFrame | None = None
-    for _ in range(rounds):
+    for r in range(rounds):
         la = labels.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
         lb = labels.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
         live = (
@@ -96,6 +96,12 @@ def boruvka_mst(
         mst = mst.localCheckpoint(eager=True)
         if mst_prev is not None:
             release_local_checkpoint(mst_prev)
+        if r == rounds - 1:
+            # the final round's label contraction feeds no further
+            # selection — skip the pointer graph and jump chain (the
+            # oracle's unrolled chain stops at the same point)
+            release_local_checkpoint(sel)
+            break
         # pointer graph over components: p(c) = partner of the chosen
         # edge, identity for finished components
         comps = labels.select("comp").distinct()
@@ -200,6 +206,10 @@ def grid_oracle_sql(
   WHERE rn = 1)"""
         )
         chosen_names.append(f"SELECT cs, cd, w FROM sel_{r}")
+        if r == rounds:
+            # the last round's label contraction has no consumer —
+            # mirror the Spark loop's early break
+            break
         ctes.append(
             f"""ptr_{r}_0 AS MATERIALIZED (
   SELECT c.comp, COALESCE(s.cb, c.comp) AS p

@@ -45,6 +45,7 @@ from .plans.session import tune_session
 from .sources.graphs import (
     CS_EDGES_SQL,
     CS_VERTICES_SQL,
+    GOLDEN_EDGES_SQL,
     GOLDEN_SQL,
     PC_EDGES_SQL,
     UU_EDGES_SQL,
@@ -772,7 +773,7 @@ def union_graphs(spark, sf_dir):
 @_register(
     "golden_mutations",
     _with(
-        GOLDEN_SQL,
+        GOLDEN_EDGES_SQL,
         """ge2 AS (
   SELECT * FROM golden_edges
   UNION ALL
@@ -1053,7 +1054,6 @@ def weighted_pagerank_cs(spark, sf_dir):
     "degree_histogram",
     _with(
         CS_EDGES_SQL,
-        CS_VERTICES_SQL,
         """dh_deg AS MATERIALIZED (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT src AS id FROM cs_edges
@@ -2612,7 +2612,7 @@ def graph_coloring_grid(spark, sf_dir):
     _with(
         text_mod.DOC_TOK_SQL,
         text_mod.DOC_SHINGLES_SQL,
-        dedup_mod.PAIR_JACCARD_CAPPED_SQL,
+        dedup_mod.PAIR_COUNTS_CAPPED_SQL,
         dedup_mod.NGRAM_CONTAINMENT_TOPK_SQL,
     ),
 )
@@ -2637,7 +2637,7 @@ def cross_source_overlap(spark, sf_dir):
 @_register(
     "translate_golden",
     _with(
-        GOLDEN_SQL,
+        GOLDEN_EDGES_SQL,
         """SELECT e.src * 10 AS src, e.dst * 10 AS dst,
        e.value + 100 AS value
 FROM golden_edges e""",
@@ -3298,7 +3298,7 @@ def source_top_terms(spark, sf_dir):
     "reciprocity_golden_pc",
     _with(
         PC_EDGES_SQL,
-        GOLDEN_SQL,
+        GOLDEN_EDGES_SQL,
         """SELECT g AS graph_name, CAST(n_edges AS BIGINT) AS n_edges,
        CAST(n_recip AS BIGINT) AS n_reciprocal,
        ROUND(n_recip * 1.0 / n_edges, 6) AS reciprocity

@@ -287,17 +287,23 @@ GOLDEN_EDGES = [
     (5, 1, 51),
 ]
 
-GOLDEN_SQL = """
+GOLDEN_VERTICES_SQL = """
 golden_vertices AS (
     SELECT CAST(id AS BIGINT) AS id, CAST(value AS BIGINT) AS value
     FROM (VALUES (1,1),(2,2),(3,3),(4,4),(5,5)) AS t(id, value)
-),
+)"""
+
+GOLDEN_EDGES_SQL = """
 golden_edges AS (
     SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
            CAST(value AS BIGINT) AS value
     FROM (VALUES (1,2,12),(1,3,13),(2,3,23),(3,4,34),(3,5,35),(4,5,45),(5,1,51))
          AS t(src, dst, value)
 )"""
+
+# both tables, for oracles that read vertices AND edges; edge-only
+# oracles compose GOLDEN_EDGES_SQL so no dangling vertex CTE rides along
+GOLDEN_SQL = GOLDEN_VERTICES_SQL + "," + GOLDEN_EDGES_SQL
 
 
 def golden_graph(spark: SparkSession) -> Graph:
