@@ -449,6 +449,9 @@ def dedup_minhash_lsh(
 
 
 def minhash_sql_parts(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    # the band count is DERIVED (k // rows over NUM_MINHASHES hashes) —
+    # an inconsistent bands value would silently be ignored, so pin it
+    assert bands * rows == NUM_MINHASHES, (bands, rows, NUM_MINHASHES)
     params = ", ".join(
         f"({k}, {MINHASH_A[k]}, {MINHASH_B[k]})" for k in range(NUM_MINHASHES)
     )

@@ -242,8 +242,10 @@ def two_hop_balls(graph: Graph) -> DataFrame:
     )
 
 
-def two_hop_oracle_sql(edges_cte: str, vertices_cte: str) -> str:
-    """DuckDB twin of :func:`two_hop_balls`."""
+def two_hop_oracle_sql(vertices_cte: str) -> str:
+    """DuckDB twin of :func:`two_hop_balls`. Reads the symmetrized
+    edge CTE ``th_sym`` — compose after ``TWO_HOP_SYM_SQL_TMPL``
+    (which is where the edge table is chosen)."""
     return f"""SELECT v AS id,
        CAST(SUM(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ball1,
        CAST(COUNT(*) AS BIGINT) AS ball2

@@ -2695,7 +2695,7 @@ def token_entropy(spark, sf_dir):
         CS_EDGES_SQL,
         CS_VERTICES_SQL,
         nf_mod.TWO_HOP_SYM_SQL_TMPL.format(edges="cs_edges"),
-        nf_mod.two_hop_oracle_sql("cs_edges", "cs_vertices"),
+        nf_mod.two_hop_oracle_sql("cs_vertices"),
     ),
 )
 def two_hop_ball_cs(spark, sf_dir):
