@@ -194,7 +194,8 @@ HEADLINE = [
 # same-composition set.
 NEW_SET: list[str] = []
 
-# Recall gates for the three rows-only (no-SQL-oracle) queries — the
+# Recall gates for the three approximate queries (LSH/IVF top-k are
+# rows-only; semantic_dedup_lsh also has a full replay oracle) — the
 # driver artifact records the measured recall, not just "no_oracle".
 # Measured at sf0.01 (the driver's correctness SF, where the exact
 # brute-force baselines are cheap) regardless of the bench SF; each

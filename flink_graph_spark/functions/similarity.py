@@ -624,6 +624,76 @@ sd_ids AS MATERIALIZED (
     )
 
 
+def _planes_values_sql() -> str:
+    """The seeded hyperplane bank as literal VALUES rows — ``repr`` of a
+    Python float is the shortest round-trip decimal, so DuckDB parses
+    back the EXACT IEEE-754 double Spark broadcasts."""
+    rows = []
+    for t in range(N_TABLES):
+        for p in range(N_PLANES):
+            lit = "[" + ", ".join(repr(x) for x in HYPERPLANES[t][p]) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+def semantic_dedup_lsh_sql(
+    threshold: float = 0.4, max_iter: int = 4, groups: int = 8
+) -> str:
+    """DuckDB twin of the LSH-bucketed dedup path — a FULL replay, not
+    an approximation contract: the hyperplane bank is deterministic
+    (seeded, driver-side), so the oracle re-derives the same banded
+    bucket keys (same dots in the same left-fold order → same signs →
+    same bit-packed buckets), the same candidate pairs, the same
+    cosine-confirmed edge set, and the same min-label clusters. What
+    was a rows-only row in the driver artifact becomes a hash-checked
+    one; the recall-vs-exact-anchor measurement in bench.py stays as
+    the approximation-quality gate."""
+    from ..library.connected_components import oracle_ctes
+
+    assert (N_TABLES * N_PLANES) % groups == 0, (groups, N_TABLES, N_PLANES)
+    per = (N_TABLES * N_PLANES) // groups
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> n.e[i] * pl.plane[i])), (acc, x) -> acc + x)"
+    )
+    pair_ctes = f"""lsh_planes AS (
+    SELECT * FROM (VALUES {_planes_values_sql()}) AS t(tbl, p, plane)
+),
+lsh_bits AS MATERIALIZED (
+    SELECT n.vec_id, (pl.tbl * {N_PLANES} + pl.p) AS gidx,
+           CASE WHEN {dot} > 0 THEN 1 ELSE 0 END AS bit
+    FROM emb_norm n CROSS JOIN lsh_planes pl
+),
+lsh_buckets AS MATERIALIZED (
+    SELECT vec_id, CAST(gidx // {per} AS INT) AS g,
+           CAST(SUM(CASE WHEN bit = 1 THEN (1 << (gidx % {per}))
+                    ELSE 0 END) AS BIGINT) AS bucket
+    FROM lsh_bits GROUP BY 1, 2
+),
+lsh_cand AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    FROM lsh_buckets a JOIN lsh_buckets b
+      ON a.g = b.g AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sdl_pairs AS MATERIALIZED (
+    SELECT c.va AS src, c.vb AS dst
+    FROM lsh_cand c
+    JOIN emb_norm a ON c.va = a.vec_id
+    JOIN emb_norm b ON c.vb = b.vec_id
+    WHERE {COS_SQL} > {threshold!r}
+),
+sdl_ids AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM sdl_pairs UNION SELECT dst FROM sdl_pairs
+    )
+)"""
+    cc_ctes, _ = oracle_ctes("sdl_pairs", "sdl_ids", max_iter)
+    return (
+        f"WITH {EMB_NORM_SQL.strip()},\n{pair_ctes},\n{cc_ctes}\n"
+        f"SELECT id AS vec_id, comp AS cluster_id FROM c{max_iter}"
+    )
+
+
 # ---- kNN label vote (similarity search applied) ----------------------
 
 def knn_label_vote(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:

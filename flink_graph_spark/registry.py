@@ -1613,12 +1613,14 @@ def knn_label_vote(spark, sf_dir):
     return sim_mod.knn_label_vote(_emb(spark, sf_dir), 5, 10)
 
 
-@_register("semantic_dedup_lsh", None)  # approximate scale path: rows-only
+@_register("semantic_dedup_lsh", sim_mod.semantic_dedup_lsh_sql(0.4, 4))
 def semantic_dedup_lsh(spark, sf_dir):
     """The 100 TB semantic-dedup path (LSH-bucketed candidates, cosine
-    confirm, CC clusters). Approximate by design (bucketing can miss
-    pairs) → rows-only driver check; pair recall vs the exact anchor is
-    gated in tests/test_sinks_ann.py."""
+    confirm, CC clusters). Approximate RELATIVE TO THE EXACT ANCHOR
+    (bucketing can miss pairs — recall gated in tests/test_sinks_ann.py
+    and measured into the bench artifact), but fully DETERMINISTIC in
+    itself: the seeded hyperplane bank is replayed literally by the
+    DuckDB twin, so the driver hash-checks the entire LSH pipeline."""
     return sim_mod.semantic_dedup_clusters(
         _emb(spark, sf_dir), 0.4, 4, bucketed=True
     )

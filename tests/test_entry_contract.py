@@ -23,8 +23,10 @@ def test_every_oracle_key_has_a_query():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # all but the explicitly-approximate ops carry an oracle
+    # (semantic_dedup_lsh gained a full replay oracle — its seeded
+    # hyperplane bank is deterministic, so the twin re-derives it)
     missing = set(qs) - set(oracles)
-    assert missing <= {"ann_topk_lsh", "ann_topk_ivf", "semantic_dedup_lsh"}
+    assert missing <= {"ann_topk_lsh", "ann_topk_ivf"}
 
 
 def test_every_batch_query_plan_analyzes(spark):
