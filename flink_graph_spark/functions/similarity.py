@@ -624,6 +624,66 @@ sd_ids AS MATERIALIZED (
     )
 
 
+def ann_topk_lsh_sql(
+    n_queries: int = 5, k: int = 10, multi_probe: bool = True
+) -> str:
+    """DuckDB twin of :func:`ann_topk_lsh` — a FULL replay of the
+    multi-table multi-probe pipeline (see :func:`semantic_dedup_lsh_sql`
+    for why the seeded plane bank makes the approximate path exactly
+    replayable). IVF stays rows-only: its k-means centroids come from
+    float partial sums whose combine order Spark does not pin."""
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> n.e[i] * pl.plane[i])), (acc, x) -> acc + x)"
+    )
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> q.e[i] * c.e[i])), (acc, x) -> acc + x)"
+        " / (q.nrm * c.nrm)"
+    )
+    probe_union = ""
+    if multi_probe:
+        probe_union = f"""
+    UNION ALL
+    SELECT query_id, tbl, xor(bucket, CAST(1 << f.p AS BIGINT)) AS bucket
+    FROM annl_probe0, (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) f"""
+    return f"""WITH {EMB_NORM_SQL.strip()},
+lsh_planes AS (
+    SELECT * FROM (VALUES {_planes_values_sql()}) AS t(tbl, p, plane)
+),
+annl_buckets AS MATERIALIZED (
+    SELECT n.vec_id, pl.tbl,
+           CAST(SUM(CASE WHEN {dot} > 0 THEN (1 << pl.p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM emb_norm n CROSS JOIN lsh_planes pl
+    GROUP BY 1, 2
+),
+annl_probe0 AS MATERIALIZED (
+    SELECT vec_id AS query_id, tbl, bucket FROM annl_buckets
+    WHERE vec_id < {n_queries}
+),
+annl_probes AS (
+    SELECT query_id, tbl, bucket FROM annl_probe0{probe_union}
+),
+annl_cand AS MATERIALIZED (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM annl_probes p
+    JOIN annl_buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+    WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT cand.query_id, cand.vec_id, {cos} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                              ORDER BY {cos} DESC, cand.vec_id ASC) AS rank
+    FROM annl_cand cand
+    JOIN emb_norm q ON cand.query_id = q.vec_id
+    JOIN emb_norm c ON cand.vec_id = c.vec_id
+)
+WHERE rank <= {k}"""
+
+
 def _planes_values_sql() -> str:
     """The seeded hyperplane bank as literal VALUES rows — ``repr`` of a
     Python float is the shortest round-trip decimal, so DuckDB parses
@@ -634,6 +694,76 @@ def _planes_values_sql() -> str:
             lit = "[" + ", ".join(repr(x) for x in HYPERPLANES[t][p]) + "]"
             rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
     return ",\n    ".join(rows)
+
+
+def ann_topk_ivf_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivf` at ``train_iters=0`` (the
+    registered configuration) — a FULL replay, not an approximation
+    contract. With zero Lloyd rounds the centroids ARE the seed vectors
+    (vec_id < nlist), so nothing in the pipeline depends on a
+    float-sum combine order: assignment is an argmax of left-fold
+    cosines against the seed bank (Spark's fold keeps the earlier
+    list_id on ties — mirrored by ``ORDER BY sim DESC, list_id ASC``),
+    probe selection is the same ranking over the query subset, and the
+    final top-k ranks bit-identical doubles. The trained
+    (``train_iters>0``) variant stays rows-only: Lloyd means are float
+    partial sums whose combine order Spark does not pin — that knob is
+    covered by the determinism + recall tests, not this twin."""
+    sim_n = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> n.e[i] * c.ce[i])), (acc, x) -> acc + x)"
+        " / (n.nrm * c.cn)"
+    )
+    sim_q = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> q.e[i] * c.ce[i])), (acc, x) -> acc + x)"
+        " / (q.nrm * c.cn)"
+    )
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{DIM}), i -> q.e[i] * c.e[i])), (acc, x) -> acc + x)"
+        " / (q.nrm * c.nrm)"
+    )
+    return f"""WITH {EMB_NORM_SQL.strip()},
+ivf_cent AS MATERIALIZED (
+    SELECT vec_id AS list_id, e AS ce, nrm AS cn
+    FROM emb_norm WHERE vec_id < {nlist}
+),
+ivf_assign AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT n.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {sim_n} DESC, c.list_id ASC) AS rn
+        FROM emb_norm n CROSS JOIN ivf_cent c
+    ) WHERE rn = 1
+),
+ivf_probes AS MATERIALIZED (
+    SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sim_q} DESC, c.list_id ASC) AS rn
+        FROM emb_norm q CROSS JOIN ivf_cent c
+        WHERE q.vec_id < {n_queries}
+    ) WHERE rn <= {nprobe}
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT p.query_id, a.vec_id, {cos} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {cos} DESC, a.vec_id ASC) AS rank
+    FROM ivf_probes p
+    JOIN ivf_assign a ON p.list_id = a.list_id
+    JOIN emb_norm q ON p.query_id = q.vec_id
+    JOIN emb_norm c ON a.vec_id = c.vec_id
+    WHERE a.vec_id <> p.query_id
+)
+WHERE rank <= {k}"""
 
 
 def semantic_dedup_lsh_sql(

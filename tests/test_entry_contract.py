@@ -22,11 +22,13 @@ def test_every_oracle_key_has_a_query():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # all but the explicitly-approximate ops carry an oracle
-    # (semantic_dedup_lsh gained a full replay oracle — its seeded
-    # hyperplane bank is deterministic, so the twin re-derives it)
+    # every query carries an oracle: the two hyperplane-LSH paths and
+    # IVF gained full replay oracles (the plane bank is seeded and the
+    # registered IVF runs train_iters=0, where the centroids ARE the
+    # seed vectors — nothing depends on a float-sum combine order, so
+    # the twins re-derive buckets/assignments/ranks bit-identically)
     missing = set(qs) - set(oracles)
-    assert missing <= {"ann_topk_lsh", "ann_topk_ivf"}
+    assert missing == set()
 
 
 def test_every_batch_query_plan_analyzes(spark):
