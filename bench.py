@@ -194,9 +194,10 @@ HEADLINE = [
 # same-composition set.
 NEW_SET: list[str] = []
 
-# Recall gates for the three approximate queries (LSH/IVF top-k are
-# rows-only; semantic_dedup_lsh also has a full replay oracle) — the
-# driver artifact records the measured recall, not just "no_oracle".
+# Recall gates for the three approximate queries. All three now have
+# full replay oracles (hash-checked determinism); recall measures the
+# orthogonal axis — approximation QUALITY vs the exact baseline — and
+# lands in the driver-visible BENCH JSON.
 # Measured at sf0.01 (the driver's correctness SF, where the exact
 # brute-force baselines are cheap) regardless of the bench SF; each
 # value must clear its gate (same floors as tests/test_sinks_ann.py).
