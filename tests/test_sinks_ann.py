@@ -145,6 +145,31 @@ def test_semantic_lsh_pairs_subset_of_exact_with_recall(spark):
     assert recall >= 0.5, f"LSH pair recall {recall:.2f} below floor"
 
 
+def test_semantic_lsh_multi_probe_lifts_recall(spark):
+    """The Hamming-1 probe knob: still a subset of exact (cosine
+    confirm is unchanged), recall strictly dominates the no-probe
+    path and clears a much higher floor (measured 1.00 at sf0.01,
+    59/59 exact pairs recovered; 0.71 without probing)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["va"], r["vb"]) for r in sim_mod.embedding_near_dup(emb, 0.4).collect()
+    }
+    base = {
+        (r["va"], r["vb"])
+        for r in sim_mod.semantic_near_dup_pairs_lsh(emb, 0.4).collect()
+    }
+    mp = {
+        (r["va"], r["vb"])
+        for r in sim_mod.semantic_near_dup_pairs_lsh(
+            emb, 0.4, multi_probe=True
+        ).collect()
+    }
+    assert mp <= exact
+    assert base <= mp, "probing can only ADD candidate cells"
+    recall = len(mp) / len(exact)
+    assert recall >= 0.9, f"multi-probe pair recall {recall:.2f} below floor"
+
+
 def test_semantic_dedup_clusters_group_transitive_chains(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     pairs = sim_mod.embedding_near_dup(emb, 0.4).collect()
