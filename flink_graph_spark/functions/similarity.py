@@ -599,6 +599,7 @@ def semantic_dedup_clusters(
     threshold: float = 0.4,
     max_iter: int = 4,
     bucketed: bool = False,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster_id) for every vector in ≥1 near-dup pair —
     semantic dedup, the embedding-space twin of the text-side
@@ -616,7 +617,7 @@ def semantic_dedup_clusters(
     from ..library.connected_components import connected_components
 
     pairs = (
-        semantic_near_dup_pairs_lsh(emb, threshold)
+        semantic_near_dup_pairs_lsh(emb, threshold, multi_probe=multi_probe)
         if bucketed
         else embedding_near_dup(emb, threshold)
     )

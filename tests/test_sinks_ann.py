@@ -170,6 +170,25 @@ def test_semantic_lsh_multi_probe_lifts_recall(spark):
     assert recall >= 0.9, f"multi-probe pair recall {recall:.2f} below floor"
 
 
+def test_semantic_dedup_probed_scale_path_equals_exact_anchor(spark):
+    """End-to-end: when probing recovers every exact pair (it does on
+    this fixture — recall 1.00), the LSH-bucketed cluster output is
+    IDENTICAL to the exact all-pairs anchor, not merely close."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = sorted(
+        map(tuple, sim_mod.semantic_dedup_clusters(emb, 0.4, 4).collect())
+    )
+    probed = sorted(
+        map(
+            tuple,
+            sim_mod.semantic_dedup_clusters(
+                emb, 0.4, 4, bucketed=True, multi_probe=True
+            ).collect(),
+        )
+    )
+    assert exact == probed
+
+
 def test_semantic_dedup_clusters_group_transitive_chains(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     pairs = sim_mod.embedding_near_dup(emb, 0.4).collect()
