@@ -135,6 +135,11 @@ def incremental_pagerank(
         F.count("*").cast("double").alias("outdeg")
     )
     n = graph.vertices.count()
+    if n == 0:
+        # empty base graph: page_rank already returned the empty
+        # ranking; no resume phase to run (1/n teleport is undefined)
+        release_local_checkpoint(e2)
+        return r.select("id", F.round("rank", round_to).alias("rank"))
     for _ in range(post_iter):
         contrib = (
             r.join(deg2, "id")

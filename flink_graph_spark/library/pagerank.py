@@ -29,6 +29,10 @@ def page_rank(
     only the (small) state frame and the message agg shuffle.
     """
     n = graph.vertex_count()  # memoized on the Graph — one count job ever
+    if n == 0:
+        # empty graph: 1/n seeding is undefined — the fixpoint over no
+        # vertices is the empty ranking, same schema
+        return graph.vertices.select("id", F.lit(0.0).alias("rank"))
     teleport = (1.0 - beta) / n
 
     outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
@@ -122,6 +126,9 @@ def weighted_page_rank(
     partial-aggregated before the shuffle.
     """
     n = graph.vertex_count()
+    if n == 0:
+        # empty graph: see page_rank — empty ranking, same schema
+        return graph.vertices.select("id", F.lit(0.0).alias("rank"))
     teleport = (1.0 - beta) / n
 
     wsum = graph.edges.groupBy(F.col("src").alias("id")).agg(
@@ -207,6 +214,11 @@ def personalized_page_rank(
     live in the loop-invariant vertex state, the edge table is consumed
     untouched from the builder's shared src-partitioned cache.
     """
+    if not seeds:
+        raise ValueError(
+            "personalized_page_rank needs a non-empty seed set — the "
+            "1/|S| restart distribution is undefined for |S| = 0"
+        )
     s = float(len(seeds))
     restart = (1.0 - beta) / s
 

@@ -80,6 +80,36 @@ def test_pagerank_mass_conserved(golden):
     assert r[3] == pytest.approx(0.2449, abs=1e-3)
 
 
+def test_pagerank_empty_graph_returns_empty_not_div_zero(spark):
+    """An empty graph has no 1/n seeding — the result is the empty
+    ranking (same schema), never a driver-side ZeroDivisionError;
+    the PPR seed-set analogue fails loudly with a ValueError."""
+    from flink_graph_spark.library.pagerank import (
+        personalized_page_rank,
+        weighted_page_rank,
+    )
+
+    g = Graph.from_edges(
+        spark.createDataFrame([], "src long, dst long, value long")
+    )
+    empty = page_rank(g, 0.85, 3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "rank"]
+    assert weighted_page_rank(g, 0.85, 3).count() == 0
+    with pytest.raises(ValueError, match="seed"):
+        personalized_page_rank(g, seeds=())
+
+
+def test_incremental_pagerank_empty_base_graph(spark):
+    from flink_graph_spark.library.incremental import incremental_pagerank
+
+    g = Graph.from_edges(
+        spark.createDataFrame([], "src long, dst long, value long")
+    )
+    added = spark.createDataFrame([(1, 2, 1)], "src long, dst long, value long")
+    assert incremental_pagerank(g, added).count() == 0
+
+
 def test_pagerank_algorithm_packaging(golden):
     g = golden.run(PageRank(0.85, 5))
     assert g.vertices.count() == 5
