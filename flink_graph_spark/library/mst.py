@@ -158,6 +158,12 @@ def boruvka_mst(
         release_local_checkpoint(ptr)
     # the result reads only the final mst checkpoint
     release_local_checkpoint(labels)
+    if mst is None:
+        # no component ever had an outgoing edge (empty or edge-free
+        # graph): the forest is empty — same (src, dst, w) schema
+        return canon.select(
+            F.col("cs").alias("src"), F.col("cd").alias("dst"), "w"
+        ).limit(0)
     release_local_checkpoint(canon)
     return mst.select(
         F.col("cs").alias("src"), F.col("cd").alias("dst"), "w"

@@ -158,7 +158,12 @@ def scc(
         # saved (the 11-vertex fixture spends more on job scheduling
         # than on data)
 
-    assert done is not None, "scc called on an empty graph"
+    if done is None:
+        # empty graph (delta mode breaks before the first fixpoint):
+        # the component table is empty, same (id, scc) schema
+        return graph.vertices.select(
+            "id", F.col("id").alias("scc")
+        ).limit(0)
     # the result reads only the per-round `completed` checkpoints
     release_local_checkpoint(v)
     release_local_checkpoint(e)

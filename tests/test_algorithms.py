@@ -747,6 +747,26 @@ def test_walk_skipgram_pairs_symmetric_counts(spark):
         assert counts.get((x, c)) == n
 
 
+def test_boruvka_empty_and_edge_free_graphs(spark):
+    """No component ever picks an edge → the forest is EMPTY with the
+    (src, dst, w) schema, not a NoneType crash (isolated vertices and
+    the empty graph are both legal inputs)."""
+    from flink_graph_spark.library.mst import boruvka_mst
+
+    empty = Graph.from_edges(
+        spark.createDataFrame([], "src long, dst long, value long")
+    )
+    out = boruvka_mst(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["src", "dst", "w"]
+    # vertices but zero usable edges (self-loops only)
+    loops = Graph.create(
+        spark.createDataFrame([(1, 0), (2, 0)], "id long, value long"),
+        spark.createDataFrame([(1, 1, 9)], "src long, dst long, value long"),
+    )
+    assert boruvka_mst(loops).count() == 0
+
+
 def test_boruvka_matches_kruskal_on_grid(spark):
     """The distributed Boruvka forest equals a driver-side Kruskal run
     over the identical hash weights — spanning, acyclic, minimal."""

@@ -45,3 +45,14 @@ def test_scc_algorithm_packaging(spark):
         _fixture_graph(spark)
     )
     assert {r.id: r.value for r in g.vertices.collect()} == EXPECTED
+
+
+def test_scc_empty_graph_returns_empty(spark):
+    """Empty graph: delta mode breaks before the first fixpoint — the
+    result is the empty component table, not an assertion failure."""
+    g = Graph.from_edges(
+        spark.createDataFrame([], "src long, dst long, value long")
+    )
+    out = scc(g)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "scc"]
