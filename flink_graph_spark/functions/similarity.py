@@ -1093,8 +1093,13 @@ def principal_direction(
         .localCheckpoint(eager=True)
     )
     n_dim = x.agg(F.countDistinct("pos")).collect()[0][0]
-    v = None  # dims-sized frame (pos, v)
     spark = emb.sparkSession
+    if not n_dim:
+        # empty corpus: no dimensions, no direction — empty result with
+        # the (pos, loading) schema instead of an ANSI divide-by-zero
+        # from the 1/sqrt(n_dim) start vector
+        return spark.createDataFrame([], "pos int, loading double")
+    v = None  # dims-sized frame (pos, v)
     v = spark.range(n_dim).select(
         F.col("id").cast("int").alias("pos"),
         (F.lit(1.0) / F.sqrt(F.lit(float(n_dim)))).alias("v"),

@@ -976,6 +976,17 @@ def test_principal_direction_finds_dominant_axis(spark):
     assert abs(got[0]) < 1e-4 and abs(got[2]) < 1e-4
 
 
+def test_principal_direction_empty_corpus(spark):
+    """No vectors → no dimensions → the empty (pos, loading) frame,
+    not an ANSI divide-by-zero from the 1/sqrt(n_dim) start vector."""
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    out = sim_mod.principal_direction(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["pos", "loading"]
+
+
 def test_kmeans_clusters_separates_two_blobs(spark):
     # 2 far-apart blobs; k=2, init = vec 0 (blob A) and vec 1 (blob B)
     rows = [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 0)]
