@@ -798,7 +798,10 @@ WHERE rank <= {k}"""
 
 
 def semantic_dedup_lsh_sql(
-    threshold: float = 0.4, max_iter: int = 4, groups: int = 8
+    threshold: float = 0.4,
+    max_iter: int = 4,
+    groups: int = 8,
+    multi_probe: bool = False,
 ) -> str:
     """DuckDB twin of the LSH-bucketed dedup path — a FULL replay, not
     an approximation contract: the hyperplane bank is deterministic
@@ -808,7 +811,9 @@ def semantic_dedup_lsh_sql(
     cosine-confirmed edge set, and the same min-label clusters. What
     was a rows-only row in the driver artifact becomes a hash-checked
     one; the recall-vs-exact-anchor measurement in bench.py stays as
-    the approximation-quality gate."""
+    the approximation-quality gate. ``multi_probe`` mirrors the Spark
+    side's Hamming-1 probing (one candidate-join side unions every
+    single-bit flip of its bucket)."""
     from ..library.connected_components import oracle_ctes
 
     assert (N_TABLES * N_PLANES) % groups == 0, (groups, N_TABLES, N_PLANES)
@@ -817,6 +822,17 @@ def semantic_dedup_lsh_sql(
         "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
         f"{DIM}), i -> n.e[i] * pl.plane[i])), (acc, x) -> acc + x)"
     )
+    cand_left = "lsh_buckets"
+    probe_cte = ""
+    if multi_probe:
+        cand_left = "lsh_probes"
+        probe_cte = f"""
+lsh_probes AS MATERIALIZED (
+    SELECT vec_id, g, bucket FROM lsh_buckets
+    UNION ALL
+    SELECT vec_id, g, xor(bucket, CAST(1 << f.i AS BIGINT)) AS bucket
+    FROM lsh_buckets, (SELECT unnest(generate_series(0, {per - 1})) AS i) f
+),"""
     pair_ctes = f"""lsh_planes AS (
     SELECT * FROM (VALUES {_planes_values_sql()}) AS t(tbl, p, plane)
 ),
@@ -830,10 +846,10 @@ lsh_buckets AS MATERIALIZED (
            CAST(SUM(CASE WHEN bit = 1 THEN (1 << (gidx % {per}))
                     ELSE 0 END) AS BIGINT) AS bucket
     FROM lsh_bits GROUP BY 1, 2
-),
+),{probe_cte}
 lsh_cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-    FROM lsh_buckets a JOIN lsh_buckets b
+    FROM {cand_left} a JOIN lsh_buckets b
       ON a.g = b.g AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 sdl_pairs AS MATERIALIZED (
