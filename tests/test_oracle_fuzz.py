@@ -1,0 +1,202 @@
+"""Random-corpus oracle fuzzing: run the registry's Spark-vs-DuckDB
+parity contract on SEEDED random documents/events corpora instead of
+the fixed driver testdata.
+
+The driver gate proves parity on one dataset; this proves it on data
+the twins were never tuned against — deliberately including the
+divergence-prone shapes: exact-duplicate texts (dedup tie-breaks),
+near-duplicates, empty / whitespace-only texts, single-token docs,
+repeated boilerplate, many-decimal values (rounding parity), and
+EXACT-TIE timestamps within a user (window tie-breaks). Seeded RNG so
+failures reproduce; the compare is the same canonicalize + value-hash
+as tools/check_correctness.py (imported, not re-implemented).
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+import check_correctness as cc  # noqa: E402  (canonicalize / value_hash)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = cc.TABLES
+
+# documents-only queries, weighted toward tie-break / rounding /
+# hash-parity machinery
+DOC_QUERIES = [
+    "text_stats",
+    "doc_fingerprint",
+    "quality_filters",
+    "dedup_exact_stats",
+    "dedup_clusters",
+    "dedup_keep_set",
+    "dedup_ngram_topk",
+    "ngram_containment_topk",
+    "simhash_docs",
+    "dedup_minhash_lsh",
+    "winnow_dup_pairs",
+    "passage_dedup",
+    "top_shingles",
+    "boilerplate_flags",
+    "chunk_documents",
+    "token_entropy",
+    "zipf_slope",
+    "unigram_nll",
+    "bpe_merges",
+    "skipgram_pairs",
+    "source_top_terms",
+    "corpus_report",
+    "token_budget_select",
+    "pretrain_funnel",
+    "train_val_test_split",
+    "stratified_sample",
+    "weighted_sample",
+]
+
+EVENT_QUERIES = [
+    "sessionize_events",
+    "hourly_rollup",
+    "top_events_per_user",
+    "top_event_per_user",
+    "event_funnel",
+    "sliding_rollup",
+    "event_transitions",
+    "session_duration_histogram",
+    "event_type_pivot",
+    "json_k_stats",
+]
+
+VOCAB = (
+    "the cat sat on mat dog ran fast data spark table scan join sort "
+    "hash merge stream batch window small big tiny extraordinarily "
+    "x1 42 7th a I ok!! ... end."
+).split()
+BOILER = "subscribe to our newsletter for more updates"
+LANGS = ["en", "de", "zh", "fr", "es"]
+SOURCES = ["src0", "src1", "src2", "src3"]
+
+
+def _write_empty_siblings(tmpdir: str, skip: set[str]) -> None:
+    for t in TABLES:
+        if t in skip:
+            continue
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{tmpdir}/{t}.parquet")
+
+
+def _random_documents(rng: np.random.RandomState, n: int) -> pd.DataFrame:
+    texts = []
+    for i in range(n):
+        kind = rng.randint(0, 10)
+        if kind == 0:
+            texts.append("")  # empty
+        elif kind == 1:
+            texts.append("   ")  # whitespace-only
+        elif kind == 2:
+            texts.append(str(rng.choice(VOCAB)))  # single token
+        elif kind == 3 and texts:
+            texts.append(texts[rng.randint(0, len(texts))])  # exact dup
+        elif kind == 4:
+            words = list(rng.choice(VOCAB, size=rng.randint(5, 25)))
+            texts.append(" ".join(words) + " " + BOILER)  # boilerplate
+        elif kind == 5 and texts and texts[-1].count(" ") > 3:
+            words = texts[-1].split(" ")
+            words[rng.randint(0, len(words))] = str(rng.choice(VOCAB))
+            texts.append(" ".join(words))  # near-dup of previous
+        else:
+            words = list(rng.choice(VOCAB, size=rng.randint(2, 40)))
+            texts.append(" ".join(words))
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": [LANGS[rng.randint(0, len(LANGS))] for _ in range(n)],
+            "source": [SOURCES[rng.randint(0, len(SOURCES))] for _ in range(n)],
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def _random_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    users = [1, 2, 3, 7][: rng.randint(1, 5)]
+    types = ["click", "view", "purchase", "signup", "error"]
+    rows = []
+    ts = base
+    for i in range(n):
+        # jumps: 0 (exact tie), small, or session-gap-crossing
+        jump = int(rng.choice([0, 0, 30, 300, 3600, 7300]))
+        ts = ts + datetime.timedelta(seconds=jump)
+        rows.append(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": int(rng.choice(users)),
+                "event_type": types[rng.randint(0, len(types))],
+                "value": round(float(rng.uniform(0, 100)), 7),
+                "props": '{"k": %d}' % rng.randint(0, 100),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+def _run_parity(spark, tmpdir: str, names: list[str]) -> list[str]:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    problems = []
+    for name in names:
+        sdf = qs[name](spark, tmpdir).toPandas()
+        odf = con.sql(oracles[name]).df()
+        s_c, o_c = cc.canonicalize(sdf), cc.canonicalize(odf)
+        if len(s_c) != len(o_c):
+            problems.append(f"{name}: rows {len(s_c)} vs {len(o_c)}")
+        elif list(s_c.columns) != list(o_c.columns):
+            problems.append(f"{name}: cols {list(s_c.columns)} vs {list(o_c.columns)}")
+        elif cc.value_hash(s_c) != cc.value_hash(o_c):
+            diff = s_c.compare(o_c) if s_c.shape == o_c.shape else None
+            problems.append(f"{name}: value-hash mismatch\n{diff}")
+    con.close()
+    return problems
+
+
+@pytest.mark.parametrize("seed,n_docs", [(11, 1), (13, 8), (17, 25), (23, 40)])
+def test_document_queries_oracle_parity_on_random_corpus(
+    spark, tmp_path, seed, n_docs
+):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path)
+    docs = _random_documents(rng, n_docs)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), f"{d}/documents.parquet")
+    _write_empty_siblings(d, {"documents"})
+    problems = _run_parity(spark, d, DOC_QUERIES)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("seed,n_ev", [(5, 2), (7, 17), (19, 40)])
+def test_event_queries_oracle_parity_on_random_corpus(
+    spark, tmp_path, seed, n_ev
+):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path)
+    ev = _random_events(rng, n_ev)
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), f"{d}/events.parquet")
+    _write_empty_siblings(d, {"events"})
+    problems = _run_parity(spark, d, EVENT_QUERIES)
+    assert not problems, "\n".join(problems)
