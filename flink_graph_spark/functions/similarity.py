@@ -57,25 +57,34 @@ def norm_expr(a: str) -> Column:
 def with_norm(emb: DataFrame) -> DataFrame:
     """(vec_id, e double[], nrm) — the float embedding is element-cast to
     double ONCE here (exactly DuckDB's ``embedding::DOUBLE[]``); every
-    downstream dot/norm folds over the double arrays."""
+    downstream dot/norm folds over the double arrays.
+
+    CONTRACT: zero-norm vectors are EXCLUDED — this is the cosine-space
+    view and a zero vector has no direction (every cosine against it is
+    0/0, an ANSI divide-by-zero). Dimension-space operators (quantize,
+    dim stats, PCA, euclidean k-means) read the raw table and keep
+    them. The SQL twin (EMB_NORM_SQL) applies the identical filter."""
     return (
         emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
         )
         .withColumn("nrm", norm_expr("e"))
+        .filter(F.col("nrm") > 0)
     )
 
 
 EMB_NORM_SQL = f"""
 emb_norm AS MATERIALIZED (
-    SELECT vec_id,
-           embedding::DOUBLE[] AS e,
-           sqrt(list_reduce(list_prepend(0.0,
-               list_transform(generate_series(1, {DIM}),
-                   i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])),
-               (acc, x) -> acc + x)) AS nrm
-    FROM embeddings
+    SELECT * FROM (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS e,
+               sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, {DIM}),
+                       i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])),
+                   (acc, x) -> acc + x)) AS nrm
+        FROM embeddings
+    ) WHERE nrm > 0
 )"""
 
 COS_SQL = (
@@ -388,12 +397,21 @@ def kmeans_centroids(
                 ).alias("me")
             )
         )
+        # a list that loses every member (me NULL) OR whose members
+        # cancel to the exact zero vector (norm 0 — no direction, and a
+        # divide-by-zero in the assignment fold) keeps its previous
+        # centroid
+        me_nrm = F.sqrt(
+            F.expr(_fold_sum("zip_with(me, me, (x, y) -> x * y)"))
+        )
         cent = (
             cent.select("list_id", "ce", "cn")
             .join(means, "list_id", "left")
             .select(
                 "list_id",
-                F.coalesce(F.col("me"), F.col("ce")).alias("ce"),
+                F.when(
+                    F.col("me").isNotNull() & (me_nrm > 0), F.col("me")
+                ).otherwise(F.col("ce")).alias("ce"),
             )
             .withColumn("cn", norm_expr("ce"))
             .localCheckpoint(eager=True)
@@ -957,6 +975,10 @@ def embedding_outliers(
             F.sum(F.col("val") * F.col("val")).alias("n1"),
             F.sum(F.col("cval") * F.col("cval")).alias("n2"),
         )
+        # zero-norm vectors and zero centroids (a label whose members
+        # cancel exactly) have no cosine — excluded, mirrored by the
+        # twin's HAVING; an ANSI divide-by-zero otherwise
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             "label",
             "vec_id",
@@ -990,6 +1012,7 @@ scored AS (
                  {round_to}) AS cos_centroid
     FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
     GROUP BY 1, 2
+    HAVING SUM(d.val * d.val) > 0 AND SUM(c.cval * c.cval) > 0
 )
 SELECT label, vec_id, cos_centroid FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -1133,9 +1156,18 @@ def principal_direction(
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
         v_prev = v
+        # a zero image (X v = 0 — e.g. every vector identical, so the
+        # centered matrix is all zeros) has no direction to normalize:
+        # keep w (zeros) instead of ANSI-dividing by zero; the loadings
+        # come out all-zero, mirrored by the twin's CASE
         v = (
             w.crossJoin(F.broadcast(norm))
-            .select("pos", (F.col("w") / F.col("nm")).alias("v"))
+            .select(
+                "pos",
+                F.when(F.col("nm") > 0, F.col("w") / F.col("nm"))
+                .otherwise(F.col("w"))
+                .alias("v"),
+            )
             .localCheckpoint(eager=True)
         )
         # first v_prev is a plain range (release no-ops); later ones
@@ -1181,7 +1213,9 @@ def principal_direction_sql(
         )
         ctes.append(
             f"""pc_v{i} AS MATERIALIZED (
-    SELECT pos, w / (SELECT SQRT(SUM(w * w)) FROM pc_w{i}) AS v
+    SELECT pos, CASE WHEN (SELECT SQRT(SUM(w * w)) FROM pc_w{i}) > 0
+                THEN w / (SELECT SQRT(SUM(w * w)) FROM pc_w{i})
+                ELSE w END AS v
     FROM pc_w{i}
 )"""
         )

@@ -200,3 +200,74 @@ def test_event_queries_oracle_parity_on_random_corpus(
     _write_empty_siblings(d, {"events"})
     problems = _run_parity(spark, d, EVENT_QUERIES)
     assert not problems, "\n".join(problems)
+
+
+EMB_QUERIES = [
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    "semantic_dedup_clusters",
+    "semantic_dedup_lsh",
+    "knn_label_vote",
+    "knn_confusion",
+    "embedding_quantize",
+    "embedding_dim_stats",
+    "cosine_pair_histogram",
+    "gram_matrix",
+    "principal_direction",
+    "kmeans_clusters",
+    "embedding_outliers",
+    "pq_codes",
+    "embedding_label_spread",
+]
+
+EMB_DIM = 64
+EMB_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+)
+
+
+def _random_embeddings(rng, n, include_zero=False):
+    """Gaussian vectors, spiked with the degenerate shapes: an exact
+    duplicate (cosine ties), a scaled copy (cosine exactly 1), an
+    antipode (exactly -1), and optionally the zero vector (no
+    direction — excluded from cosine ops by the with_norm contract)."""
+    vecs = rng.randn(n, EMB_DIM).astype("float32")
+    if n >= 4:
+        vecs[1] = vecs[0]
+        vecs[2] = vecs[0] * 2.0
+        vecs[3] = -vecs[0]
+    if include_zero and n >= 5:
+        vecs[4] = 0.0
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": np.array(
+                [rng.randint(0, 3) for _ in range(n)], dtype="int32"
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "seed,n,zero", [(2, 12, False), (4, 12, True), (5, 40, False)]
+)
+def test_embedding_queries_oracle_parity_on_random_corpus(
+    spark, tmp_path, seed, n, zero
+):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path)
+    emb = _random_embeddings(rng, n, include_zero=zero)
+    pq.write_table(
+        pa.Table.from_pandas(emb, preserve_index=False, schema=EMB_SCHEMA),
+        f"{d}/embeddings.parquet",
+    )
+    _write_empty_siblings(d, {"embeddings"})
+    problems = _run_parity(spark, d, EMB_QUERIES)
+    assert not problems, "\n".join(problems)
