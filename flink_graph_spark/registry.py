@@ -2455,9 +2455,19 @@ def assortativity_uu(spark, sf_dir):
         sym.join(deg.selectExpr("id AS src", "deg AS du"), "src")
         .join(deg.selectExpr("id AS dst", "deg AS dv"), "dst")
     )
+    # guarded Pearson instead of F.corr: on a REGULAR graph the degree
+    # variance is zero and Spark's corr divides by it (an ANSI
+    # ArithmeticException, found by random-graph fuzzing); the CASE
+    # short-circuits to NULL there — exactly what DuckDB's corr()
+    # returns, so the twin needs no change. cov_pop/(sd_pop·sd_pop) is
+    # the same r (the 1/n factors cancel).
+    sx, sy = F.stddev_pop("du"), F.stddev_pop("dv")
+    r = F.when(
+        (sx > 0) & (sy > 0), F.covar_pop("du", "dv") / (sx * sy)
+    )
     return pairs.agg(
         F.count("*").cast("long").alias("n_edge_ends"),
-        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+        F.round(r, 6).alias("assortativity"),
     )
 
 

@@ -271,3 +271,151 @@ def test_embedding_queries_oracle_parity_on_random_corpus(
     _write_empty_siblings(d, {"embeddings"})
     problems = _run_parity(spark, d, EMB_QUERIES)
     assert not problems, "\n".join(problems)
+
+
+# ---- TPC-H-derived graph family ---------------------------------------
+#
+# The graph queries derive their cs/pc/uu graphs from the TPC-H tables
+# and the events stream; random (referentially consistent) tables fuzz
+# the whole family on topologies the fixed testdata never produces —
+# tiny graphs, regular graphs (the assortativity zero-variance crash
+# was found here), empty derived graphs, multi-FK fan-ins.
+
+GRAPH_QUERIES = [
+    # cs one-shot relational ops
+    "degrees_in", "degrees_out", "degrees_total", "top_degree_vertices",
+    "subgraph_edges", "subgraph_vertices", "filter_on_edges",
+    "filter_on_vertices_edges", "join_with_edges", "join_with_edges_on_source",
+    "join_with_edges_on_target", "join_with_vertices", "map_edges",
+    "map_vertices", "reverse_edges", "undirected_edges", "triplets",
+    "reduce_on_edges_in", "reduce_on_edges_out", "reduce_on_edges_all",
+    "reduce_on_edges_with_vv", "reduce_on_neighbors_in",
+    "reduce_on_neighbors_out", "reduce_on_neighbors_all",
+    "reduce_on_neighbors_with_vv", "union_graphs", "intersect_graphs",
+    "difference_graphs", "graph_metrics", "validate_vertex_ids",
+    "vertex_metrics_cs",
+    # cs iterative
+    "pagerank_cs", "cc_cs", "sssp_cs", "lpa_cs", "hits_cs",
+    "weighted_pagerank_cs", "ppr_cs", "feature_propagation",
+    "bipartite_matching_cs", "bipartite_projection_cs", "edge_growth_cs",
+    "two_hop_ball_cs",
+    # pc family
+    "jaccard_part_copurchase", "triangle_count_pc", "cc_pc", "pagerank_pc",
+    "adamic_adar_pc", "reciprocity_golden_pc",
+    # uu family (events-derived)
+    "uu_graph_edges", "triangles_per_vertex_uu", "clustering_coeff_uu",
+    "kcore_uu", "mis_uu", "random_walks_uu", "walk_skipgram_pairs",
+    "edge_support_uu", "ktruss_uu", "closeness_sample_uu",
+    "neighborhood_function_uu", "assortativity_uu", "rich_club_uu",
+    "effective_diameter_uu", "spectral_radius_uu", "community_detection_uu",
+    "shared_top_event_edges", "music_profiles_communities",
+    # table analytics
+    "sql_revenue_by_nation", "scd2_orders", "copurchase_lift",
+    "asof_order_events", "summarize_nation_vertices",
+    "summarize_nation_edges", "entity_resolution", "degree_histogram",
+]
+
+
+
+import tempfile  # noqa: E402
+
+SEGS = ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]
+PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+NATION_NAMES = ["FRANCE", "GERMANY", "CHINA", "BRAZIL", "KENYA", "JAPAN"]
+
+
+def _ts(rng, y0=1995, y1=1997):
+    return datetime.datetime(
+        rng.randint(y0, y1 + 1), rng.randint(1, 13), rng.randint(1, 28),
+        rng.randint(0, 24), rng.randint(0, 60),
+    )
+
+
+def _random_tpch(rng):
+    n_nat = rng.randint(2, 6)
+    n_cust = rng.randint(2, 12)
+    n_supp = rng.randint(2, 9)
+    n_part = rng.randint(2, 10)
+    n_ord = rng.randint(3, 30)
+    n_li = rng.randint(5, 70)
+    region = pd.DataFrame({
+        "r_regionkey": np.array([0, 1], dtype="int32"),
+        "r_name": ["AMERICA", "ASIA"],
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(n_nat, dtype="int32"),
+        "n_name": [NATION_NAMES[i % len(NATION_NAMES)] for i in range(n_nat)],
+        "n_regionkey": np.array([rng.randint(0, 2) for _ in range(n_nat)], dtype="int32"),
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(1, n_cust + 1, dtype="int64"),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        "c_nationkey": np.array([rng.randint(0, n_nat) for _ in range(n_cust)], dtype="int32"),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": [SEGS[rng.randint(0, len(SEGS))] for _ in range(n_cust)],
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(1, n_supp + 1, dtype="int64"),
+        "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
+        "s_nationkey": np.array([rng.randint(0, n_nat) for _ in range(n_supp)], dtype="int32"),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+    })
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, n_part + 1, dtype="int64"),
+        "p_name": [f"part name {i} tint" for i in range(1, n_part + 1)],
+        "p_brand": [f"Brand#{rng.randint(1, 5)}{rng.randint(1, 5)}" for _ in range(n_part)],
+        "p_type": ["STANDARD BRASS" for _ in range(n_part)],
+        "p_size": np.array([rng.randint(1, 50) for _ in range(n_part)], dtype="int32"),
+        "p_retailprice": np.round(rng.uniform(100, 2000, n_part), 2),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, n_ord + 1, dtype="int64"),
+        "o_custkey": np.array([rng.randint(1, n_cust + 1) for _ in range(n_ord)], dtype="int64"),
+        "o_orderstatus": [["O", "F", "P"][rng.randint(0, 3)] for _ in range(n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 300000, n_ord), 2),
+        "o_orderdate": pd.to_datetime([_ts(rng) for _ in range(n_ord)]).astype("datetime64[us]"),
+        "o_orderpriority": [PRIO[rng.randint(0, len(PRIO))] for _ in range(n_ord)],
+    })
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.array([rng.randint(1, n_ord + 1) for _ in range(n_li)], dtype="int64"),
+        "l_partkey": np.array([rng.randint(1, n_part + 1) for _ in range(n_li)], dtype="int64"),
+        "l_suppkey": np.array([rng.randint(1, n_supp + 1) for _ in range(n_li)], dtype="int64"),
+        "l_linenumber": np.array([rng.randint(1, 8) for _ in range(n_li)], dtype="int32"),
+        "l_quantity": np.round(rng.uniform(1, 50, n_li), 0),
+        "l_extendedprice": np.round(rng.uniform(100, 90000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+        "l_returnflag": [["A", "N", "R"][rng.randint(0, 3)] for _ in range(n_li)],
+        "l_linestatus": [["O", "F"][rng.randint(0, 2)] for _ in range(n_li)],
+        "l_shipdate": pd.to_datetime([_ts(rng) for _ in range(n_li)]).astype("datetime64[us]"),
+    })
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "supplier": supplier, "part": part, "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+def _write_tpch_corpus(rng, d):
+    tables = _random_tpch(rng)
+    for t, df in tables.items():
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False, schema=schema),
+            f"{d}/{t}.parquet",
+        )
+    ev = _random_events(rng, rng.randint(5, 60))
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), f"{d}/events.parquet")
+    _write_empty_siblings(d, set(tables) | {"events"})
+    return d
+
+
+
+
+@pytest.mark.parametrize("seed", [31, 41])
+def test_graph_queries_oracle_parity_on_random_tpch(spark, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path)
+    _write_tpch_corpus(rng, d)
+    problems = _run_parity(spark, d, GRAPH_QUERIES)
+    assert not problems, "\n".join(problems)
