@@ -61,6 +61,42 @@ DOC_QUERIES = [
     "train_val_test_split",
     "stratified_sample",
     "weighted_sample",
+    # round-4 second sitting: every remaining docs-family query (the
+    # only registry queries left unfuzzed are the fixed-literal golden/
+    # grid/RMat fixtures, whose inputs have no random surface, and
+    # pagerank_bucketed_cs, whose bucketed catalog write is keyed by
+    # sf_dir and covered by its own plan + oracle tests)
+    "token_counts",
+    "quality_score",
+    "repetition_ratio",
+    "lang_id",
+    "corpus_prep",
+    "dedup_exact",
+    "contamination_check",
+    "pii_scrub",
+    "pack_sequences",
+    "length_quantiles",
+    "tfidf_top_terms",
+    "bm25_search",
+    "collocations_pmi",
+    "count_min_tokens",
+    "bigram_nll",
+    "mixture_weights",
+    "histogram_quantiles",
+    "vocab_coverage",
+    "bloom_blocklist",
+    "cross_source_overlap",
+    "ngram_novelty",
+    "simhash_near_dup",
+    "bpe_compression",
+    "minhash_calibration",
+    "langid_confusion",
+    "quality_calibration",
+    "quality_length_corr",
+    "source_diversity",
+    "source_quota_sample",
+    "multimodal_features",
+    "streaming_quality_by_source",
 ]
 
 EVENT_QUERIES = [
@@ -74,6 +110,22 @@ EVENT_QUERIES = [
     "session_duration_histogram",
     "event_type_pivot",
     "json_k_stats",
+    # round-4 second sitting: remaining events-family queries, incl.
+    # every availableNow streaming snapshot (same semantics contract
+    # as the batch twins, now exercised on random tie-heavy streams)
+    "streaming_sessionize",
+    "streaming_user_totals",
+    "streaming_hourly_rollup",
+    "streaming_dedup_keys",
+    "streaming_degrees",
+    "streaming_click_purchase",
+    "streaming_hourly_anomaly",
+    "hourly_retention",
+    "json_source_rollup",
+    "hll_user_estimate",
+    "hourly_anomaly",
+    "attribution_last_touch",
+    "cohort_retention",
 ]
 
 VOCAB = (
@@ -313,6 +365,8 @@ GRAPH_QUERIES = [
     "sql_revenue_by_nation", "scd2_orders", "copurchase_lift",
     "asof_order_events", "summarize_nation_vertices",
     "summarize_nation_edges", "entity_resolution", "degree_histogram",
+    # round-4 second sitting: needs customer+nation alongside events
+    "streaming_nation_counts",
 ]
 
 
