@@ -955,26 +955,50 @@ ORDER BY n_pairs DESC, w1, w2 LIMIT {top_k}"""
 # ---- Zipf fit --------------------------------------------------------
 
 
+def rank_desc_scale_safe(df: DataFrame, val: str, tie: str) -> DataFrame:
+    """Scale-safe equivalent of ``ROW_NUMBER() OVER (ORDER BY val DESC,
+    tie ASC)`` as column ``r``: rank = (#rows with strictly greater
+    ``val``, read off the count-of-counts histogram) + row_number within
+    the ``val`` tie-group. A naive global row_number moves the ENTIRE
+    frame to one partition (Spark's WindowExec warns exactly this); here
+    the only unpartitioned window runs over the histogram of distinct
+    ``val`` values — for the power-law frequency/degree tables this
+    ranks, that is orders of magnitude below the row count — and the
+    tie-break window is partitioned by ``val``, so the data-sized pass
+    stays parallel. Rank values are bit-identical to the naive form.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(val).agg(F.count("*").alias("_n"))
+    w_h = Window.orderBy(F.desc(val)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = hist.select(
+        val, F.coalesce(F.sum("_n").over(w_h), F.lit(0)).alias("_off")
+    )
+    w_t = Window.partitionBy(val).orderBy(F.asc(tie))
+    return (
+        df.join(F.broadcast(offs), val)
+        .withColumn("r", F.col("_off") + F.row_number().over(w_t))
+        .drop("_off")
+    )
+
+
 def zipf_slope(docs: DataFrame) -> DataFrame:
     """Corpus token-frequency power-law probe: OLS slope of ln(freq)
     vs ln(rank) over the ranked vocabulary (Zipf's law predicts ≈ −1
     for natural text; strong deviation flags synthetic/degenerate
-    corpora). The vocabulary agg is the only shuffle; the regression
-    is one tiny aggregate over |vocab| rows.
+    corpora). The vocabulary agg is the only data-sized shuffle; ranks
+    come from ``rank_desc_scale_safe`` (histogram offset + partitioned
+    tie-break — no single-partition window over the vocabulary), and
+    the regression is one tiny aggregate over |vocab| rows.
     """
-    from pyspark.sql import Window
-
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
-    ranked = counts.withColumn(
-        "r",
-        F.row_number().over(
-            Window.orderBy(F.desc("c"), F.asc("term"))
-        ),
-    )
+    ranked = rank_desc_scale_safe(counts, "c", "term")
     return ranked.agg(
         F.count("*").cast("long").alias("n_types"),
         F.round(

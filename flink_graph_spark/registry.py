@@ -3219,19 +3219,17 @@ FROM (
 def rmat_degree_zipf(spark, sf_dir):
     """Power-law exponent of the generated RMat degree distribution —
     the zipf_slope machinery pointed at graph degrees; confirms the
-    generator's skew numerically (OLS over ln-degree vs ln-rank)."""
-    from pyspark.sql import Window
-
+    generator's skew numerically (OLS over ln-degree vs ln-rank).
+    Ranks via rank_desc_scale_safe: degree-histogram offset +
+    per-degree partitioned tie-break, so no single-partition window
+    over the |V|-sized degree table."""
     tune_session(spark)
     deg = (
         gen_mod.rmat_edges(spark, RMAT_SCALE, RMAT_EDGES)
         .groupBy("src")
         .agg(F.count("*").alias("od"))
     )
-    ranked = deg.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.desc("od"), F.asc("src"))),
-    )
+    ranked = text_mod.rank_desc_scale_safe(deg, "od", "src")
     return ranked.agg(
         F.count("*").cast("long").alias("n_vertices"),
         F.round(F.expr("regr_slope(ln(od * 1.0), ln(r * 1.0))"), 6).alias(

@@ -340,3 +340,39 @@ def test_triangle_family_skips_dedup_on_guaranteed_graphs(spark):
     dup = Graph.from_edges(dup_e.withColumn("value", F.lit(1)))
     assert not dup.distinct_edges
     assert triangle_count(dup).collect()[0][0] == triangle_count(g).collect()[0][0]
+
+
+def test_zipf_rank_window_is_partitioned_not_global(spark):
+    """rank_desc_scale_safe must keep the data-sized row_number window
+    partitioned by the tie-group (a global ORDER BY window funnels the
+    whole vocabulary/degree table through ONE partition — WindowExec
+    even warns about it); the only unpartitioned window may run over
+    the count-of-counts histogram, which is orders of magnitude
+    smaller. Values must stay bit-identical to the naive global rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_graph_spark.functions.text import rank_desc_scale_safe
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("term"),
+            (F.col("id") % 13).cast("long").alias("c"),
+        )
+    )
+    ranked = rank_desc_scale_safe(df, "c", "term")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # every row_number window carries a partition spec (3 bracket
+    # groups: functions, PARTITION keys, ORDER keys)
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert re.search(r"\], \[\w+#\d+L?\], \[", m.group(0)), m.group(0)
+    # the histogram side broadcasts back to the data side
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    naive = df.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term"))),
+    )
+    got = {(row.term, row.r) for row in ranked.collect()}
+    want = {(row.term, row.r) for row in naive.collect()}
+    assert got == want
