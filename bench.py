@@ -321,6 +321,26 @@ def main() -> int:
         # inside a timed query.
         registry.jvm_gc(spark)
 
+    def _sched_probe_ms() -> float:
+        """Box-health probe: ms/job for a trivial 32-task no-op job
+        (median of 9). A healthy local[32] box measures tens of ms;
+        the host-side vCPU-latency degradation documented in
+        BASELINE.md §Round-4-second-sitting measured ~350 ms and
+        inflates every scheduler-bound (iterative) query 3-10x while
+        map-heavy scans barely move. Emitted in the JSON (before/after
+        the passes) so each bench artifact self-describes whether its
+        numbers are comparable to the quiet-box records."""
+        sc = spark.sparkContext
+        samples = []
+        for _ in range(9):
+            t0 = time.time()
+            sc.parallelize(range(32), 32).count()
+            samples.append((time.time() - t0) * 1000)
+        samples.sort()
+        return round(samples[len(samples) // 2], 1)
+
+    sched_probe = [_sched_probe_ms()]
+
     def _timed(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -385,6 +405,7 @@ def main() -> int:
             except Exception as e:  # pragma: no cover - defensive
                 recall = {"error": repr(e)}
             _evict_scratch()
+    sched_probe.append(_sched_probe_ms())
     per_pass = [p for p in per_pass if p]
     timings = {
         n: min(p[n] for p in per_pass if n in p)
@@ -429,6 +450,10 @@ def main() -> int:
                     3,
                 ),
                 "recall": recall,
+                # [after-warmup, after-passes] ms/job for a 32-task
+                # no-op — box-health context (healthy: tens of ms; see
+                # BASELINE.md box-degradation note)
+                "sched_probe_ms_per_job": sched_probe,
                 "partial": interrupted["flag"] or None,
                 "sf": sf,
             }
