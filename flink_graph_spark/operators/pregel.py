@@ -23,7 +23,10 @@ Scale design:
   checkpoints (community detection, most-frequent-label LPA) measured
   ~2x SLOWER at 3 — they pin cadence 2 locally.
 * Convergence (optional) is checked with an aggregate on the delta
-  frame (``isEmpty`` on changed rows), never a collect of the state.
+  frame (count of changed rows), never a collect of the state — and
+  the count job doubles as the materializer of that superstep's LAZY
+  localCheckpoint, so convergence-checked supersteps cost ONE driver
+  job, not an eager-checkpoint job plus an isEmpty job.
 * No per-row Python: message/update expressions are Spark Columns, so
   every superstep stays inside whole-stage codegen.
 """
@@ -123,27 +126,35 @@ def pregel(
             v.join(inbox, "id", "left")
             .select("id", update.alias(state_col), F.col(state_col).alias("__old"))
         )
-        if it % checkpoint_every == 0 or it == max_iter or check_convergence or delta:
-            v_new = v_new.localCheckpoint(eager=True)
-            release_local_checkpoint(live_ckpt)
-            live_ckpt = v_new
-        if delta:
-            active = v_new.filter(
-                ~F.col(state_col).eqNullSafe(F.col("__old"))
-            ).select("id", state_col)
-            v = v_new.select("id", state_col)
-            if active.isEmpty():
-                converged = True
-                break
-            continue
-        if check_convergence:
+        if delta or check_convergence:
+            # ONE driver job per superstep instead of two: the
+            # checkpoint is LAZY and the changed-count job materializes
+            # it as a side effect (count scans every partition of the
+            # marked RDD, storing each block) while returning the
+            # convergence signal. The old eager-checkpoint + isEmpty
+            # pair cost two scheduler round-trips per superstep — pure
+            # driver-barrier overhead at cluster scale (and 2x the
+            # per-job latency floor on a degraded box, see BASELINE.md).
+            v_new = v_new.localCheckpoint(eager=False)
             changed = v_new.filter(
                 ~F.col(state_col).eqNullSafe(F.col("__old"))
             )
-            if changed.isEmpty():
+            n_changed = changed.count()
+            # release only after the count materialized the new blocks —
+            # computing v_new reads the previous checkpoint
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = v_new
+            if delta:
+                active = changed.select("id", state_col)
+            v = v_new.select("id", state_col)
+            if n_changed == 0:
                 converged = True
-                v = v_new.select("id", state_col)
                 break
+            continue
+        if it % checkpoint_every == 0 or it == max_iter:
+            v_new = v_new.localCheckpoint(eager=True)
+            release_local_checkpoint(live_ckpt)
+            live_ckpt = v_new
         v = v_new.select("id", state_col)
     if owns_edge_cache:
         edges.unpersist()
