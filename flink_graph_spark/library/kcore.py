@@ -37,11 +37,21 @@ def k_core(graph: Graph, k: int = 3, max_iter: int = 8) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
-        removed = deg.where(F.col("deg") < k)
-        if removed.isEmpty():
+        # LAZY checkpoint + removed-count in one action: the count job
+        # materializes the degree table, so the keep-side semi-joins
+        # below read stored blocks instead of re-running the aggregation
+        # (the old isEmpty recomputed it), and the convergence signal
+        # costs no extra job — same fusion as the Pregel superstep.
+        deg = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        n_removed = deg.where(F.col("deg") < k).count()
+        if n_removed == 0:
+            release_local_checkpoint(deg)
             break
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
         prev = e
         e = (
             e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
@@ -49,6 +59,7 @@ def k_core(graph: Graph, k: int = 3, max_iter: int = 8) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         release_local_checkpoint(prev)
+        release_local_checkpoint(deg)
     return (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").cast("bigint").alias("core_deg"))

@@ -57,8 +57,11 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
     ).localCheckpoint(eager=True)
     mis = und.select("id").where(F.lit(False)).localCheckpoint(eager=True)
 
+    n_und: int | None = None  # carried from the round-end count below
     for i in range(max_iter):
-        if und.isEmpty():
+        # first round: one cheap scan of the initial checkpoint; later
+        # rounds reuse the count that materialized und (no extra job)
+        if (n_und == 0) or (n_und is None and und.isEmpty()):
             break
         ue = (
             edges.join(und.select(F.col("id").alias("src")), "src", "left_semi")
@@ -90,7 +93,11 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
             .select(F.col("dst").alias("id"))
         ).distinct()
         und_prev = und
-        und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        # LAZY checkpoint materialized by the survivor count — the count
+        # doubles as next round's emptiness check, one action instead of
+        # eager-checkpoint + isEmpty (same fusion as the Pregel superstep)
+        und = und.join(removed, "id", "left_anti").localCheckpoint(eager=False)
+        n_und = und.count()
         # the new checkpoint is materialized; the previous round's
         # (which `winners`/`removed` read) is now unreferenced
         release_local_checkpoint(und_prev)

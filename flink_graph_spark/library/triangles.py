@@ -275,13 +275,14 @@ def k_truss(graph: Graph, k: int = 3, max_rounds: int = 3) -> DataFrame:
     e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     thresh = k - 2
     for _ in range(max_rounds):
+        # LAZY checkpoint of the O(m^1.5) support table, materialized by
+        # the dropped-count job itself — one action per round instead of
+        # eager-checkpoint + isEmpty (same fusion as the Pregel superstep)
         sup = edge_support(
-        Graph(graph.vertices, e, distinct_edges=graph.distinct_edges)
-    ).localCheckpoint(
-            eager=True
-        )
-        dropped = sup.filter(F.col("support") < thresh)
-        if dropped.isEmpty():
+            Graph(graph.vertices, e, distinct_edges=graph.distinct_edges)
+        ).localCheckpoint(eager=False)
+        n_dropped = sup.filter(F.col("support") < thresh).count()
+        if n_dropped == 0:
             release_local_checkpoint(sup)
             break
         e_prev = e
