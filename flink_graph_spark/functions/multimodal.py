@@ -60,12 +60,17 @@ def extract_features(docs_payload: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(fake_decode)
+            # NULL text → NULL payload → NULL features (the engine-wide
+            # NULL contract: missing input propagates, never fabricates
+            # a zero-byte decode)
+            feats = pdf["payload"].map(
+                lambda p: (None, None) if p is None else fake_decode(p)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": feats.map(lambda t: t[0]),
-                    "head_sum": feats.map(lambda t: t[1]),
+                    "n_bytes": feats.map(lambda t: t[0]).astype("Int64"),
+                    "head_sum": feats.map(lambda t: t[1]).astype("Int64"),
                 }
             )
 
@@ -80,12 +85,13 @@ def extract_features(docs_payload: DataFrame) -> DataFrame:
 MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL ELSE
        CAST(COALESCE(list_aggregate(
            list_transform(
                generate_series(1, least(8, octet_length(encode(text)))),
                i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2))
                     AS BIGINT)), 'sum'), 0)
-            AS BIGINT) AS head_sum
+            AS BIGINT) END AS head_sum
 FROM documents"""
 
 

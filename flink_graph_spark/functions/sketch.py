@@ -41,7 +41,13 @@ def hll_distinct(
     Returns (group, est_distinct, exact_distinct); small-range
     correction (linear counting) applies below 2.5·m, as in the
     original Flajolet et al. formulation.
+
+    NULL keys are excluded before hashing — COUNT(DISTINCT) semantics
+    (Spark's hash of NULL is the seed, a real value, so without the
+    filter a NULL key would register as one extra distinct; the twin's
+    hex-slice path outright errors on hash(NULL)).
     """
+    df = df.filter(F.col(key_col).isNotNull())
     h = h32(F.col(key_col).cast("string"))
     # floor-division on BOTH sides (a bare cast truncates in Spark but
     # ROUNDS in DuckDB — a silent parity breaker)
@@ -95,7 +101,7 @@ def hll_sql(
     SELECT {group_col} AS grp,
            {h} % {HLL_M} AS bucket,
            CAST(floor({h} / {HLL_M}) AS BIGINT) AS rest
-    FROM {table}
+    FROM {table} WHERE {key_col} IS NOT NULL
 ),
 regs AS MATERIALIZED (
     SELECT grp, bucket,
@@ -245,10 +251,15 @@ def histogram_quantiles(
     interpolated token-count quantile from the binned histogram."""
     from pyspark.sql import Window
 
+    # NULL text has no token count — it cannot be placed in a bin, so
+    # it is excluded from the histogram AND the quantile denominator
+    # (a NULL bin would also sort NULLS FIRST here but NULLS LAST in
+    # the twin, silently shifting every cumulative count)
     binned = (
         docs.select(
             F.expr(f"size(split(text, ' ')) div {bin_w}").alias("bin")
         )
+        .filter(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
@@ -305,8 +316,10 @@ def histogram_quantiles_sql(
            SUM(cnt) OVER (ORDER BY bin) AS cum,
            SUM(cnt) OVER () AS n
     FROM (
+        -- NULL-text docs carry no token count: excluded from the
+        -- histogram and the denominator (mirrors the Spark side)
         SELECT len(t) // {bin_w} AS bin, COUNT(*) AS cnt
-        FROM doc_tok GROUP BY 1
+        FROM doc_tok WHERE t IS NOT NULL GROUP BY 1
     )
 ),
 hq_q AS (SELECT * FROM (VALUES {qvals}) AS t(q))"""

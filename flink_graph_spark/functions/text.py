@@ -273,12 +273,16 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
+       -- NULL text → NULL fingerprint (Spark's aggregate over a NULL
+       -- array is NULL; without the CASE, list_prepend(0, NULL) folds
+       -- to 0 here — a fabricated fingerprint for a missing document)
+       CASE WHEN t IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(t,
              x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
          (acc, x) -> (acc * {FINGERPRINT_MULT} + x) % {FINGERPRINT_P})
-       AS fingerprint
+       END AS fingerprint
 FROM doc_tok"""
 
 
@@ -434,7 +438,13 @@ def chunk_documents(
             "skip tokens, breaking the every-token-covered guarantee)"
         )
     overlap = chunk_tokens - stride
-    toks = docs.select("doc_id", _tokens().alias("t"))
+    # NULL text → no chunks (a phantom chunk with a NULL fingerprint
+    # would otherwise be emitted: greatest() skips the NULL size and
+    # sequence(1,1) yields one window over a NULL token array; the twin
+    # drops the doc because generate_series(1, NULL) unnests to nothing)
+    toks = docs.select("doc_id", _tokens().alias("t")).where(
+        F.col("t").isNotNull()
+    )
     chunks = toks.select(
         "doc_id",
         F.posexplode(
@@ -481,9 +491,12 @@ def chunk_documents_sql(
 FROM (
     SELECT doc_id, s,
            list_slice(t, s, s + {chunk_tokens} - 1) AS ctoks
+    -- NULL text → no chunks (mirrors the Spark-side filter; DuckDB's
+    -- greatest() skips the NULL length and would emit a phantom window)
     FROM doc_tok,
          UNNEST(generate_series(1, greatest(len(t) - {overlap}, 1),
                                 {stride})) AS u(s)
+    WHERE t IS NOT NULL
 )"""
 
 
@@ -1069,8 +1082,12 @@ FROM (
     GROUP BY 1
 ) per
 CROSS JOIN (
+    -- __s counts share GROUPS: a NULL source is a real bucket with its
+    -- own output row, so it belongs in the 1/n target denominator
+    -- (COUNT(DISTINCT) alone would skip it — Spark counts groups)
     SELECT SUM(len(t))::DOUBLE AS __t,
-           COUNT(DISTINCT source) AS __s
+           COUNT(DISTINCT source)
+             + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS __s
     FROM doc_tok dt2 JOIN documents d2 USING (doc_id)
 ) tot"""
 

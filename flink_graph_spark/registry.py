@@ -2014,7 +2014,8 @@ def streaming_sessionize(spark, sf_dir):
 @_register(
     "streaming_user_totals",
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents
 FROM events GROUP BY 1""",
 )
 def streaming_user_totals(spark, sf_dir):
@@ -3270,7 +3271,9 @@ def incremental_pagerank_golden(spark, sf_dir):
     GROUP BY 1, 2),
 st_df AS MATERIALIZED (
     SELECT tok, COUNT(*) AS df FROM st_tf GROUP BY 1),
-st_n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns
+st_n AS (SELECT CAST(COUNT(DISTINCT source)
+                + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) AS ns
          FROM documents)
 SELECT source, tok, CAST(tf AS BIGINT) AS tf,
        ROUND(tf * ln((SELECT ns FROM st_n) / df), 6) AS tfidf

@@ -37,7 +37,11 @@ def _update(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # SUM semantics: NULL values contribute nothing (a NaN would
+        # poison the int cast); n still counts the row, mirroring the
+        # twin's COUNT(*) + COALESCE(SUM(...), 0)
+        vals = pdf["value"].dropna()
+        cents += int((vals * 100).round().astype("int64").sum())
     state.update((n, cents))
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)

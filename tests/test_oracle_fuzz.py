@@ -146,6 +146,35 @@ def _write_empty_siblings(tmpdir: str, skip: set[str]) -> None:
         pq.write_table(schema.empty_table(), f"{tmpdir}/{t}.parquet")
 
 
+def _spike_doc_nulls(docs: pd.DataFrame, rng) -> pd.DataFrame:
+    """NULL-contract spikes: NULL text (propagates NULL metrics / no
+    chunks / no fingerprint), NULL lang, NULL source (its own share
+    group). Found 9 real divergences when first run — twin COALESCE
+    fabricating values for missing docs, COUNT(DISTINCT) dropping the
+    NULL share group, a pandas-UDF crash on NULL payload."""
+    n = len(docs)
+    if n >= 8:
+        docs.loc[3, "text"] = None
+        docs.loc[7, "text"] = None
+        docs.loc[min(11, n - 1), "lang"] = None
+        docs.loc[min(13, n - 2), "source"] = None
+        docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    return docs
+
+
+def _spike_event_nulls(ev: pd.DataFrame, rng) -> pd.DataFrame:
+    """NULL event key/type/value/props — NULL keys group as their own
+    key; NULL values contribute nothing to sums (incl. the stateful
+    streaming totals, which crashed on the int cast when first run)."""
+    if len(ev) >= 13:
+        ev["user_id"] = ev["user_id"].astype("Int64")
+        ev.loc[2, "user_id"] = None
+        ev.loc[5, "event_type"] = None
+        ev.loc[9, "value"] = None
+        ev.loc[12, "props"] = None
+    return ev
+
+
 def _random_documents(rng: np.random.RandomState, n: int) -> pd.DataFrame:
     texts = []
     for i in range(n):
@@ -228,26 +257,37 @@ def _run_parity(spark, tmpdir: str, names: list[str]) -> list[str]:
     return problems
 
 
-@pytest.mark.parametrize("seed,n_docs", [(11, 1), (13, 8), (17, 25), (23, 40)])
+@pytest.mark.parametrize(
+    "seed,n_docs,nulls",
+    [(11, 1, False), (13, 8, False), (17, 25, False), (23, 40, False),
+     (17, 30, True)],
+)
 def test_document_queries_oracle_parity_on_random_corpus(
-    spark, tmp_path, seed, n_docs
+    spark, tmp_path, seed, n_docs, nulls
 ):
     rng = np.random.RandomState(seed)
     d = str(tmp_path)
     docs = _random_documents(rng, n_docs)
+    if nulls:
+        docs = _spike_doc_nulls(docs, rng)
     pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), f"{d}/documents.parquet")
     _write_empty_siblings(d, {"documents"})
     problems = _run_parity(spark, d, DOC_QUERIES)
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("seed,n_ev", [(5, 2), (7, 17), (19, 40)])
+@pytest.mark.parametrize(
+    "seed,n_ev,nulls",
+    [(5, 2, False), (7, 17, False), (19, 40, False), (7, 25, True)],
+)
 def test_event_queries_oracle_parity_on_random_corpus(
-    spark, tmp_path, seed, n_ev
+    spark, tmp_path, seed, n_ev, nulls
 ):
     rng = np.random.RandomState(seed)
     d = str(tmp_path)
     ev = _random_events(rng, n_ev)
+    if nulls:
+        ev = _spike_event_nulls(ev, rng)
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), f"{d}/events.parquet")
     _write_empty_siblings(d, {"events"})
     problems = _run_parity(spark, d, EVENT_QUERIES)

@@ -38,7 +38,18 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
-            df[c] = s.astype(str)
+            # null-representation-insensitive: pyspark.toPandas yields
+            # None where duckdb.df() yields float('nan') inside object
+            # columns (e.g. nullable booleans) — astype(str) alone would
+            # render those "None" vs "nan" and hash-diverge on equal
+            # values
+            df[c] = s.map(
+                lambda v: "<NULL>"
+                if v is None
+                or v is pd.NA
+                or (isinstance(v, float) and v != v)
+                else str(v)
+            )
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
