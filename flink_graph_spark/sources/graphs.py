@@ -45,10 +45,16 @@ def _memo_graph(name: str):
 
 CS_EDGES_SQL = f"""
 cs_edges AS MATERIALIZED (
+    -- NULL keys produce no edge: an edge to an unknown entity is
+    -- meaningless, and a NULL vertex id survives union+distinct but
+    -- silently drops out of every equality join downstream (the Spark
+    -- loop's LEFT join keeps it, the unrolled twin's INNER join does
+    -- not — a NULL FK in the source data would diverge the engines)
     SELECT o_custkey AS src,
            l_suppkey + {SUPPLIER_OFFSET} AS dst,
            CAST(COUNT(*) AS BIGINT) AS value
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     GROUP BY 1, 2
 )"""
 
@@ -72,6 +78,11 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
     lineitem = load_table(spark, sf_dir, "lineitem")
     edges = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        # NULL keys produce no edge (derived graphs are sanitized by
+        # construction; see CS_EDGES_SQL for why NULL ids diverge)
+        .where(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .groupBy(
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),

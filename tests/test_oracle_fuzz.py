@@ -348,14 +348,22 @@ def _random_embeddings(rng, n, include_zero=False):
 
 
 @pytest.mark.parametrize(
-    "seed,n,zero", [(2, 12, False), (4, 12, True), (5, 40, False)]
+    "seed,n,zero,nulls",
+    [(2, 12, False, False), (4, 12, True, False), (5, 40, False, False),
+     (4, 14, True, True)],
 )
 def test_embedding_queries_oracle_parity_on_random_corpus(
-    spark, tmp_path, seed, n, zero
+    spark, tmp_path, seed, n, zero, nulls
 ):
     rng = np.random.RandomState(seed)
     d = str(tmp_path)
     emb = _random_embeddings(rng, n, include_zero=zero)
+    if nulls:
+        # NULL vector and NULL label — excluded from cosine space and
+        # vote tallies respectively on both sides
+        emb.loc[5, "embedding"] = None
+        emb["label"] = emb["label"].astype("Int32")
+        emb.loc[6, "label"] = None
     pq.write_table(
         pa.Table.from_pandas(emb, preserve_index=False, schema=EMB_SCHEMA),
         f"{d}/embeddings.parquet",
@@ -506,10 +514,49 @@ def _write_tpch_corpus(rng, d):
 
 
 
-@pytest.mark.parametrize("seed", [31, 41])
-def test_graph_queries_oracle_parity_on_random_tpch(spark, tmp_path, seed):
+def _spike_tpch_nulls(tables: dict, rng) -> dict:
+    """NULL FKs / values: the first run of this spike found the cs
+    builder emitting a NULL vertex id that Spark's LEFT-join loop kept
+    but the twins' INNER-join unrolls dropped (cc/sssp/lpa off by a
+    row, validate flipped, set ops diverged) — derived builders now
+    sanitize NULL endpoints by construction."""
+    tables["orders"]["o_custkey"] = tables["orders"]["o_custkey"].astype("Int64")
+    tables["orders"].loc[1, "o_custkey"] = None
+    li = tables["lineitem"]
+    li["l_partkey"] = li["l_partkey"].astype("Int64")
+    li["l_suppkey"] = li["l_suppkey"].astype("Int64")
+    li.loc[2, "l_partkey"] = None
+    li.loc[3, "l_suppkey"] = None
+    li.loc[4, "l_extendedprice"] = None
+    cu = tables["customer"]
+    cu["c_nationkey"] = cu["c_nationkey"].astype("Int32")
+    cu.loc[1, "c_nationkey"] = None
+    cu.loc[0, "c_name"] = None
+    cu.loc[0, "c_acctbal"] = None
+    return tables
+
+
+@pytest.mark.parametrize("seed,nulls", [(31, False), (41, False), (31, True)])
+def test_graph_queries_oracle_parity_on_random_tpch(
+    spark, tmp_path, seed, nulls
+):
     rng = np.random.RandomState(seed)
     d = str(tmp_path)
-    _write_tpch_corpus(rng, d)
+    if nulls:
+        tables = _spike_tpch_nulls(_random_tpch(rng), rng)
+        for t, df in tables.items():
+            schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False, schema=schema),
+                f"{d}/{t}.parquet",
+            )
+        ev = _spike_event_nulls(_random_events(rng, 40), rng)
+        pq.write_table(
+            pa.Table.from_pandas(ev, preserve_index=False),
+            f"{d}/events.parquet",
+        )
+        _write_empty_siblings(d, set(tables) | {"events"})
+    else:
+        _write_tpch_corpus(rng, d)
     problems = _run_parity(spark, d, GRAPH_QUERIES)
     assert not problems, "\n".join(problems)
