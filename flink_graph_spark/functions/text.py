@@ -502,8 +502,24 @@ FROM (
 
 # ---- deterministic stratified sampling -------------------------------
 
-SAMPLE_KNUTH_MULT = 2654435761  # Knuth multiplicative hash, fits int64 for any doc_id
+SAMPLE_KNUTH_MULT = 2654435761  # Knuth multiplicative hash
 SAMPLE_MOD = 4294967296
+# Fold ids into [0, 2^31) BEFORE the multiply: (2^31-1)·2654435761 ≈
+# 5.7e18 < 2^63, so the hash never overflows int64 for ANY 64-bit id
+# (snowflake-style ids near 2^63, negative ids). Without the fold,
+# doc_id·K overflows for ids ≥ ~3.5e9 — ANSI Spark raises, DuckDB
+# errors: the sampler would crash on real-world id spaces. Folding is
+# id-distribution-neutral for sequential ids and keeps the identical
+# value on both engines (positive mod on both sides).
+SAMPLE_FOLD = 2147483648
+
+
+def _folded_id():
+    return F.pmod(F.col("doc_id"), F.lit(SAMPLE_FOLD))
+
+
+def _folded_id_sql() -> str:
+    return f"((doc_id % {SAMPLE_FOLD}) + {SAMPLE_FOLD}) % {SAMPLE_FOLD}"
 
 # per-stratum keep rates out of 100 (training mixes oversample target langs)
 SAMPLE_RATE_EN = 30
@@ -519,7 +535,7 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     property a 100 TB pipeline needs for resumable sampling. Evaluated
     map-side: a scan + filter, no shuffle at all.
     """
-    bucket = ((F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
+    bucket = ((_folded_id() * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
     rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN).otherwise(
         SAMPLE_RATE_OTHER
     )
@@ -530,7 +546,7 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
 
 STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM documents
-WHERE ((doc_id * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}) % 100 <
+WHERE (({_folded_id_sql()} * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}) % 100 <
       CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_RATE_OTHER} END
 ORDER BY doc_id"""
 
@@ -556,7 +572,7 @@ def source_quota_sample(docs: DataFrame, quota: int = SOURCE_QUOTA) -> DataFrame
     """
     from pyspark.sql import Window
 
-    order = (F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD
+    order = (_folded_id() * SAMPLE_KNUTH_MULT) % SAMPLE_MOD
     w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source")
@@ -571,7 +587,8 @@ def source_quota_sql(quota: int = SOURCE_QUOTA) -> str:
     SELECT doc_id, source,
            ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY (doc_id * {SAMPLE_KNUTH_MULT}) % {SAMPLE_MOD}, doc_id
+               ORDER BY ({_folded_id_sql()} * {SAMPLE_KNUTH_MULT})
+                        % {SAMPLE_MOD}, doc_id
            ) AS rn
     FROM documents
 ) WHERE rn <= {quota}"""
@@ -1662,7 +1679,7 @@ def train_val_test_split(docs: DataFrame, round_to: int = 6) -> DataFrame:
     map-side (a scan + a CASE — no shuffle before the bounded report
     aggregate). The assignment column is what a real run writes; the
     per-source report makes the stratification auditable."""
-    bucket = ((F.col("doc_id") * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
+    bucket = ((_folded_id() * SAMPLE_KNUTH_MULT) % SAMPLE_MOD) % 100
     split = (
         F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
         .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
@@ -1685,7 +1702,7 @@ def train_val_test_split(docs: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
-TRAIN_VAL_TEST_SQL = """
+TRAIN_VAL_TEST_SQL = f"""
 SELECT source, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS n_tokens,
@@ -1693,9 +1710,12 @@ SELECT source, split,
              6) AS doc_frac
 FROM (
     SELECT source,
-           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10
+           CASE WHEN (({_folded_id_sql()} * {SAMPLE_KNUTH_MULT})
+                      % {SAMPLE_MOD}) % 100 < {SPLIT_TEST_PCT}
                 THEN 'test'
-                WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 20
+                WHEN (({_folded_id_sql()} * {SAMPLE_KNUTH_MULT})
+                      % {SAMPLE_MOD}) % 100
+                     < {SPLIT_TEST_PCT + SPLIT_VAL_PCT}
                 THEN 'val'
                 ELSE 'train' END AS split,
            len(string_split(text, ' ')) AS nt

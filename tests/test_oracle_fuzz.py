@@ -158,6 +158,11 @@ def _spike_doc_nulls(docs: pd.DataFrame, rng) -> pd.DataFrame:
         docs.loc[7, "text"] = None
         docs.loc[min(11, n - 1), "lang"] = None
         docs.loc[min(13, n - 2), "source"] = None
+        # extreme ids (valid input — snowflake-style 63-bit ids and
+        # negatives): the Knuth-hash samplers crashed with
+        # ARITHMETIC_OVERFLOW before ids were folded into [0, 2^31)
+        docs.loc[4, "doc_id"] = 2**62
+        docs.loc[6, "doc_id"] = -17
         docs["n_chars"] = docs["text"].str.len().astype("Int64")
     return docs
 
@@ -172,6 +177,10 @@ def _spike_event_nulls(ev: pd.DataFrame, rng) -> pd.DataFrame:
         ev.loc[5, "event_type"] = None
         ev.loc[9, "value"] = None
         ev.loc[12, "props"] = None
+        # extreme but valid: huge event_id, negative user, huge value
+        ev.loc[1, "event_id"] = 2**61
+        ev.loc[3, "user_id"] = -5
+        ev.loc[4, "value"] = 1e15
     return ev
 
 
