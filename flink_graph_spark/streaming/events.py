@@ -120,6 +120,14 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Gap-based session windows per user (state-store merged) — the
     incremental twin of ``functions.sessions.sessionize``.
+
+    Watermark contract (standard streaming semantics, probed): the
+    snapshot equals the batch sessionizer only while event-time
+    disorder stays within ``watermark``. An event older than
+    max(seen ts) − watermark arriving in a later micro-batch is late
+    data and is dropped by design — a probe with a 2250-era event
+    followed by 1969-era events loses exactly the pre-epoch session.
+    The batch twin has no watermark and keeps it.
     """
     return (
         events.withWatermark("ts", watermark)
