@@ -569,3 +569,36 @@ def test_graph_queries_oracle_parity_on_random_tpch(
         _write_tpch_corpus(rng, d)
     problems = _run_parity(spark, d, GRAPH_QUERIES)
     assert not problems, "\n".join(problems)
+
+
+UNICODE_TEXTS = [
+    "héllo wörld naïve café touché déjà vu",
+    "日本語 テキスト の 処理 と 分散 計算",
+    "🚀 emoji 🎉 tokens 🤖 in 🌍 text",
+    "mixed ASCII und Ümlaute ß straße",
+    "зеленый свет и красный цвет",
+    "combining é vs precomposed é tokens",
+    "​zero​width​space tokens",
+    "tab\tand\nnewline inside",
+]
+
+
+def test_document_queries_oracle_parity_on_unicode_corpus(spark, tmp_path):
+    """Multibyte/combining/emoji text through every docs-family query —
+    the char-vs-byte hazards the twins must agree on: length() is
+    characters in both engines, md5/encode operate on UTF-8 bytes in
+    both, substr/hex slices in the fingerprint and multimodal head_sum
+    are byte-exact by construction."""
+    rng = np.random.RandomState(55)
+    d = str(tmp_path)
+    docs = _random_documents(rng, 24)
+    for i, t in enumerate(UNICODE_TEXTS):
+        docs.loc[10 + i, "text"] = t
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        f"{d}/documents.parquet",
+    )
+    _write_empty_siblings(d, {"documents"})
+    problems = _run_parity(spark, d, DOC_QUERIES)
+    assert not problems, "\n".join(problems)
