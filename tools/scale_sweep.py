@@ -1,0 +1,202 @@
+"""Scale sweep: run representative queries at 1x / 10x / 100x of sf0.1
+and report per-query times plus the fitted scaling exponent.
+
+The sweep is the measured check behind SCALING.md's 100 TB posture
+claims: a query whose plan is linear-in-data should show time ratios
+~K between scale points once data cost dominates the scheduler floor;
+a superlinear exponent on a non-densifying family is a defect to chase.
+
+Inputs come from tools/make_scaled_data.py (key-offset replication —
+see its module docstring for why replicas are not near-duplicates).
+
+Isolation contract (learned the hard way): each scale point runs in its
+OWN subprocess/JVM. A single shared session accumulates every point's
+persisted derived graphs (the uu co-occurrence graph alone is 79M edges
+at the 10x point — quadratic densification by design), and the heap
+pressure eventually starves the executor heartbeat thread
+("Exit as unable to send heartbeats to driver more than 60 times").
+Per-query timings are appended to a JSONL file as they complete, so a
+crashed point loses at most the in-flight query.
+
+Usage:
+    python tools/scale_sweep.py [--points p1,p10,p100] [--queries a,b,c]
+    python tools/scale_sweep.py --point p10 --out sweep.jsonl   (child mode)
+Prints one JSON line: {"points": {...}, "queries": {q: {point: sec}},
+"exponents": {q: alpha}} where alpha is fit between the two largest
+measured points (log t ratio / log K ratio).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+POINTS = {
+    "p1": ("/root/testdata/sf0.1", 1),
+    "p10": ("/tmp/fgs_scaled/sf1", 10),
+    "p100": ("/tmp/fgs_scaled/sf10", 100),
+}
+
+# Representative queries per family. The uu co-occurrence family is
+# EXCLUDED above p1: under user-growth-within-a-fixed-time-window
+# replication its INPUT grows quadratically (measured: 0.79M edges at
+# p1 -> 79M at p10 before the 512 cell cap binds), so its exponent
+# reads ~2 by construction — that measures the generator, not a plan.
+# The engine-side guard (UU_CELL_CAP, SCALING.md §8) bounds the worst
+# case; density-driven cost on uu is a documented policy (bench.py).
+SWEEP = [
+    # graph: derived-table builders + iterative algorithms (disjoint
+    # replica components -> linear edge growth)
+    "degrees_total", "triplets", "reduce_on_neighbors_all",
+    "pagerank_cs", "cc_cs", "sssp_cs", "lpa_cs",
+    "pagerank_pc", "cc_pc", "triangle_count_pc",
+    "jaccard_part_copurchase", "adamic_adar_pc",
+    # dedup family
+    "dedup_exact_stats", "dedup_minhash_lsh", "simhash_near_dup",
+    "passage_dedup", "winnow_dup_pairs", "ngram_containment_topk",
+    "minhash_calibration",
+    # similarity / embeddings
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "semantic_dedup_lsh", "kmeans_clusters", "pq_codes",
+    "embedding_outliers",
+    # text / corpus
+    "text_stats", "quality_filters", "token_budget_select",
+    "bpe_merges", "skipgram_pairs", "bigram_nll", "corpus_report",
+    "collocations_pmi", "pretrain_funnel",
+    # events / sessions / streaming snapshots
+    "sessionize_events", "hourly_rollup", "asof_order_events",
+    "event_funnel", "scd2_orders", "streaming_hourly_rollup",
+    # relational
+    "sql_revenue_by_nation", "entity_resolution",
+]
+UU_FAMILY = ["kcore_uu", "community_detection_uu"]
+
+
+def run_point(pname: str, sweep: list[str], out_path: str, passes: int) -> int:
+    """Child mode: one scale point, one JVM, JSONL appended per query."""
+    from flink_graph_spark import registry
+    from flink_graph_spark.plans.session import get_spark, tune_session
+
+    registry.EXTERNAL_JVM_GC = True
+    sf_dir, K = POINTS[pname]
+    spark = get_spark(f"scale-sweep-{pname}")
+    tune_session(spark)
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    from flink_graph_spark.sources.graphs import (
+        customer_supplier_graph,
+        customer_supplier_undirected_graph,
+        part_copurchase_graph,
+        user_cooccurrence_graph,
+    )
+    from flink_graph_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    builders = [customer_supplier_graph, customer_supplier_undirected_graph,
+                part_copurchase_graph]
+    if any(q in UU_FAMILY for q in sweep):
+        builders.append(user_cooccurrence_graph)
+    for b in builders:
+        g = b(spark, sf_dir)
+        g.edges.count()
+        g.vertices.count()
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    jsc = spark.sparkContext._jsc
+    keep_ids = set(jsc.getPersistentRDDs().keySet().toArray())
+
+    def _evict() -> None:
+        jmap = jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if rid not in keep_ids:
+                jmap.get(rid).unpersist(False)
+        import gc
+        gc.collect()
+        registry.jvm_gc(spark)
+
+    with open(out_path, "a") as fh:
+        for _pass in range(passes):
+            for q in sweep:
+                t0 = time.time()
+                try:
+                    queries[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite").save()
+                    t = round(time.time() - t0, 3)
+                    err = None
+                except Exception as exc:
+                    t = -1.0
+                    err = repr(exc)[:300]
+                fh.write(json.dumps({"point": pname, "query": q,
+                                     "pass": _pass, "sec": t,
+                                     **({"error": err} if err else {})}) + "\n")
+                fh.flush()
+                _evict()
+            print(f"pass {_pass} @ {pname} done", file=sys.stderr, flush=True)
+    spark.stop()
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", default="p1,p10,p100")
+    ap.add_argument("--point", default=None, help="child mode: one point")
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/fgs_scaled/sweep.jsonl")
+    args = ap.parse_args()
+
+    if args.point:
+        sweep = args.queries.split(",") if args.queries else (
+            SWEEP + (UU_FAMILY if args.point == "p1" else []))
+        return run_point(args.point, sweep, args.out, args.passes)
+
+    for pname in args.points.split(","):
+        qarg = ["--queries", args.queries] if args.queries else []
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--point", pname,
+             "--out", args.out, "--passes", str(args.passes)] + qarg,
+            cwd=REPO).returncode
+        print(f"point {pname} rc={rc}", file=sys.stderr, flush=True)
+
+    # aggregate JSONL -> min per (query, point), exponent between the
+    # two largest points with data for the query
+    out: dict[str, dict[str, float]] = {}
+    with open(args.out) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec["sec"] < 0:
+                continue
+            cur = out.setdefault(rec["query"], {}).get(rec["point"])
+            if cur is None or rec["sec"] < cur:
+                out[rec["query"]][rec["point"]] = rec["sec"]
+    exps = {}
+    for q, pts in out.items():
+        have = sorted((POINTS[p][1], t) for p, t in pts.items())
+        if len(have) >= 2:
+            (ka, ta), (kb, tb) = have[-2], have[-1]
+            if ta > 0 and tb > 0:
+                exps[q] = round(math.log(tb / ta) / math.log(kb / ka), 2)
+    print(json.dumps({
+        "points": {p: {"dir": d, "K": k} for p, (d, k) in POINTS.items()},
+        "queries": out,
+        "exponents": exps,
+        "uu_family_p1_only": UU_FAMILY,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
