@@ -29,11 +29,35 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE starts shuffles at 8x the core count and coalesces DOWN
+        # from runtime stats: small stages end up at the same handful of
+        # tasks as before, while a hundred-million-row intermediate gets
+        # partitions that fit in memory instead of 15M-row tasks that
+        # thrash the heap. Measured on a 492M-row wedge shuffle (12M-edge
+        # dense graph triangle count, 10x scale point): 256 initial
+        # partitions ran 67-72s across sessions and arm orders, 32 ran
+        # 39-114s warm with 330-630s first-run catastrophes — stability
+        # beats the one fast sample. Non-AQE plans still use
+        # spark.sql.shuffle.partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # GC/stall survivability: a shuffle-heavy query over a hundred-
+        # million-row intermediate can hold a ~35 GB live set (measured:
+        # triangle counting on a 12M-edge dense graph), and a multi-
+        # second GC train or a host-side stall then trips the default
+        # 120s heartbeat timeout — the executor exits and takes the
+        # whole local session down mid-query. Raising the network
+        # timeout is the documented Spark remedy for heavy-GC workloads;
+        # it only delays DETECTION of a truly-dead peer, which in
+        # local[n] (driver == executor) detects nothing useful anyway.
+        .config("spark.network.timeout", "600s")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -56,5 +80,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # see get_spark: big-shuffle stability; AQE coalesces small stages
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(max(256, cur)),
+    )
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     return spark

@@ -12,15 +12,19 @@ duplicates:
   disjoint components — linear growth, which is what adding new
   customers/parts to a warehouse actually does. nation/region are
   dimensions and stay fixed.
-- documents: doc_id offset; text is deterministically WORD-ROTATED per
-  replica (rotate the word list by the replica index). This preserves
-  the token multiset (token counts, language histograms, quality
-  metrics keep their distributions) while destroying shingle/n-gram
-  identity, so replicas are NOT near-duplicates of each other — the
+- documents: doc_id offset; text is deterministically WORD-PERMUTED per
+  replica (seeded random shuffle of the word list). This preserves the
+  token multiset (token counts, language histograms, quality metrics
+  keep their distributions) while destroying shingle/n-gram identity,
+  so replicas are NOT near-duplicates of each other — the
   dup-group-size distribution of the corpus is preserved instead of
   being inflated K-fold, which would turn every LSH bucket into a
   K^2 candidate clique and measure the synthetic replication rather
-  than the engine.
+  than the engine. (A plain ROTATION is not enough: rotating a word
+  sequence preserves every k-gram except the k-1 at the seam, so
+  rotated replicas are ~0.95-Jaccard near-duplicates in shingle
+  space — measured as a 17x dedup_minhash_lsh blowup at 10x before
+  the permutation fix.)
 - embeddings: vec_id offset; the vector is np.roll'ed by the replica
   index (norm- and distribution-preserving, cosine-neighborhood
   destroying) for the same reason.
@@ -83,14 +87,14 @@ def _strides(src: str) -> dict[str, int]:
     return strides
 
 
-def _rotate_words(text: str, k: int) -> str:
+def _permute_words(text: str, k: int, doc_id: int) -> str:
     if not text:
         return text
     words = text.split()
     if len(words) < 2:
         return text
-    r = k % len(words)
-    return " ".join(words[r:] + words[:r])
+    rs = np.random.RandomState((k * 1_000_003 + doc_id * 7919) % (2**31 - 1))
+    return " ".join(words[i] for i in rs.permutation(len(words)))
 
 
 def _replica(df: pd.DataFrame, table: str, k: int, strides: dict[str, int]) -> pd.DataFrame:
@@ -98,9 +102,12 @@ def _replica(df: pd.DataFrame, table: str, k: int, strides: dict[str, int]) -> p
     for col in FACT_KEYS[table]:
         out[col] = df[col] + k * strides[col]
     if table == "documents" and k > 0:
-        rotated = [_rotate_words(t, k) if isinstance(t, str) else t for t in df["text"]]
-        out["text"] = rotated
-        out["n_chars"] = [len(t) if isinstance(t, str) else None for t in rotated]
+        permuted = [
+            _permute_words(t, k, i) if isinstance(t, str) else t
+            for i, t in zip(df["doc_id"], df["text"])
+        ]
+        out["text"] = permuted
+        out["n_chars"] = [len(t) if isinstance(t, str) else None for t in permuted]
         out["n_chars"] = out["n_chars"].astype(df["n_chars"].dtype)
     if table == "embeddings" and k > 0:
         mat = np.stack([np.asarray(v, dtype=np.float32) for v in df["embedding"]])
