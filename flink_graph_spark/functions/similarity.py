@@ -198,6 +198,48 @@ HYPERPLANES = [
     for _ in range(N_TABLES)
 ]
 
+# ---- extended bank for the DEDUP banding (adaptive bits per band) ----
+#
+# Query probing (ann_topk_lsh) keeps the 8x4 bank above: few bits per
+# table = wide cells = high per-table recall, and the probe set is tiny.
+# All-pairs candidate generation has the OPPOSITE scaling law: a band
+# cell with m members contributes m^2/2 candidate pairs, and with bits
+# FIXED the expected cell size grows linearly in the corpus — i.e. the
+# candidate stage is quadratic in n no matter which static banding is
+# chosen (measured: the historic 8x4 banding took semantic_dedup_lsh
+# from 7.7s to 1034s for a 2k -> 20k corpus). The scale-correct design
+# grows bits with log2(n) so cells stay at a target population; that
+# needs more planes than the 32-plane ANN bank, so each of the 8 bands
+# extends to up to 16 bits. Bits 0..3 of every band ARE the ANN bank's
+# planes: at the adaptive minimum (bits=4, corpora <= 512 vectors — all
+# oracle SFs) the banding reproduces the historic 8x4 buckets
+# bit-for-bit, keeping every recorded oracle hash and recall number.
+DEDUP_BANDS = N_TABLES
+DEDUP_MAX_BITS = 16
+DEDUP_TARGET_CELL = 32
+
+_rng_ext = random.Random(29)
+DEDUP_PLANES = [
+    HYPERPLANES[t]
+    + [
+        [_rng_ext.gauss(0.0, 1.0) for _ in range(DIM)]
+        for _ in range(DEDUP_MAX_BITS - N_PLANES)
+    ]
+    for t in range(DEDUP_BANDS)
+]
+
+
+def dedup_bits_for(n_rows: int) -> int:
+    """Bits per band so the expected band-cell population stays at or
+    under DEDUP_TARGET_CELL: smallest b in [4, 16) with 2^b * 32 >= n,
+    else 16. Integer-exact, so the DuckDB twin (sdl_params) computes
+    the identical value from COUNT(*) — no float log2 at the boundary.
+    """
+    for b in range(N_PLANES, DEDUP_MAX_BITS):
+        if (1 << b) * DEDUP_TARGET_CELL >= n_rows:
+            return b
+    return DEDUP_MAX_BITS
+
 
 def _planes_df(spark) -> DataFrame:
     """(table, p, plane double[]) — the hyperplane bank as a 32-row dim
@@ -496,37 +538,42 @@ def ann_topk_ivf(
 
 # ---- semantic dedup (embedding near-dup → clusters) ------------------
 
-def _banded_bucket_frame(n: DataFrame, groups: int = 4) -> DataFrame:
-    """(vec_id, table, bucket) — the SAME 32-hyperplane bank as
-    ``ann_topk_lsh``, regrouped into ``groups`` bands of 32/groups sign
-    bits each. Query probing wants few bits per table (wide cells →
-    high per-table recall); all-pairs candidate generation wants MANY
-    bits per band (small cells → the within-cell quadratic term stays
-    bounded) — the exact banding trade MinHash LSH makes (b×r), applied
-    to hyperplane signatures. No re-hashing: one fold per (vector,
-    plane) either way, only the bit→bucket grouping changes.
+def _dedup_planes_df(spark, bits: int) -> DataFrame:
+    """(table, p, plane double[]) — the first ``bits`` planes of each of
+    the 8 dedup bands (see DEDUP_PLANES: bits 0..3 are the ANN bank).
+    Broadcast data, not literal expressions — same plan-size rationale
+    as ``_planes_df``."""
+    rows = [
+        (t, p, DEDUP_PLANES[t][p])
+        for t in range(DEDUP_BANDS)
+        for p in range(bits)
+    ]
+    return spark.createDataFrame(rows, "table int, p int, plane array<double>")
+
+
+def _banded_bucket_frame(n: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, table, bucket) — 8 bands of ``bits`` sign bits each over
+    the dedup plane bank. Query probing wants few bits per table (wide
+    cells → high per-table recall); all-pairs candidate generation wants
+    MANY bits per band (small cells → the within-cell quadratic term
+    stays bounded) — the exact banding trade MinHash LSH makes (b×r),
+    applied to hyperplane signatures. ``bits`` must scale with log2(n)
+    to keep cells at a constant population (see ``dedup_bits_for``);
+    callers pass the adaptive value or pin it explicitly.
     """
-    if groups < 1 or (N_TABLES * N_PLANES) % groups != 0:
-        # a non-divisor (e.g. 3, 5, 7) would leave a short leftover
-        # band of as few as 2 bits whose huge cells defeat the banding
-        # cost bound — the within-cell join goes quadratic
+    if not (N_PLANES <= bits <= DEDUP_MAX_BITS):
         raise ValueError(
-            f"groups must divide {N_TABLES * N_PLANES} (supported: "
-            f"1, 2, 4, 8, 16, 32), got {groups}"
+            f"bits must be in [{N_PLANES}, {DEDUP_MAX_BITS}], got {bits}"
         )
-    planes = _planes_df(n.sparkSession)
-    per = (N_TABLES * N_PLANES) // groups
+    planes = _dedup_planes_df(n.sparkSession, bits)
     d = F.expr(_fold_sum("zip_with(e, plane, (x, y) -> x * y)"))
-    gidx = (F.col("table") * N_PLANES + F.col("p"))
     return (
         n.select(F.col("vec_id").alias("__bid"), "e")
         .join(F.broadcast(planes), how="cross")
         .withColumn("__d", d)
-        .withColumn("__g", (gidx / per).cast("int"))
-        .withColumn("__bit", gidx % per)
-        .groupBy(F.col("__bid"), F.col("__g").alias("table"))
+        .groupBy(F.col("__bid"), "table")
         .agg(
-            F.sum(F.expr("IF(__d > 0, shiftleft(1, __bit), 0)"))
+            F.sum(F.expr("IF(__d > 0, shiftleft(1, p), 0)"))
             .cast("long")
             .alias("bucket")
         )
@@ -537,43 +584,49 @@ def _banded_bucket_frame(n: DataFrame, groups: int = 4) -> DataFrame:
 def semantic_near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
-    groups: int = 8,
+    bits: int | None = None,
     multi_probe: bool = False,
 ) -> DataFrame:
     """(va, vb, cosine) — the SCALE path for semantic near-dup pair
     generation: candidates are pairs sharing a band cell in ≥1 of the
-    ``groups`` banded hyperplane signatures, deduped, then
-    cosine-confirmed > threshold. A strict subset of
-    ``embedding_near_dup``'s exact output (banding can miss pairs —
-    recall measured in tests); candidate generation is one equi-join on
-    narrow (vec_id, table, bucket) rows, never a cross join of vectors.
+    8 banded hyperplane signatures, deduped, then cosine-confirmed >
+    threshold. A strict subset of ``embedding_near_dup``'s exact output
+    (banding can miss pairs — recall measured in tests); candidate
+    generation is one equi-join on narrow (vec_id, table, bucket) rows,
+    never a cross join of vectors.
 
-    ``groups`` is the precision/recall banding knob: fewer groups →
-    more bits per band → within-cell quadratic work shrinks by
-     2^(32/groups) per band, but per-pair hit probability is p^(32/groups)
-    (p = 1 - θ/π). The default 8×4-bit matches the query-probing bank
-    (measured pair recall 0.71-0.73 on the moderate-similarity testdata,
-    whose max pair cosine is 0.51); for a TRUE near-dup regime
-    (cos ≥ 0.85, p ≥ 0.82 — planted dups in a real corpus) use
-    groups=4: p^8 ≥ 0.2 per band with 256× smaller cells.
+    ``bits`` is the per-band signature width and the SCALING knob. A
+    band cell with m members contributes m²/2 candidate pairs, and the
+    expected cell is n/2^bits — any FIXED bits therefore leaves the
+    candidate stage quadratic in corpus size (measured: the historic
+    static 4-bit banding took this query from 7.7s at a 2k corpus to
+    1034s at 20k). The default (None) computes
+    ``dedup_bits_for(count)`` — one scalar count job — which grows
+    bits with log2(n) so cells hold ~DEDUP_TARGET_CELL members and
+    candidate volume stays ~n·bands·cell, linear in n. Pass an explicit
+    value to stay fully lazy or to widen recall (fewer bits = wider
+    cells = higher per-band hit probability p^bits, p = 1 - θ/π).
+    At every oracle SF (≤512 vectors) the adaptive value is the
+    minimum, 4, which reproduces the historic 8×4 banding bit-for-bit.
 
     ``multi_probe`` widens each band cell to its Hamming-1 ball (one
     side of the candidate join also probes every single-bit flip of its
     bucket): a pair now collides in a band if its signatures differ in
-    ≤1 of the band's bits, lifting per-band hit probability from p^r to
-    p^r + r·p^(r-1)(1-p) — measured pair recall 0.71 → 1.00 at the
-    default 8×4 banding (sf0.01, 59 exact pairs, all recovered) — for a
-    bounded (r+1)× probe-row fan-out on one
-    join side (candidate volume grows by the same factor, NOT
+    ≤1 of the band's bits, lifting per-band hit probability from
+    p^bits to p^bits + bits·p^(bits-1)(1-p) — measured pair recall
+    0.71 → 1.00 at the 8×4 oracle-scale banding (sf0.01, 59 exact
+    pairs, all recovered) — for a bounded (bits+1)× probe-row fan-out
+    on one join side (candidate volume grows by the same factor, NOT
     quadratically: cells stay the same size, each vector just looks in
-    r extra cells per band). The multiplicative cost knob to turn when
-    the banding knob alone can't reach the recall target.
+    ``bits`` extra cells per band). The multiplicative cost knob to
+    turn when the banding knob alone can't reach the recall target.
     """
     n = with_norm(emb)
-    b = _banded_bucket_frame(n, groups)
+    if bits is None:
+        bits = dedup_bits_for(n.count())
+    b = _banded_bucket_frame(n, bits)
     left = b.select("table", "bucket", F.col("vec_id").alias("va"))
     if multi_probe:
-        per = (N_TABLES * N_PLANES) // groups
         # original cell + every 1-bit flip; asymmetric probing is
         # sufficient (A probing B's cell covers the pair) and keeps the
         # right join side at one row per (vector, band)
@@ -582,7 +635,7 @@ def semantic_near_dup_pairs_lsh(
             F.explode(
                 F.expr(
                     "concat(array(bucket), transform(sequence(0, "
-                    f"{per - 1}), i -> bucket ^ shiftleft(1L, i)))"
+                    f"{bits - 1}), i -> bucket ^ shiftleft(1L, i)))"
                 )
             ).alias("bucket"),
             F.col("vec_id").alias("va"),
@@ -618,6 +671,7 @@ def semantic_dedup_clusters(
     max_iter: int = 4,
     bucketed: bool = False,
     multi_probe: bool = False,
+    bits: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id) for every vector in ≥1 near-dup pair —
     semantic dedup, the embedding-space twin of the text-side
@@ -635,7 +689,9 @@ def semantic_dedup_clusters(
     from ..library.connected_components import connected_components
 
     pairs = (
-        semantic_near_dup_pairs_lsh(emb, threshold, multi_probe=multi_probe)
+        semantic_near_dup_pairs_lsh(
+            emb, threshold, bits=bits, multi_probe=multi_probe
+        )
         if bucketed
         else embedding_near_dup(emb, threshold)
     )
@@ -745,6 +801,17 @@ def _planes_values_sql() -> str:
     return ",\n    ".join(rows)
 
 
+def _dedup_planes_values_sql() -> str:
+    """The full 8x16 dedup bank (see DEDUP_PLANES) as literal VALUES
+    rows; the consuming SQL filters to p < bits at run time."""
+    rows = []
+    for t in range(DEDUP_BANDS):
+        for p in range(DEDUP_MAX_BITS):
+            lit = "[" + ", ".join(repr(x) for x in DEDUP_PLANES[t][p]) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
 def ann_topk_ivf_sql(
     n_queries: int = 5,
     k: int = 10,
@@ -818,7 +885,6 @@ WHERE rank <= {k}"""
 def semantic_dedup_lsh_sql(
     threshold: float = 0.4,
     max_iter: int = 4,
-    groups: int = 8,
     multi_probe: bool = False,
 ) -> str:
     """DuckDB twin of the LSH-bucketed dedup path — a FULL replay, not
@@ -831,11 +897,15 @@ def semantic_dedup_lsh_sql(
     one; the recall-vs-exact-anchor measurement in bench.py stays as
     the approximation-quality gate. ``multi_probe`` mirrors the Spark
     side's Hamming-1 probing (one candidate-join side unions every
-    single-bit flip of its bucket)."""
+    single-bit flip of its bucket).
+
+    The adaptive per-band width is replayed IN SQL: ``sdl_params``
+    computes the same integer rule as :func:`dedup_bits_for` from
+    COUNT(*) of emb_norm (both engines count the same norm-filtered
+    frame), the 8×16-plane bank is embedded as literals, and every
+    stage filters plane/probe indexes to ``p < bits``."""
     from ..library.connected_components import oracle_ctes
 
-    assert (N_TABLES * N_PLANES) % groups == 0, (groups, N_TABLES, N_PLANES)
-    per = (N_TABLES * N_PLANES) // groups
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
         f"{DIM}), i -> n.e[i] * pl.plane[i])), (acc, x) -> acc + x)"
@@ -849,19 +919,31 @@ lsh_probes AS MATERIALIZED (
     SELECT vec_id, g, bucket FROM lsh_buckets
     UNION ALL
     SELECT vec_id, g, xor(bucket, CAST(1 << f.i AS BIGINT)) AS bucket
-    FROM lsh_buckets, (SELECT unnest(generate_series(0, {per - 1})) AS i) f
+    FROM lsh_buckets,
+         (SELECT unnest(generate_series(0, {DEDUP_MAX_BITS - 1})) AS i) f
+    WHERE f.i < (SELECT bits FROM sdl_params)
 ),"""
-    pair_ctes = f"""lsh_planes AS (
-    SELECT * FROM (VALUES {_planes_values_sql()}) AS t(tbl, p, plane)
+    pair_ctes = f"""sdl_params AS (
+    SELECT COALESCE(
+        (SELECT MIN(b)
+         FROM (SELECT unnest(generate_series({N_PLANES},
+                                             {DEDUP_MAX_BITS - 1})) AS b)
+         WHERE (CAST(1 AS BIGINT) << b) * {DEDUP_TARGET_CELL}
+               >= (SELECT COUNT(*) FROM emb_norm)),
+        {DEDUP_MAX_BITS}) AS bits
+),
+lsh_planes AS (
+    SELECT * FROM (VALUES {_dedup_planes_values_sql()}) AS t(tbl, p, plane)
 ),
 lsh_bits AS MATERIALIZED (
-    SELECT n.vec_id, (pl.tbl * {N_PLANES} + pl.p) AS gidx,
+    SELECT n.vec_id, pl.tbl AS g, pl.p AS p,
            CASE WHEN {dot} > 0 THEN 1 ELSE 0 END AS bit
     FROM emb_norm n CROSS JOIN lsh_planes pl
+    WHERE pl.p < (SELECT bits FROM sdl_params)
 ),
 lsh_buckets AS MATERIALIZED (
-    SELECT vec_id, CAST(gidx // {per} AS INT) AS g,
-           CAST(SUM(CASE WHEN bit = 1 THEN (1 << (gidx % {per}))
+    SELECT vec_id, g,
+           CAST(SUM(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << p)
                     ELSE 0 END) AS BIGINT) AS bucket
     FROM lsh_bits GROUP BY 1, 2
 ),{probe_cte}
