@@ -25,9 +25,15 @@ duplicates:
   rotated replicas are ~0.95-Jaccard near-duplicates in shingle
   space — measured as a 17x dedup_minhash_lsh blowup at 10x before
   the permutation fix.)
-- embeddings: vec_id offset; the vector is np.roll'ed by the replica
-  index (norm- and distribution-preserving, cosine-neighborhood
-  destroying) for the same reason.
+- embeddings: vec_id offset; the vector's DIMENSIONS are permuted by a
+  per-replica seeded random permutation (norm- and distribution-
+  preserving, cosine-neighborhood destroying) for the same reason.
+  (A plain np.roll is not enough: roll wraps modulo the dimension
+  count, so for K > dim replica k and replica k+dim get byte-identical
+  vectors — exact cross-replica duplicate cliques, the same
+  accidental-structure failure as the rotation-vs-permutation lesson
+  above. Seeded permutations are collision-free for any K: two
+  replicas coincide only if their permutations are equal, ~1/dim!.)
 - events: event_id and user_id offset per replica (new users, same
   time window — the realistic shape of traffic growth). NOTE: the uu
   co-occurrence graph densifies superlinearly under this (documented
@@ -88,11 +94,17 @@ def _strides(src: str) -> dict[str, int]:
 
 
 def _permute_words(text: str, k: int, doc_id: int) -> str:
-    if not text:
+    """Word permutation can only decorrelate docs with >= 2 words; a
+    0/1-word doc would be byte-identical across all K replicas (a
+    K-clique of exact duplicates per doc). Salt those with a replica
+    token so the dup-group distribution stays preserved for arbitrary
+    SRC corpora (the shipped sf0.1 has none, but the tool must not
+    silently reintroduce the inflated-dup-group problem elsewhere)."""
+    if not isinstance(text, str):
         return text
     words = text.split()
     if len(words) < 2:
-        return text
+        return f"{text} r{k}x{doc_id}".strip()
     rs = np.random.RandomState((k * 1_000_003 + doc_id * 7919) % (2**31 - 1))
     return " ".join(words[i] for i in rs.permutation(len(words)))
 
@@ -103,7 +115,7 @@ def _replica(df: pd.DataFrame, table: str, k: int, strides: dict[str, int]) -> p
         out[col] = df[col] + k * strides[col]
     if table == "documents" and k > 0:
         permuted = [
-            _permute_words(t, k, i) if isinstance(t, str) else t
+            _permute_words(t, k, i)
             for i, t in zip(df["doc_id"], df["text"])
         ]
         out["text"] = permuted
@@ -111,8 +123,9 @@ def _replica(df: pd.DataFrame, table: str, k: int, strides: dict[str, int]) -> p
         out["n_chars"] = out["n_chars"].astype(df["n_chars"].dtype)
     if table == "embeddings" and k > 0:
         mat = np.stack([np.asarray(v, dtype=np.float32) for v in df["embedding"]])
-        rolled = np.roll(mat, k, axis=1)
-        out["embedding"] = list(rolled)
+        rs = np.random.RandomState((k * 2_000_029) % (2**31 - 1))
+        perm = rs.permutation(mat.shape[1])
+        out["embedding"] = list(mat[:, perm])
     return out
 
 

@@ -80,7 +80,8 @@ SWEEP = [
 UU_FAMILY = ["kcore_uu", "community_detection_uu"]
 
 
-def run_point(pname: str, sweep: list[str], out_path: str, passes: int) -> int:
+def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
+              run_id: str = "") -> int:
     """Child mode: one scale point, one JVM, JSONL appended per query."""
     from flink_graph_spark import registry
     from flink_graph_spark.plans.session import get_spark, tune_session
@@ -141,6 +142,7 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int) -> int:
                     err = repr(exc)[:300]
                 fh.write(json.dumps({"point": pname, "query": q,
                                      "pass": _pass, "sec": t,
+                                     "run_id": run_id,
                                      **({"error": err} if err else {})}) + "\n")
                 fh.flush()
                 _evict()
@@ -156,28 +158,37 @@ def main() -> int:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default="/tmp/fgs_scaled/sweep.jsonl")
+    # run-id stamping: the out file is opened in append mode by children,
+    # so without a filter the parent's aggregation would silently mix
+    # timings from earlier runs of possibly different code versions into
+    # the reported mins and fitted exponents. The parent stamps a fresh
+    # id, children record it, aggregation keeps only the current run.
+    ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
     if args.point:
         sweep = args.queries.split(",") if args.queries else (
             SWEEP + (UU_FAMILY if args.point == "p1" else []))
-        return run_point(args.point, sweep, args.out, args.passes)
+        return run_point(args.point, sweep, args.out, args.passes,
+                         run_id=args.run_id or "")
 
+    run_id = args.run_id or f"run{int(time.time())}"
     for pname in args.points.split(","):
         qarg = ["--queries", args.queries] if args.queries else []
         rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--point", pname,
-             "--out", args.out, "--passes", str(args.passes)] + qarg,
+             "--out", args.out, "--passes", str(args.passes),
+             "--run-id", run_id] + qarg,
             cwd=REPO).returncode
         print(f"point {pname} rc={rc}", file=sys.stderr, flush=True)
 
-    # aggregate JSONL -> min per (query, point), exponent between the
-    # two largest points with data for the query
+    # aggregate JSONL -> min per (query, point) over THIS run only,
+    # exponent between the two largest points with data for the query
     out: dict[str, dict[str, float]] = {}
     with open(args.out) as fh:
         for line in fh:
             rec = json.loads(line)
-            if rec["sec"] < 0:
+            if rec.get("run_id") != run_id or rec["sec"] < 0:
                 continue
             cur = out.setdefault(rec["query"], {}).get(rec["point"])
             if cur is None or rec["sec"] < cur:
@@ -190,6 +201,7 @@ def main() -> int:
             if ta > 0 and tb > 0:
                 exps[q] = round(math.log(tb / ta) / math.log(kb / ka), 2)
     print(json.dumps({
+        "run_id": run_id,
         "points": {p: {"dir": d, "K": k} for p, (d, k) in POINTS.items()},
         "queries": out,
         "exponents": exps,
