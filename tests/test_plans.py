@@ -65,18 +65,18 @@ def test_simhash_single_agg_pass_no_bit_explode(spark, queries):
     assert plan.count("explode(") == 1
 
 
-def test_ann_lsh_joins_are_bucketed_not_all_pairs(spark, queries):
-    # The only nested-loop allowed in the LSH plan is the broadcast
-    # against the 32-row hyperplane bank; candidate generation must be
-    # an equi-join on (table, bucket) and scoring a hash join — never a
-    # corpus×corpus product.
+def test_ann_lsh_hamming_filter_is_codegen_hash_join(spark, queries):
+    # The sketch path must attach the query batch with a Broadcast
+    # HASH join (constant non-foldable key) so the Hamming prefilter
+    # evaluates inside whole-stage codegen — a BroadcastNestedLoopJoin
+    # condition runs on the interpreted expression path, which measured
+    # as expensive as the cosine folds the sketch exists to skip.
     plan = _final_plan(spark, queries["ann_topk_lsh"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # candidates must come from an equi-join on (table, bucket) — the
-    # signature pattern of bucketed LSH, vs an all-pairs product
-    assert re.search(r"keys \[\d+\]: \[table#\d+, bucket#\d+", plan)
-    # scoring attaches vectors via hash joins above the candidate list
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the prefilter itself: xor + bit_count against the packed longs
+    assert "bit_count" in plan
 
 
 def test_bucketed_graph_feeds_superstep_join_without_edge_exchange(spark):

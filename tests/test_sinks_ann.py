@@ -74,20 +74,23 @@ def _recall_at_k(exact_df, approx_df) -> float:
 
 
 def test_ann_recall_gate(spark):
-    """The recall floors an approximate index must clear to be usable
-    (measured values recorded in COVERAGE.md): LSH multi-table+multi-
-    probe ≥ 0.9, LSH single-probe ≥ 0.6, IVF nprobe=4/nlist=16 ≥ 0.8,
-    all recall@10 over 5 queries vs the exact brute-force baseline.
+    """Recall floors at the unit-test corpus (n=500): the sketch path
+    with its adaptive cut (60 at this size) must clear 0.9; IVF is
+    gated with the explicit generous (nlist=16, nprobe=4) config — a
+    25% scan — because a fixed-fraction 1/16 probe is not meaningfully
+    better than chance on a 500-vector near-uniform corpus (documented
+    guidance: brute-force corpora below ~1k; the scan is trivial
+    there). The ADAPTIVE contract is gated where it is sized to work:
+    bench.py measures lsh/ivf defaults at sf0.1 with the registered
+    64-query batch (0.95 / 0.91 measured) and records them in the
+    BENCH artifact.
     """
     emb = load_table(spark, SF_DIR, "embeddings")
     exact = sim_mod.ann_topk_bruteforce(emb, n_queries=5, k=10)
+    assert _recall_at_k(exact, sim_mod.ann_topk_lsh(emb, 5, 10)) >= 0.9
     assert _recall_at_k(
-        exact, sim_mod.ann_topk_lsh(emb, 5, 10, multi_probe=True)
-    ) >= 0.9
-    assert _recall_at_k(
-        exact, sim_mod.ann_topk_lsh(emb, 5, 10, multi_probe=False)
-    ) >= 0.6
-    assert _recall_at_k(exact, sim_mod.ann_topk_ivf(emb, 5, 10)) >= 0.8
+        exact, sim_mod.ann_topk_ivf(emb, 5, 10, nlist=16, nprobe=4)
+    ) >= 0.8
 
 
 def test_running_user_totals_matches_batch(spark):
@@ -121,11 +124,69 @@ def test_kmeans_centroids_deterministic_and_stable(spark):
     r2 = {r["list_id"]: r["ce"] for r in c2.collect()}
     assert set(r1) == set(range(8))      # no list lost
     assert r1 == r2                       # no RNG anywhere
-    # trained IVF still clears the recall floor
+    # trained IVF still clears the recall floor (explicit generous
+    # config at this corpus size — see test_ann_recall_gate)
     exact = sim_mod.ann_topk_bruteforce(emb, n_queries=5, k=10)
     assert _recall_at_k(
-        exact, sim_mod.ann_topk_ivf(emb, 5, 10, train_iters=2)
+        exact,
+        sim_mod.ann_topk_ivf(emb, 5, 10, nlist=16, nprobe=4, train_iters=2),
     ) >= 0.8
+
+
+def test_ivf_vectorized_assignment_bit_equal_to_fold(spark):
+    """The Arrow/BLAS-shortlist assignment kernel must agree with the
+    interpreted struct-fold path on every row — the exact-rescore trick
+    only works if the left-associated accumulation really reproduces
+    the fold's doubles (this is the invariant the DuckDB hash gate
+    relies on at bench scale, where the vectorized path runs)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = sim_mod.with_norm(emb)
+    cent = n.filter("vec_id < 48").selectExpr(
+        "vec_id AS list_id", "e AS ce", "nrm AS cn"
+    )
+    fold = {
+        r["vec_id"]: r["list_id"]
+        for r in sim_mod.assign_lists(n, cent, vectorized=False).collect()
+    }
+    fast = {
+        r["vec_id"]: r["list_id"]
+        for r in sim_mod.assign_lists(n, cent, vectorized=True).collect()
+    }
+    assert fold == fast
+
+
+def test_ann_sig_kernel_matches_sql_replay(spark):
+    """The numpy signature kernel and the DuckDB twin's plane-dot SQL
+    must produce the same packed longs for every vector — the bit-for-
+    bit foundation of the ann_topk_lsh hash-checked oracle."""
+    import duckdb
+
+    from flink_graph_spark.functions.similarity import (
+        ANN_SIGS_SQL,
+        EMB_NORM_SQL,
+        _sig_planes_values_sql,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        r["vec_id"]: (r["sig0"], r["sig1"])
+        for r in sim_mod.with_sig(emb).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    sigs = ANN_SIGS_SQL.format(values=_sig_planes_values_sql())
+    ref = {
+        vid: (s0, s1)
+        for vid, s0, s1 in con.sql(
+            f"WITH {EMB_NORM_SQL.strip()},\n{sigs}\n"
+            "SELECT s.vec_id, s.sig0, s.sig1 FROM ann_sigs s "
+            "JOIN emb_norm n ON s.vec_id = n.vec_id"
+        ).fetchall()
+    }
+    assert got == ref
 
 
 # ---- semantic dedup ---------------------------------------------------
@@ -276,11 +337,13 @@ def test_orc_graph_round_trip(spark, tmp_path, golden):
 
 def test_bench_recall_harness_clears_gates(spark):
     """bench.measure_recall (the driver-artifact recall emitter for the
-    three rows-only queries) returns every gate key with ok=True at the
-    fixture SF — the same floors test_ann_recall_gate asserts directly."""
+    three approximate queries) returns every gate key with ok=True at
+    its committed SFs — the ANN paths at the bench corpus (sf0.1,
+    where the adaptive contract is sized to work), semantic dedup at
+    the oracle corpus (sf0.01)."""
     import bench
 
-    got = bench.measure_recall(spark, SF_DIR)
+    got = bench.measure_recall(spark)
     assert set(got) == set(bench.RECALL_GATES)
     for q, row in got.items():
         assert row["ok"], f"{q} recall {row['recall']} < gate {row['gate']}"

@@ -147,8 +147,61 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
                 fh.flush()
                 _evict()
             print(f"pass {_pass} @ {pname} done", file=sys.stderr, flush=True)
+        if "ann_topk_ivf" in sweep:
+            _ann_extras(spark, sf_dir, pname, fh, passes, run_id)
     spark.stop()
     return 0
+
+
+def _ann_extras(spark, sf_dir, pname, fh, passes, run_id) -> None:
+    """Warm-vs-cold IVF split + measured recall per scale point.
+
+    The cold `ann_topk_ivf` row prices build+probe in one shot; a real
+    deployment builds the inverted lists ONCE (a map-side assignment
+    pass) and serves query batches against the materialized index.
+    `ann_topk_ivf_build` records that one-time cost,
+    `ann_topk_ivf_warm` the amortized per-batch cost — the number a
+    1000-executor serving job actually pays. Recall rows record the
+    approximation quality of both index paths against the exact
+    baseline AT EACH SCALE POINT (the bench gate only sees sf0.1)."""
+    import pyspark.sql.functions as F
+
+    from flink_graph_spark.functions import similarity as sim
+    from flink_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist, nprobe = sim.ivf_params_for(emb.count())
+    t0 = time.time()
+    n = sim.with_norm(emb)
+    cent, lists = sim.ivf_build(n, nlist)
+    cent = cent.localCheckpoint(eager=True)
+    lists = lists.localCheckpoint(eager=True)
+    fh.write(json.dumps({"point": pname, "query": "ann_topk_ivf_build",
+                         "pass": 0, "sec": round(time.time() - t0, 3),
+                         "nlist": nlist, "run_id": run_id}) + "\n")
+    q = n.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+    ).localCheckpoint(eager=True)
+    for _pass in range(passes):
+        t0 = time.time()
+        sim.ivf_probe(cent, lists, q, k=10, nprobe=nprobe).write.format(
+            "noop").mode("overwrite").save()
+        fh.write(json.dumps({"point": pname, "query": "ann_topk_ivf_warm",
+                             "pass": _pass,
+                             "sec": round(time.time() - t0, 3),
+                             "run_id": run_id}) + "\n")
+        fh.flush()
+    exact = {(r["query_id"], r["vec_id"])
+             for r in sim.ann_topk_bruteforce(emb, 64, 10).collect()}
+    for qname, df in (("ann_topk_lsh", sim.ann_topk_lsh(emb, 64, 10)),
+                      ("ann_topk_ivf", sim.ann_topk_ivf(emb, 64, 10))):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        fh.write(json.dumps({"point": pname, "query": qname,
+                             "recall": round(len(exact & got) / len(exact), 4),
+                             "run_id": run_id}) + "\n")
+    fh.flush()
 
 
 def main() -> int:
@@ -185,10 +238,16 @@ def main() -> int:
     # aggregate JSONL -> min per (query, point) over THIS run only,
     # exponent between the two largest points with data for the query
     out: dict[str, dict[str, float]] = {}
+    recalls: dict[str, dict[str, float]] = {}
     with open(args.out) as fh:
         for line in fh:
             rec = json.loads(line)
-            if rec.get("run_id") != run_id or rec["sec"] < 0:
+            if rec.get("run_id") != run_id:
+                continue
+            if "recall" in rec:
+                recalls.setdefault(rec["query"], {})[rec["point"]] = rec["recall"]
+                continue
+            if rec["sec"] < 0:
                 continue
             cur = out.setdefault(rec["query"], {}).get(rec["point"])
             if cur is None or rec["sec"] < cur:
@@ -205,6 +264,7 @@ def main() -> int:
         "points": {p: {"dir": d, "K": k} for p, (d, k) in POINTS.items()},
         "queries": out,
         "exponents": exps,
+        "ann_recall": recalls,
         "uu_family_p1_only": UU_FAMILY,
     }))
     return 0
