@@ -461,6 +461,13 @@ def main() -> int:
                 # no-op — box-health context (healthy: tens of ms; see
                 # BASELINE.md box-degradation note)
                 "sched_probe_ms_per_job": sched_probe,
+                # Probe-gated comparability flag (r5 verdict item 4):
+                # True only when BOTH probes are under 100 ms/job.
+                # When False, this artifact's absolute numbers must
+                # not be compared against quiet-box records — the
+                # 177.6-181.4s headline / 53.9-56.1s r1 subtotal in
+                # BASELINE.md remain the performance-of-record.
+                "comparable": all(p < 100.0 for p in sched_probe),
                 "partial": interrupted["flag"] or None,
                 "sf": sf,
             }

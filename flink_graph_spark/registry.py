@@ -3680,21 +3680,56 @@ _ORACLE_UPGRADED = [
 ]
 
 
+# Round-6 rotation state. All 193 queries are driver-signed (union of
+# r1+r2+r3+r5, zero failures); freshness is now the metric (r5 verdict
+# item 5). The front of the gate order is therefore:
+#   1. the queries whose CONTRACT changed this round (the three ANN
+#      paths: 64-query batch + adaptive sketch/nlist oracles) — their
+#      old signatures describe a query that no longer exists;
+#   2. the 50 queries whose newest signature is still CORRECTNESS_r01
+#      — four rounds of shared-machinery churn ago (list computed from
+#      the artifacts: newest-round-per-query == r1);
+#   3. everything else by ascending signature freshness (r2, r3, r5).
+_R06_CONTRACT_CHANGED = [
+    "ann_topk_bruteforce",   # n_queries 5 -> 64
+    "ann_topk_lsh",          # sparse Hamming-sketch redesign
+    "ann_topk_ivf",          # adaptive nlist/nprobe
+]
+
+_SIGNED_R1_ONLY = [
+    "degrees_out", "degrees_in", "degrees_total", "top_degree_vertices",
+    "graph_metrics", "map_vertices", "map_edges", "reverse_edges",
+    "undirected_edges", "subgraph_edges", "subgraph_vertices",
+    "filter_on_edges", "filter_on_vertices_edges", "join_with_vertices",
+    "join_with_edges", "join_with_edges_on_source",
+    "join_with_edges_on_target", "triplets", "reduce_on_edges_out",
+    "reduce_on_edges_in", "reduce_on_edges_all", "reduce_on_neighbors_out",
+    "reduce_on_edges_with_vv", "reduce_on_neighbors_with_vv",
+    "reduce_on_neighbors_all", "reduce_on_neighbors_in", "union_graphs",
+    "golden_mutations", "intersect_graphs", "difference_graphs",
+    "validate_vertex_ids", "sssp_golden", "cc_golden",
+    "is_weakly_connected_golden", "pagerank_golden", "lpa_golden",
+    "pagerank_cs", "sssp_cs", "cc_cs", "lpa_cs", "jaccard_part_copurchase",
+    "uu_graph_edges", "text_stats", "token_counts", "quality_score",
+    "lang_id", "doc_fingerprint", "corpus_prep", "dedup_exact_stats",
+    "dedup_exact",
+]
+
+
 def _apply_priority_order() -> None:
-    # Round-4 rotation (r3 verdict item 1): the driver signs ~50
-    # entries per round, front of this order first. Every query the
-    # r1/r2/r3 artifacts already signed goes BEHIND the never-signed
-    # block, so the round-4 artifact completes the 193/193 union
-    # (43 never-signed lead the line, then the 3 oracle upgrades;
-    # re-signing the rest is bonus).
-    never_signed = [q for q in _NEVER_SIGNED if q not in set(_SIGNED_R3)]
-    never_signed += [q for q in _ORACLE_UPGRADED if q not in never_signed]
-    front = (
-        never_signed
-        + [q for q in _SIGNED_R3 if q not in set(never_signed)]
-        + _SIGNED_R2_B
-        + [q for q in _SIGNED_R2_A if q not in set(never_signed)]
+    # The driver signs ~50 entries per round, front of this order
+    # first. With 3 contract-changed + 50 r1-stale queries the last
+    # few r1 entries may spill past a 50-slot budget — they stay at
+    # the head of the line for round 7.
+    front = _R06_CONTRACT_CHANGED + [
+        q for q in _SIGNED_R1_ONLY if q not in _R06_CONTRACT_CHANGED
+    ]
+    rest = (
+        _SIGNED_R2_B
+        + [q for q in _SIGNED_R2_A if q not in set(front)]
+        + [q for q in _SIGNED_R3 if q not in set(front)]
     )
+    front += [q for q in rest if q not in set(front)]
     assert set(front) <= set(SPARK_QUERIES), set(front) - set(SPARK_QUERIES)
     order = front + [n for n in SPARK_QUERIES if n not in front]
     for d in (SPARK_QUERIES, ORACLE_SQL):
