@@ -116,6 +116,18 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # box-health probe (same shape as bench.py): ms/job for a trivial
+    # 32-task no-op, median of 9 — recorded per point so the artifact
+    # self-describes whether its absolute numbers are quiet-box grade
+    sc = spark.sparkContext
+    samples = []
+    for _ in range(9):
+        t0 = time.time()
+        sc.parallelize(range(32), 32).count()
+        samples.append((time.time() - t0) * 1000)
+    samples.sort()
+    probe_ms = round(samples[len(samples) // 2], 1)
+
     jsc = spark.sparkContext._jsc
     keep_ids = set(jsc.getPersistentRDDs().keySet().toArray())
 
@@ -129,6 +141,8 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
         registry.jvm_gc(spark)
 
     with open(out_path, "a") as fh:
+        fh.write(json.dumps({"point": pname, "probe_ms_per_job": probe_ms,
+                             "run_id": run_id}) + "\n")
         for _pass in range(passes):
             for q in sweep:
                 t0 = time.time()
@@ -239,10 +253,14 @@ def main() -> int:
     # exponent between the two largest points with data for the query
     out: dict[str, dict[str, float]] = {}
     recalls: dict[str, dict[str, float]] = {}
+    probes: dict[str, float] = {}
     with open(args.out) as fh:
         for line in fh:
             rec = json.loads(line)
             if rec.get("run_id") != run_id:
+                continue
+            if "probe_ms_per_job" in rec:
+                probes[rec["point"]] = rec["probe_ms_per_job"]
                 continue
             if "recall" in rec:
                 recalls.setdefault(rec["query"], {})[rec["point"]] = rec["recall"]
@@ -265,6 +283,8 @@ def main() -> int:
         "queries": out,
         "exponents": exps,
         "ann_recall": recalls,
+        "probe_ms_per_job": probes,
+        "comparable": bool(probes) and all(p < 100.0 for p in probes.values()),
         "uu_family_p1_only": UU_FAMILY,
     }))
     return 0
