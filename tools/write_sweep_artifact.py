@@ -1,0 +1,84 @@
+"""Aggregate a scale-sweep JSONL into the committed SWEEP_r{N}.json.
+
+Mirrors tools/scale_sweep.py's parent aggregation (min per
+(query, point) within one run id, exponent fit between the two largest
+points) but runs standalone, so a sweep whose parent was cut short —
+e.g. the p100 second pass sacrificed to the round's time budget —
+still yields a complete artifact from the records that exist. Also
+carries error rows (a query that FAILED at a point is a finding, not a
+hole) and the per-point scheduler probes.
+
+Usage: python tools/write_sweep_artifact.py IN.jsonl OUT.json [run_id]
+(run_id defaults to the newest one present in the file)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+POINT_K = {"p1": 1, "p10": 10, "p100": 100}
+
+
+def main() -> int:
+    src, dst = sys.argv[1], sys.argv[2]
+    want = sys.argv[3] if len(sys.argv) > 3 else None
+    rows = [json.loads(l) for l in open(src)]
+    if want is None:
+        ids = [r["run_id"] for r in rows if r.get("run_id")]
+        want = ids[-1]
+    rows = [r for r in rows if r.get("run_id") == want]
+
+    mins: dict[str, dict[str, float]] = {}
+    passes: dict[str, dict[str, list]] = {}
+    recalls: dict[str, dict[str, float]] = {}
+    probes: dict[str, float] = {}
+    errors: dict[str, dict[str, str]] = {}
+    for r in rows:
+        if "probe_ms_per_job" in r:
+            probes[r["point"]] = r["probe_ms_per_job"]
+        elif "recall" in r:
+            recalls.setdefault(r["query"], {})[r["point"]] = r["recall"]
+        elif r.get("sec", -1) < 0:
+            errors.setdefault(r["query"], {})[r["point"]] = r.get(
+                "error", "?"
+            )[:200]
+        else:
+            q, p = r["query"], r["point"]
+            passes.setdefault(q, {}).setdefault(p, []).append(r["sec"])
+            cur = mins.setdefault(q, {}).get(p)
+            if cur is None or r["sec"] < cur:
+                mins[q][p] = r["sec"]
+
+    exps = {}
+    for q, pts in mins.items():
+        have = sorted((POINT_K[p], t) for p, t in pts.items())
+        if len(have) >= 2:
+            (ka, ta), (kb, tb) = have[-2], have[-1]
+            if ta > 0 and tb > 0:
+                exps[q] = round(math.log(tb / ta) / math.log(kb / ka), 2)
+
+    out = {
+        "run_id": want,
+        "points": {p: {"K": k} for p, k in POINT_K.items()},
+        "pass_counts": {
+            q: {p: len(v) for p, v in d.items()} for q, d in passes.items()
+        },
+        "queries": mins,
+        "exponents": exps,
+        "ann_recall": recalls,
+        "probe_ms_per_job": probes,
+        "comparable": bool(probes)
+        and all(p < 100.0 for p in probes.values()),
+        "errors": errors,
+    }
+    with open(dst, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {dst}: {len(mins)} queries, {len(errors)} error rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
