@@ -80,8 +80,14 @@ FROM sess GROUP BY 1, 2"""
 
 def json_k_stats(events: DataFrame) -> DataFrame:
     """Extract the JSON property ``$.k`` from props and aggregate per
-    event type. get_json_object stays JVM-side (no Python UDF)."""
-    k = F.get_json_object("props", "$.k").cast("long")
+    event type. get_json_object stays JVM-side (no Python UDF).
+
+    try_cast, not cast: props is a user payload, so ``$.k`` can hold a
+    non-numeric string — under ANSI mode a hard cast THROWS
+    (CAST_INVALID_INPUT, found by the round-6 unicode fuzz), killing
+    the whole query for one malformed row. Malformed values become
+    NULL (skipped by the aggs), same TRY_CAST rule as the twin."""
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS LONG)")
     return events.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),
@@ -92,10 +98,10 @@ def json_k_stats(events: DataFrame) -> DataFrame:
 
 JSON_K_STATS_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1"""
 
 

@@ -3694,6 +3694,7 @@ _R06_CONTRACT_CHANGED = [
     "ann_topk_bruteforce",   # n_queries 5 -> 64
     "ann_topk_lsh",          # sparse Hamming-sketch redesign
     "ann_topk_ivf",          # adaptive nlist/nprobe
+    "json_k_stats",          # try_cast NULL contract for malformed $.k
 ]
 
 _SIGNED_R1_ONLY = [

@@ -181,6 +181,13 @@ def _spike_event_nulls(ev: pd.DataFrame, rng) -> pd.DataFrame:
         ev.loc[1, "event_id"] = 2**61
         ev.loc[3, "user_id"] = -5
         ev.loc[4, "value"] = 1e15
+        # unicode keys/payloads flow through the whole event family,
+        # INCLUDING every availableNow streaming snapshot (grouping,
+        # pivots, JSON extraction, session labels): combining marks,
+        # astral-plane emoji, RTL text, and unicode inside JSON values
+        ev.loc[6, "event_type"] = "clićk-\U0001F525"
+        ev.loc[7, "event_type"] = "קניה"  # RTL
+        ev.loc[8, "props"] = '{"k": "véłü€", "n": 1}'
     return ev
 
 
