@@ -336,7 +336,17 @@ def _ann_sig_pandas(e_series):
 
     if len(e_series) == 0:
         return pd.Series([], dtype=object)
-    mat = np.stack(e_series.to_numpy()).astype(np.float64)  # (rows, DIM)
+    # NULL embeddings get a [0, 0] placeholder signature rather than
+    # relying on the caller's nrm > 0 filter being pushed below this
+    # UDF by the optimizer — the downstream filter still drops the row
+    # (a NULL array folds to a NULL norm), but the kernel must not
+    # crash on a batch that contains one. Structural guard, not an
+    # optimizer-dependent invariant.
+    raw = e_series.to_numpy()
+    valid = np.array([v is not None for v in raw])
+    if not valid.any():
+        return pd.Series([[0, 0]] * len(raw))
+    mat = np.stack(raw[valid]).astype(np.float64)  # (valid rows, DIM)
     sig0 = np.zeros(len(mat), dtype=np.int64)
     sig1 = np.zeros(len(mat), dtype=np.int64)
     for p, (idx, sgn) in enumerate(ANN_SIG_PLANES):
@@ -348,7 +358,11 @@ def _ann_sig_pandas(e_series):
             sig0 |= bit << p
         else:
             sig1 |= bit << (p - 62)
-    return pd.Series([[int(a), int(b)] for a, b in zip(sig0, sig1)])
+    out0 = np.zeros(len(raw), dtype=np.int64)
+    out1 = np.zeros(len(raw), dtype=np.int64)
+    out0[valid] = sig0
+    out1[valid] = sig1
+    return pd.Series([[int(a), int(b)] for a, b in zip(out0, out1)])
 
 
 # DataType object, not a DDL string: string types are parsed through the
@@ -1081,7 +1095,11 @@ def ann_topk_ivf_sql(n_queries: int = 5, k: int = 10) -> str:
     selection is the same ranking over the query subset, and the final
     top-k ranks bit-identical doubles. nlist/nprobe are the adaptive
     :func:`ivf_params_for` integers, recomputed here from COUNT(*) of
-    the same norm-filtered frame. The trained (``train_iters>0``)
+    the RAW embeddings table — deliberately, because the Spark side
+    sizes them from ``emb.count()`` on the raw table too (metadata-only
+    on parquet; see :func:`ann_cut_for`). Do not "fix" the CASE to
+    count emb_norm: it would diverge from the Spark integers on any
+    corpus with zero-norm rows. The trained (``train_iters>0``)
     variant stays rows-only: Lloyd means are float partial sums whose
     combine order Spark does not pin — that knob is covered by the
     determinism + recall tests, not this twin."""

@@ -189,6 +189,33 @@ def test_ann_sig_kernel_matches_sql_replay(spark):
     assert got == ref
 
 
+def test_ann_sig_kernel_survives_null_embeddings(spark):
+    """A NULL embedding in an Arrow batch must not crash the signature
+    kernel (structural guard — correctness must not depend on Catalyst
+    pushing the nrm > 0 filter below the UDF). NULL rows get a [0, 0]
+    placeholder and are dropped by with_sig's norm filter."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(8)
+    with_null = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    got = sim_mod.with_sig(with_null).collect()
+    assert all(r["vec_id"] % 3 != 0 for r in got)
+    clean = {
+        r["vec_id"]: (r["sig0"], r["sig1"])
+        for r in sim_mod.with_sig(emb).collect()
+    }
+    for r in got:
+        assert (r["sig0"], r["sig1"]) == clean[r["vec_id"]]
+    # all-NULL batch: kernel still returns placeholders, frame is empty
+    all_null = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    assert sim_mod.with_sig(all_null).count() == 0
+
+
 # ---- semantic dedup ---------------------------------------------------
 
 def test_semantic_lsh_pairs_subset_of_exact_with_recall(spark):
