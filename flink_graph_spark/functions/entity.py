@@ -15,7 +15,7 @@ is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIRTY_MOD = 40  # every 40th customer gets a perturbed clone
@@ -61,18 +61,45 @@ er_cust AS MATERIALIZED (
 # to catch.
 BLOCK_PREFIX_LEN = 17
 
+# A good key is still not a GUARANTEE: real corpora have skewed blocks
+# (one city, one surname, a default value), and any block of K members
+# contributes K²/2 candidate pairs no matter how selective the key is
+# on average (measured: the 100× replicated sweep corpus, where
+# replicas share names by construction, drove the all-pairs-in-block
+# candidate stage to exponent 1.36). The guard is the SORTED
+# NEIGHBORHOOD method (Hernández & Stolfo 1995): rank each block's
+# members by (c_name, c_custkey) and compare only pairs within
+# NEIGHBORHOOD_WINDOW ranks — per-record work is bounded by the window
+# regardless of block size, so the worst-case candidate stage is
+# linear in n. The ordering key puts near-identical names adjacent
+# (the injected clone differs only in its final character, so it
+# always sits within ~10 ranks of its original at every shipped SF),
+# and true K-member duplicate clusters bigger than the window are
+# still recovered transitively: rank-adjacent chains of matches
+# connect the whole cluster for the downstream connected-components
+# consumer. Blocks at or under window+1 members — every block at the
+# shipped SFs — compare ALL pairs, so the cap changes nothing where
+# it doesn't bind.
+NEIGHBORHOOD_WINDOW = 16
+
 
 def entity_matches(
     customers_dirty: DataFrame,
     prefix_len: int = BLOCK_PREFIX_LEN,
     threshold: float = MATCH_THRESHOLD,
     round_to: int = 6,
+    window: int = NEIGHBORHOOD_WINDOW,
 ) -> DataFrame:
     """(ka, kb, sim) — matched pairs under the MULTI-FIELD score
     0.7·name_similarity + 0.3·balance_agreement: on id-style names
     (digits-only differences) the name field alone cannot separate a
     perturbed clone from a neighboring key, which is exactly why real
-    record linkage scores several fields (Fellegi–Sunter weights)."""
+    record linkage scores several fields (Fellegi–Sunter weights).
+
+    Candidates are pairs that (a) share the blocking key AND (b) sit
+    within ``window`` ranks in the block's (c_name, c_custkey) order —
+    the sorted-neighborhood cap above. Output keys are ordered
+    (ka < kb) regardless of rank order."""
     blocked = customers_dirty.select(
         "c_custkey",
         "c_name",
@@ -82,16 +109,20 @@ def entity_matches(
             F.expr(f"substring(c_name, 1, {prefix_len})").alias("pfx"),
         ).alias("bk"),
     )
-    a = blocked.select(
+    w = Window.partitionBy("bk").orderBy("c_name", "c_custkey")
+    ranked = blocked.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("na"),
         F.col("c_acctbal").alias("ba"),
+        F.col("rn").alias("ra"),
         "bk",
     )
-    b = blocked.select(
+    b = ranked.select(
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
         F.col("c_acctbal").alias("bb"),
+        F.col("rn").alias("rb"),
         "bk",
     )
     name_sim = F.lit(1.0) - F.levenshtein("na", "nb") / F.greatest(
@@ -106,10 +137,17 @@ def entity_matches(
     # [threshold - 5e-7, threshold) diverges at the boundary.
     return (
         a.join(b, "bk")
-        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + F.lit(window))
+        )
         .withColumn("__sim_raw", sim)
         .filter(F.col("__sim_raw") >= threshold)
-        .select("ka", "kb", F.round("__sim_raw", round_to).alias("sim"))
+        .select(
+            F.least("ka", "kb").alias("ka"),
+            F.greatest("ka", "kb").alias("kb"),
+            F.round("__sim_raw", round_to).alias("sim"),
+        )
     )
 
 
@@ -117,18 +155,29 @@ def entity_matches_sql(
     prefix_len: int = BLOCK_PREFIX_LEN,
     threshold: float = MATCH_THRESHOLD,
     round_to: int = 6,
+    window: int = NEIGHBORHOOD_WINDOW,
 ) -> str:
-    """Final SELECT (composes after DIRTY_SQL)."""
+    """Final SELECT (composes after DIRTY_SQL). Replays the sorted-
+    neighborhood rank window exactly: same ROW_NUMBER ordering, same
+    rank-distance bound, same LEAST/GREATEST key ordering."""
     score = (
         "0.7 * (1.0 - levenshtein(a.c_name, b.c_name)"
         " / GREATEST(length(a.c_name), length(b.c_name)))"
         " + 0.3 * (CASE WHEN a.c_acctbal = b.c_acctbal"
         " THEN 1.0 ELSE 0.0 END)"
     )
-    return f"""SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+    return f"""SELECT LEAST(a.c_custkey, b.c_custkey) AS ka,
+       GREATEST(a.c_custkey, b.c_custkey) AS kb,
        ROUND({score}, {round_to}) AS sim
-FROM er_cust a JOIN er_cust b
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey, substr(c_name, 1, {prefix_len})
+          ORDER BY c_name, c_custkey) AS rn
+      FROM er_cust) a
+JOIN (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey, substr(c_name, 1, {prefix_len})
+          ORDER BY c_name, c_custkey) AS rn
+      FROM er_cust) b
   ON a.c_nationkey = b.c_nationkey
  AND substr(a.c_name, 1, {prefix_len}) = substr(b.c_name, 1, {prefix_len})
- AND a.c_custkey < b.c_custkey
+ AND b.rn > a.rn AND b.rn <= a.rn + {window}
 WHERE {score} >= {threshold}"""

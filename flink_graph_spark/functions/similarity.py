@@ -187,65 +187,61 @@ FROM (
 WHERE rank <= {k}"""
 
 
-# ---- hyperplane banks -------------------------------------------------
+# ---- dedup band bank: sparse ±1 planes --------------------------------
 #
-# N_PLANES/N_TABLES/HYPERPLANES are the historic 8x4 dense bank. They
-# remain the bit-0..3 prefix of every DEDUP band (so the dedup banding
-# reproduces its recorded oracle buckets at the adaptive minimum), but
-# the ANN QUERY path no longer uses them: hashing a corpus with T x b
-# dense 64-dim plane dots costs T*b dense dots per vector, and with
-# only n_queries=5 the brute-force scan costs 5 — the round-5 sweep
-# measured the bucketed index 3-3.7x SLOWER than the scan at every
-# scale point, and growing bits adaptively only raises the hashing
-# floor. The replacement is the sparse Hamming sketch below.
-
-N_PLANES = 4  # bits per dedup band sourced from this bank
-N_TABLES = 8  # dedup bands
-
-_rng = random.Random(13)
-HYPERPLANES = [
-    [[_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)]
-    for _ in range(N_TABLES)
-]
-
-# ---- extended bank for the DEDUP banding (adaptive bits per band) ----
+# All-pairs candidate generation has the opposite scaling law from
+# query probing: a band cell with m members contributes m²/2 candidate
+# pairs, and with bits FIXED the expected cell grows linearly in the
+# corpus — the candidate stage is quadratic in n under any static
+# banding (measured: a static 8×4 banding took semantic_dedup_lsh from
+# 7.7s to 1034s for a 2k → 20k corpus). So bits grow with log2(n)
+# (``dedup_bits_for``) to hold cells at a constant population.
 #
-# Query probing (ann_topk_lsh) keeps the 8x4 bank above: few bits per
-# table = wide cells = high per-table recall, and the probe set is tiny.
-# All-pairs candidate generation has the OPPOSITE scaling law: a band
-# cell with m members contributes m^2/2 candidate pairs, and with bits
-# FIXED the expected cell size grows linearly in the corpus — i.e. the
-# candidate stage is quadratic in n no matter which static banding is
-# chosen (measured: the historic 8x4 banding took semantic_dedup_lsh
-# from 7.7s to 1034s for a 2k -> 20k corpus). The scale-correct design
-# grows bits with log2(n) so cells stay at a target population; that
-# needs more planes than the 32-plane ANN bank, so each of the 8 bands
-# extends to up to 16 bits. Bits 0..3 of every band ARE the ANN bank's
-# planes: at the adaptive minimum (bits=4, corpora <= 512 vectors — all
-# oracle SFs) the banding reproduces the historic 8x4 buckets
-# bit-for-bit, keeping every recorded oracle hash and recall number.
-DEDUP_BANDS = N_TABLES
-DEDUP_MAX_BITS = 16
+# Round 7 ports the ANN sketch's plane design down here. The bands
+# historically used DENSE gauss planes, which priced the banding at
+# ~bands·bits dense 64-dim dots per vector — ~104 dense dots at a 200k
+# corpus (bits=13), the same arithmetic that killed the dense ANN
+# bucket bank (SCALING.md §22), and the 16-bit width cap re-opened
+# quadratic candidate growth past n ≈ 2M (2^16·32). Now each band bit
+# is the sign of a SPARSE projection with DEDUP_NNZ=4 nonzero ±1
+# entries ("very sparse random projections", Li/Hastie/Church 2006):
+# 4 multiply-adds per bit instead of 64, so the 200k point costs
+# 8·13·4 = 416 madds ≈ 6.5 dense-dot equivalents — 16× less hashing
+# arithmetic — and the width cap lifts to 40 bits/band (a bucket still
+# packs into one BIGINT far under DuckDB's checked-``<<`` limit of 62),
+# holding cells constant out to 2^40·32 ≈ 3.5e13 vectors, past the
+# ~4e11 embeddings of a 100 TB float corpus. The buckets also now come
+# out of ONE Arrow kernel pass per row (``_banded_bucket_frame``) —
+# no plane cross-join, no groupBy shuffle of n·bands·bits rows.
+
+DEDUP_BANDS = 8
+DEDUP_MIN_BITS = 4
+DEDUP_MAX_BITS = 40
 DEDUP_TARGET_CELL = 32
+DEDUP_NNZ = 4  # nonzeros per sparse plane (density 1/16)
 
-_rng_ext = random.Random(29)
-DEDUP_PLANES = [
-    HYPERPLANES[t]
-    + [
-        [_rng_ext.gauss(0.0, 1.0) for _ in range(DIM)]
-        for _ in range(DEDUP_MAX_BITS - N_PLANES)
+_rng_dedup = random.Random(47)
+# (1-based indices, ±1 signs) per (band, plane) — 1-based so Spark's
+# element indexing and DuckDB's list indexing read the same element.
+DEDUP_SPARSE_PLANES: list[list[tuple[list[int], list[float]]]] = [
+    [
+        (
+            [i + 1 for i in _rng_dedup.sample(range(DIM), DEDUP_NNZ)],
+            [_rng_dedup.choice((-1.0, 1.0)) for _ in range(DEDUP_NNZ)],
+        )
+        for _ in range(DEDUP_MAX_BITS)
     ]
-    for t in range(DEDUP_BANDS)
+    for _ in range(DEDUP_BANDS)
 ]
 
 
 def dedup_bits_for(n_rows: int) -> int:
     """Bits per band so the expected band-cell population stays at or
-    under DEDUP_TARGET_CELL: smallest b in [4, 16) with 2^b * 32 >= n,
-    else 16. Integer-exact, so the DuckDB twin (sdl_params) computes
+    under DEDUP_TARGET_CELL: smallest b in [4, 40) with 2^b * 32 >= n,
+    else 40. Integer-exact, so the DuckDB twin (sdl_params) computes
     the identical value from COUNT(*) — no float log2 at the boundary.
     """
-    for b in range(N_PLANES, DEDUP_MAX_BITS):
+    for b in range(DEDUP_MIN_BITS, DEDUP_MAX_BITS):
         if (1 << b) * DEDUP_TARGET_CELL >= n_rows:
             return b
     return DEDUP_MAX_BITS
@@ -457,6 +453,122 @@ def ann_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("vec_id"))
     return (
         survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---- signature-at-rest ANN (the 100 TB I/O path) ----------------------
+#
+# The inline ann_topk_lsh computes signatures over the raw parquet, so
+# every query batch still READS the full embedding column (~260 B/row)
+# even though ~90% of rows only ever need the 16-byte signature. The
+# index that wins at 100 TB materializes the sketch AT REST — the
+# analogue of ivf_build/ivf_probe for the Hamming path:
+#
+#   build (once): (vec_id, sig0, sig1, nrm) and (vec_id, e), BOTH
+#     bucketed by vec_id with the same bucket count, so the probe's
+#     survivor→vector join is co-located straight off disk.
+#   probe (per batch): scan ONLY the sig table (24 B/row of payload)
+#     for the Hamming prefilter; survivors (~7-22% measured, shrinking
+#     with n) join back to the vector table for the exact cosine —
+#     and because the survivor frame inherits the sig scan's bucketed
+#     partitioning through the broadcast query-attach and the filter,
+#     that join needs ZERO Exchange on either side (plan-asserted in
+#     tests). The per-batch I/O drops from ~260 B/row to ~24 B/row +
+#     vectors for survivors only.
+
+ANN_AT_REST_BUCKETS = 32
+
+
+def write_ann_at_rest(
+    emb: DataFrame,
+    sig_table: str,
+    vec_table: str,
+    buckets: int = ANN_AT_REST_BUCKETS,
+    path_prefix: str | None = None,
+) -> None:
+    """One-time index build: materialize the sparse-SimHash sketch and
+    the norm-filtered vectors as two vec_id-bucketed tables (same
+    column, same bucket count — the zero-exchange join contract of
+    ``write_edges_bucketed``). One kernel pass for the signatures; the
+    vector table is a re-bucketed cast of the raw column (no kernel).
+    ``path_prefix`` writes external tables (callers that must not touch
+    a cwd-relative warehouse dir pass a scratch path)."""
+
+    def _w(df: DataFrame, table: str) -> None:
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "vec_id")
+            .sortBy("vec_id")
+        )
+        if path_prefix is not None:
+            w = w.option("path", f"{path_prefix}/{table}")
+        w.saveAsTable(table)
+
+    _w(with_sig(emb).select("vec_id", "sig0", "sig1", "nrm"), sig_table)
+    _w(with_norm(emb).select("vec_id", "e"), vec_table)
+
+
+def ann_topk_lsh_at_rest(
+    spark,
+    sig_table: str,
+    vec_table: str,
+    n_rows: int,
+    n_queries: int = 5,
+    k: int = 10,
+    cut: int | None = None,
+) -> DataFrame:
+    """The warm probe over the at-rest sketch index — result-identical
+    to :func:`ann_topk_lsh` (same signatures, same adaptive cut from
+    the same raw-table count, same cosine fold), so it shares that
+    query's DuckDB twin verbatim. ``n_rows`` is the RAW embeddings
+    count (metadata-only on parquet; see :func:`ann_cut_for`).
+
+    Plan shape: sig-table scan (24 B/row) → broadcast query attach on
+    the non-foldable constant key (Hamming test in codegen, same
+    lesson as the inline path) → bucketed-bucketed survivor→vector
+    join with no Exchange → window ranks survivors only."""
+    if cut is None:
+        cut = ann_cut_for(n_rows)
+    sigs = spark.table(sig_table)
+    vecs = spark.table(vec_table)
+    key = F.pmod(F.col("vec_id"), F.lit(1)).alias("__k")
+    q = (
+        sigs.filter(F.col("vec_id") < n_queries)
+        .join(vecs.filter(F.col("vec_id") < n_queries), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("eq"),
+            F.col("nrm").alias("nq"),
+            F.col("sig0").alias("qs0"),
+            F.col("sig1").alias("qs1"),
+            key,
+        )
+    )
+    hamdist = F.bit_count(
+        F.col("sig0").bitwiseXOR(F.col("qs0"))
+    ) + F.bit_count(F.col("sig1").bitwiseXOR(F.col("qs1")))
+    survivors = (
+        sigs.withColumn("__k", key)
+        .join(F.broadcast(q), on="__k")
+        .filter(
+            (F.col("query_id") != F.col("vec_id"))
+            & (hamdist <= F.lit(cut))
+        )
+        .select("query_id", "vec_id", "nrm", "eq", "nq")
+    )
+    cos = dot_expr("eq", "e") / (F.col("nq") * F.col("nrm"))
+    scored = survivors.join(vecs, "vec_id").withColumn("__cos", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -779,46 +891,69 @@ def ann_topk_ivf(
 
 # ---- semantic dedup (embedding near-dup → clusters) ------------------
 
-def _dedup_planes_df(spark, bits: int) -> DataFrame:
-    """(table, p, plane double[]) — the first ``bits`` planes of each of
-    the 8 dedup bands (see DEDUP_PLANES: bits 0..3 are the ANN bank).
-    Broadcast data, not literal expressions — same plan-size rationale
-    as ``_planes_df``."""
-    rows = [
-        (t, p, DEDUP_PLANES[t][p])
-        for t in range(DEDUP_BANDS)
-        for p in range(bits)
-    ]
-    return spark.createDataFrame(rows, "table int, p int, plane array<double>")
+def _dedup_bucket_kernel(bits: int):
+    """Arrow kernel factory: (e double[]) → array<long> of the 8 band
+    buckets, each packing the sign bits of ``bits`` sparse projections.
+    Same bit-exactness contract as :func:`_ann_sig_pandas`: each
+    plane's 4 sparse terms accumulate LEFT-ASSOCIATIVELY (d = ((e[i1]*
+    s1 + e[i2]*s2) + e[i3]*s3) + e[i4]*s4) so every double is
+    bit-identical to the SQL twin's left fold; vectorization is across
+    ROWS only. NULL rows get an all-zero placeholder (structural guard
+    — the caller's norm filter drops them regardless of plan shape)."""
+    planes = [DEDUP_SPARSE_PLANES[t][:bits] for t in range(DEDUP_BANDS)]
+
+    def _kernel(e_series):
+        import numpy as np
+        import pandas as pd
+
+        if len(e_series) == 0:
+            return pd.Series([], dtype=object)
+        raw = e_series.to_numpy()
+        valid = np.array([v is not None for v in raw])
+        if not valid.any():
+            return pd.Series([[0] * DEDUP_BANDS] * len(raw))
+        mat = np.stack(raw[valid]).astype(np.float64)
+        buckets = np.zeros((len(mat), DEDUP_BANDS), dtype=np.int64)
+        for t, band in enumerate(planes):
+            for p, (idx, sgn) in enumerate(band):
+                d = mat[:, idx[0] - 1] * sgn[0]
+                for j in range(1, DEDUP_NNZ):
+                    d = d + mat[:, idx[j] - 1] * sgn[j]
+                buckets[:, t] |= (d > 0).astype(np.int64) << p
+        out = np.zeros((len(raw), DEDUP_BANDS), dtype=np.int64)
+        out[valid] = buckets
+        return pd.Series([[int(x) for x in row] for row in out])
+
+    return _kernel
 
 
 def _banded_bucket_frame(n: DataFrame, bits: int) -> DataFrame:
     """(vec_id, table, bucket) — 8 bands of ``bits`` sign bits each over
-    the dedup plane bank. Query probing wants few bits per table (wide
-    cells → high per-table recall); all-pairs candidate generation wants
-    MANY bits per band (small cells → the within-cell quadratic term
-    stays bounded) — the exact banding trade MinHash LSH makes (b×r),
-    applied to hyperplane signatures. ``bits`` must scale with log2(n)
-    to keep cells at a constant population (see ``dedup_bits_for``);
-    callers pass the adaptive value or pin it explicitly.
+    the sparse dedup plane bank. Query probing wants few bits per table
+    (wide cells → high per-table recall); all-pairs candidate generation
+    wants MANY bits per band (small cells → the within-cell quadratic
+    term stays bounded) — the exact banding trade MinHash LSH makes
+    (b×r), applied to sign-projection signatures. ``bits`` must scale
+    with log2(n) to keep cells at a constant population (see
+    ``dedup_bits_for``); callers pass the adaptive value or pin it.
+
+    Plan shape: ONE Arrow kernel pass computes all 8 packed buckets per
+    row (8·bits·4 madds, vectorized), then a narrow posexplode emits
+    the (vec_id, table, bucket) candidate-join rows — no plane
+    cross-join, no groupBy shuffle. The kernel is a closure over
+    ``bits``; cloudpickle ships it by value, the module import the
+    worker needs is guaranteed by ``_ensure_workers_can_import``.
     """
-    if not (N_PLANES <= bits <= DEDUP_MAX_BITS):
+    if not (DEDUP_MIN_BITS <= bits <= DEDUP_MAX_BITS):
         raise ValueError(
-            f"bits must be in [{N_PLANES}, {DEDUP_MAX_BITS}], got {bits}"
+            f"bits must be in [{DEDUP_MIN_BITS}, {DEDUP_MAX_BITS}], got {bits}"
         )
-    planes = _dedup_planes_df(n.sparkSession, bits)
-    d = F.expr(_fold_sum("zip_with(e, plane, (x, y) -> x * y)"))
-    return (
-        n.select(F.col("vec_id").alias("__bid"), "e")
-        .join(F.broadcast(planes), how="cross")
-        .withColumn("__d", d)
-        .groupBy(F.col("__bid"), "table")
-        .agg(
-            F.sum(F.expr("IF(__d > 0, shiftleft(1, p), 0)"))
-            .cast("long")
-            .alias("bucket")
-        )
-        .withColumnRenamed("__bid", "vec_id")
+    bucket_udf = F.pandas_udf(
+        _dedup_bucket_kernel(bits), ArrayType(LongType())
+    )
+    return n.select("vec_id", bucket_udf("e").alias("__bk")).select(
+        "vec_id",
+        F.posexplode("__bk").alias("table", "bucket"),
     )
 
 
@@ -846,17 +981,17 @@ def semantic_near_dup_pairs_lsh(
     bits with log2(n) so cells hold ~DEDUP_TARGET_CELL members and
     candidate volume stays ~n·bands·cell, linear in n. Pass an explicit
     value to stay fully lazy or to widen recall (fewer bits = wider
-    cells = higher per-band hit probability p^bits, p = 1 - θ/π).
-    At every oracle SF (≤512 vectors) the adaptive value is the
-    minimum, 4, which reproduces the historic 8×4 banding bit-for-bit.
+    cells = higher per-band hit probability p^bits, p ≈ 1 - θ/π for
+    the sparse sign planes). At every oracle SF (≤512 vectors) the
+    adaptive value is the minimum, 4.
 
     ``multi_probe`` widens each band cell to its Hamming-1 ball (one
     side of the candidate join also probes every single-bit flip of its
     bucket): a pair now collides in a band if its signatures differ in
     ≤1 of the band's bits, lifting per-band hit probability from
     p^bits to p^bits + bits·p^(bits-1)(1-p) — measured pair recall
-    0.71 → 1.00 at the 8×4 oracle-scale banding (sf0.01, 59 exact
-    pairs, all recovered) — for a bounded (bits+1)× probe-row fan-out
+    with the sparse bank: 1.00 at sf0.01 (59/59 exact pairs, vs 0.80
+    un-probed) — for a bounded (bits+1)× probe-row fan-out
     on one join side (candidate volume grows by the same factor, NOT
     quadratically: cells stay the same size, each vector just looks in
     ``bits`` extra cells per band). The multiplicative cost knob to
@@ -1057,13 +1192,18 @@ WHERE rank <= {k}"""
 
 
 def _dedup_planes_values_sql() -> str:
-    """The full 8x16 dedup bank (see DEDUP_PLANES) as literal VALUES
-    rows; the consuming SQL filters to p < bits at run time."""
+    """The full 8×40 sparse dedup bank (see DEDUP_SPARSE_PLANES) as
+    literal VALUES rows (tbl, p, i1..i4 1-based indices, s1..s4 signs);
+    the consuming SQL filters to p < bits at run time. 320 ten-column
+    integer/sign rows — a fraction of the old dense bank's 128 rows of
+    64 doubles each."""
     rows = []
     for t in range(DEDUP_BANDS):
-        for p in range(DEDUP_MAX_BITS):
-            lit = "[" + ", ".join(repr(x) for x in DEDUP_PLANES[t][p]) + "]"
-            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+        for p, (idx, sgn) in enumerate(DEDUP_SPARSE_PLANES[t]):
+            cols = ", ".join(str(i) for i in idx) + ", " + ", ".join(
+                repr(s) for s in sgn
+            )
+            rows.append(f"({t}, {p}, {cols})")
     return ",\n    ".join(rows)
 
 
@@ -1176,13 +1316,15 @@ def semantic_dedup_lsh_sql(
     The adaptive per-band width is replayed IN SQL: ``sdl_params``
     computes the same integer rule as :func:`dedup_bits_for` from
     COUNT(*) of emb_norm (both engines count the same norm-filtered
-    frame), the 8×16-plane bank is embedded as literals, and every
-    stage filters plane/probe indexes to ``p < bits``."""
+    frame), the 8×40 SPARSE plane bank is embedded as literals (each
+    band bit = sign of the same left-associated 4-term sparse sum the
+    Arrow kernel computes), and every stage filters plane/probe indexes
+    to ``p < bits``."""
     from ..library.connected_components import oracle_ctes
 
     dot = (
-        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
-        f"{DIM}), i -> n.e[i] * pl.plane[i])), (acc, x) -> acc + x)"
+        "(((n.e[pl.i1] * pl.s1) + (n.e[pl.i2] * pl.s2))"
+        " + (n.e[pl.i3] * pl.s3)) + (n.e[pl.i4] * pl.s4)"
     )
     cand_left = "lsh_buckets"
     probe_cte = ""
@@ -1200,14 +1342,15 @@ lsh_probes AS MATERIALIZED (
     pair_ctes = f"""sdl_params AS (
     SELECT COALESCE(
         (SELECT MIN(b)
-         FROM (SELECT unnest(generate_series({N_PLANES},
+         FROM (SELECT unnest(generate_series({DEDUP_MIN_BITS},
                                              {DEDUP_MAX_BITS - 1})) AS b)
          WHERE (CAST(1 AS BIGINT) << b) * {DEDUP_TARGET_CELL}
                >= (SELECT COUNT(*) FROM emb_norm)),
         {DEDUP_MAX_BITS}) AS bits
 ),
 lsh_planes AS (
-    SELECT * FROM (VALUES {_dedup_planes_values_sql()}) AS t(tbl, p, plane)
+    SELECT * FROM (VALUES {_dedup_planes_values_sql()})
+        AS t(tbl, p, i1, i2, i3, i4, s1, s2, s3, s4)
 ),
 lsh_bits AS MATERIALIZED (
     SELECT n.vec_id, pl.tbl AS g, pl.p AS p,

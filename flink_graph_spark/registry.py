@@ -1474,6 +1474,36 @@ def ann_topk_ivf(spark, sf_dir):
     return sim_mod.ann_topk_ivf(_emb(spark, sf_dir), 64, 10)
 
 
+_ANN_AT_REST_MEMO: dict[tuple, tuple] = {}
+
+
+@_register("ann_topk_lsh_at_rest", sim_mod.ann_topk_lsh_sql(64, 10))
+def ann_topk_lsh_at_rest(spark, sf_dir):
+    """The sketch index AT REST (new in r7): signatures + vectors
+    materialized once as vec_id-bucketed tables, probe scans only the
+    24 B/row sig table and joins survivors back to vectors with ZERO
+    Exchange (plan-asserted in tests/test_sinks_ann.py). Result- and
+    oracle-identical to ann_topk_lsh — same kernel signatures, same
+    adaptive cut from the same raw COUNT(*), same cosine fold — so it
+    shares that query's full-replay DuckDB twin verbatim. This is the
+    100 TB I/O story: the inline path re-reads ~260 B/row of vectors
+    per batch; this one reads 24 B/row plus survivors only."""
+    import re as _re
+
+    emb = _emb(spark, sf_dir)
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _ANN_AT_REST_MEMO:
+        sig_t, vec_t = f"ann_sigs_by_vec_{tag}", f"ann_vecs_by_vec_{tag}"
+        sim_mod.write_ann_at_rest(
+            emb, sig_t, vec_t,
+            path_prefix=f"/tmp/spark_graft_bucketed/ann_{tag}",
+        )
+        _ANN_AT_REST_MEMO[key] = (sig_t, vec_t, emb.count())
+    sig_t, vec_t, n_rows = _ANN_AT_REST_MEMO[key]
+    return sim_mod.ann_topk_lsh_at_rest(spark, sig_t, vec_t, n_rows, 64, 10)
+
+
 # ---- event analytics --------------------------------------------------
 
 @_register("sessionize_events", _with(*sess_mod.sessionize_sql()))
@@ -1675,14 +1705,20 @@ def knn_label_vote(spark, sf_dir):
 )
 def semantic_dedup_lsh(spark, sf_dir):
     """The 100 TB semantic-dedup path (LSH-bucketed candidates with
-    Hamming-1 multi-probe, cosine confirm, CC clusters). Approximate
-    RELATIVE TO THE EXACT ANCHOR in principle, but probing recovers
-    every exact pair on the testdata (recall 1.00 at sf0.01, gated
-    >=0.9 in tests/test_sinks_ann.py and measured into the bench
-    artifact) at a measured 1.5x candidate-stage cost over the
-    no-probe banding. Fully DETERMINISTIC in itself: the seeded
-    hyperplane bank AND the probe expansion are replayed literally by
-    the DuckDB twin, so the driver hash-checks the entire pipeline."""
+    Hamming-1 multi-probe, cosine confirm, CC clusters). Round-7
+    contract change: the band bank is now SPARSE ±1 planes (4 nonzeros
+    per bit — ~6.5 dense-dot equivalents per vector at a 200k corpus
+    vs the old dense bank's ~104) with the width cap lifted 16 → 40
+    bits (cells stay constant past 3.5e13 vectors), and the buckets
+    come from one Arrow kernel pass instead of a plane cross-join +
+    groupBy shuffle. Approximate RELATIVE TO THE EXACT ANCHOR in
+    principle, but probing recovers every exact pair on the testdata
+    (recall 1.00 at sf0.01, gated >=0.9 in tests/test_sinks_ann.py and
+    measured into the bench artifact). Fully DETERMINISTIC in itself:
+    the seeded sparse bank, the adaptive width, AND the probe
+    expansion are replayed literally by the DuckDB twin (kernel-vs-SQL
+    bit-equality tested at widths 4/13/40), so the driver hash-checks
+    the entire pipeline."""
     return sim_mod.semantic_dedup_clusters(
         _emb(spark, sf_dir), 0.4, 4, bucketed=True, multi_probe=True
     )
@@ -3057,9 +3093,15 @@ def minhash_calibration(spark, sf_dir):
 )
 def entity_resolution(spark, sf_dir):
     """Record linkage: blocking-key equi-join (nation + name prefix)
-    -> Levenshtein similarity on candidates only -> matched pairs.
-    Dirty clones injected deterministically; edit distance is
-    integer-identical in both engines."""
+    -> sorted-neighborhood rank window (r7 contract change: pairs must
+    sit within NEIGHBORHOOD_WINDOW=16 ranks of the block's
+    (name, key) order — one skewed block can no longer go K²; the
+    window is replayed in the twin's ROW_NUMBER) -> Levenshtein
+    similarity on surviving candidates -> matched pairs. Dirty clones
+    injected deterministically; edit distance is integer-identical in
+    both engines. Where the cap does not bind (every block at the
+    shipped SFs) the match set is identical to all-pairs blocking
+    (test-asserted)."""
     return ent_mod.entity_matches(
         ent_mod.with_dirty_customers(load_table(spark, sf_dir, "customer"))
     )

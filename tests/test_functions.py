@@ -1474,6 +1474,37 @@ def test_entity_resolution_exactly_recovers_injected_clones(spark):
     assert got == want and len(want) > 0
 
 
+def test_entity_resolution_window_caps_adversarial_block(spark):
+    """A single skewed block (every record sharing nation + the full
+    blocking prefix AND matching on both fields) must NOT go K²: the
+    sorted-neighborhood window bounds per-record comparisons, so the
+    match count is exactly n·W - W(W+1)/2, and the windowed candidate
+    stage is linear in block size. Also: where the cap does not bind
+    (all shipped-SF blocks are smaller than the window), the match set
+    is identical to the unwindowed all-pairs blocking."""
+    from flink_graph_spark.functions import entity as ent_mod
+
+    n, w = 500, ent_mod.NEIGHBORHOOD_WINDOW
+    skew = spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        # identical names: worst case — every pair scores 1.0
+        F.lit("Customer#000000001").alias("c_name"),
+        F.lit(7).cast("long").alias("c_nationkey"),
+        F.lit(100.0).alias("c_acctbal"),
+    )
+    got = ent_mod.entity_matches(skew).count()
+    assert got == n * w - w * (w + 1) // 2
+    # unwindowed == windowed where blocks fit inside the window
+    cust = load_table(spark, SF_DIR, "customer")
+    dirty = ent_mod.with_dirty_customers(cust)
+    capped = {(r["ka"], r["kb"]) for r in ent_mod.entity_matches(dirty).collect()}
+    allp = {
+        (r["ka"], r["kb"])
+        for r in ent_mod.entity_matches(dirty, window=10**9).collect()
+    }
+    assert capped == allp
+
+
 def test_feature_propagation_contracts_toward_neighborhood_mean(spark):
     """Smoothing shrinks dimension-wise variance (Laplacian smoothing
     contracts toward local means) and a propagation with alpha=0 is the

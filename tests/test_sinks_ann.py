@@ -216,6 +216,149 @@ def test_ann_sig_kernel_survives_null_embeddings(spark):
     assert sim_mod.with_sig(all_null).count() == 0
 
 
+def test_ann_at_rest_probe_matches_inline_and_avoids_exchange(spark):
+    """The at-rest sketch probe must (a) return EXACTLY the inline
+    ann_topk_lsh rows — same signatures, same cut, same cosine — and
+    (b) join survivors back to the vector table with ZERO Exchange:
+    both tables are vec_id-bucketed and the survivor frame inherits
+    the sig scan's partitioning through the broadcast query attach.
+    Broadcast is disabled to pin the at-scale sort-merge shape (on a
+    500-row fixture the planner would rightly broadcast)."""
+    import uuid
+
+    from flink_graph_spark.functions.similarity import (
+        ann_topk_lsh_at_rest,
+        write_ann_at_rest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    sig_t, vec_t = f"sigs_{tag}", f"vecs_{tag}"
+    write_ann_at_rest(emb, sig_t, vec_t, buckets=4)
+    try:
+        inline = sim_mod.ann_topk_lsh(emb, 5, 10)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            at_rest = ann_topk_lsh_at_rest(
+                spark, sig_t, vec_t, emb.count(), 5, 10
+            )
+            got = sorted(map(tuple, at_rest.collect()))
+            plan = at_rest._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert got == sorted(map(tuple, inline.collect()))
+        # the broadcast query attach stays (explicit hint); the
+        # survivor->vector join must add no shuffle
+        assert "Exchange hashpartitioning(vec_id" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sig_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {vec_t}")
+
+
+def test_ann_at_rest_sig_scan_reads_only_signature_columns(spark):
+    """The probe's prefilter side must scan the 24 B/row sig table, not
+    the vector column — assert the big-side scans: the sig-table scan
+    reads only (vec_id, sig0, sig1, nrm) and the vector table appears
+    in the plan only via the survivor join."""
+    import uuid
+
+    from flink_graph_spark.functions.similarity import (
+        ann_topk_lsh_at_rest,
+        write_ann_at_rest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    sig_t, vec_t = f"sigs_{tag}", f"vecs_{tag}"
+    write_ann_at_rest(emb, sig_t, vec_t, buckets=4)
+    try:
+        import re
+
+        df = ann_topk_lsh_at_rest(spark, sig_t, vec_t, emb.count(), 5, 10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert sig_t in plan and vec_t in plan, plan
+        # every sig-table ReadSchema must carry ONLY signature columns
+        # (no 'e' array) — the 24 B/row contract of the prefilter scan
+        schemas = [
+            m.group(1)
+            for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+            if "sig0" in m.group(1)
+        ]
+        assert schemas, plan
+        for cols in schemas:
+            assert "e:array" not in cols, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sig_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {vec_t}")
+
+
+@pytest.mark.parametrize("bits", [4, 13, 40])
+def test_dedup_bucket_kernel_matches_sql_replay(spark, bits):
+    """The sparse-bank bucket kernel and the DuckDB twin's plane SQL
+    must produce the same packed band buckets for every vector at the
+    oracle-scale width (4), a sweep-scale width (13), and the new
+    40-bit cap — the bit-for-bit foundation of the semantic_dedup_lsh
+    hash-checked oracle, exercised beyond the widths the oracle SFs
+    reach on their own."""
+    import duckdb
+
+    from flink_graph_spark.functions.similarity import (
+        EMB_NORM_SQL,
+        _banded_bucket_frame,
+        _dedup_planes_values_sql,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in _banded_bucket_frame(sim_mod.with_norm(emb), bits).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    dot = (
+        "(((n.e[pl.i1] * pl.s1) + (n.e[pl.i2] * pl.s2))"
+        " + (n.e[pl.i3] * pl.s3)) + (n.e[pl.i4] * pl.s4)"
+    )
+    ref = {
+        (vid, g): b
+        for vid, g, b in con.sql(
+            f"""WITH {EMB_NORM_SQL.strip()},
+lsh_planes AS (
+    SELECT * FROM (VALUES {_dedup_planes_values_sql()})
+        AS t(tbl, p, i1, i2, i3, i4, s1, s2, s3, s4)
+)
+SELECT vec_id, g, CAST(SUM(CASE WHEN bit = 1
+           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+FROM (
+    SELECT n.vec_id, pl.tbl AS g, pl.p AS p,
+           CASE WHEN {dot} > 0 THEN 1 ELSE 0 END AS bit
+    FROM emb_norm n CROSS JOIN lsh_planes pl
+    WHERE pl.p < {bits}
+) GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == ref
+
+
+def test_dedup_bits_for_covers_100tb_scale():
+    """The adaptive width rule: cells stay at DEDUP_TARGET_CELL out to
+    2^40·32 ≈ 3.5e13 rows — past the ~4e11 embeddings of a 100 TB
+    float corpus, so the cap never re-opens quadratic candidate growth
+    at the design scale (the old 16-bit cap bound at ~2M)."""
+    from flink_graph_spark.functions.similarity import dedup_bits_for
+
+    assert dedup_bits_for(500) == 4
+    assert dedup_bits_for(200_000) == 13
+    assert dedup_bits_for(2_000_000) == 16      # old cap point: now exact
+    assert dedup_bits_for(4 * 10**11) == 34     # ~100 TB of float64 dims
+    assert dedup_bits_for(10**15) == 40         # cap only beyond 3.5e13
+
+
 # ---- semantic dedup ---------------------------------------------------
 
 def test_semantic_lsh_pairs_subset_of_exact_with_recall(spark):
