@@ -3483,298 +3483,119 @@ def source_diversity(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
-# Registry ordering (driver contract)
+# Registry ordering (driver contract) — round-7 rotation
 # ----------------------------------------------------------------------
-# The driver walks queries() in dict order under a ~50-query time
-# budget. Rounds 1+2 together signed 100/116 queries; the 16 late
-# round-2 additions (CORRECTNESS_r02 stopped right before them) have
-# never appeared in a driver artifact. Those 16 — plus anything new
-# this round — run FIRST so round 3's budget signs them; the already-
-# signed queries follow (r2-signed before r1-signed, so re-signing
-# touches the most recently verified code paths first).
+# The driver walks queries() in dict order under a ~50-query budget per
+# round. All 193 pre-r7 queries are driver-signed (union r1+r2+r3+r5+r6,
+# zero failures ever recorded); freshness is the rotation metric. The
+# lists below are REGENERATED each round from the committed
+# CORRECTNESS_r*.json artifacts (newest-round-per-query) — they are
+# rotation state, not history; stale copies must not survive a round.
+#
+# Front of the r7 gate order:
+#   1. contract-changed this round — their old signatures describe
+#      queries that no longer exist: semantic_dedup_lsh (sparse-plane
+#      band bank, width cap 16 -> 40) and entity_resolution
+#      (sorted-neighborhood window);
+#   2. never-signed (new this round): ann_topk_lsh_at_rest;
+#   3. the 4 queries whose newest signature is still CORRECTNESS_r01
+#      (they fell off the end of r6's 50-slot window);
+#   4. the 46 whose newest signature is CORRECTNESS_r02.
+# That is 53 entries — the last ~3 spill past a 50-slot budget and
+# lead the line in round 8. The rest follows by ascending freshness
+# (r3, r5, r6) so any budget overrun keeps retiring the stalest.
 
-# Never driver-signed (r2 budget cut off at 50, plus round-3
-# additions): highest priority.
-_NEVER_SIGNED = [
-    # r2-era stragglers — waiting since round 2, sign them FIRST
-    "scc_fixture",
-    "streaming_click_purchase",
-    "summarize_nation_vertices",
-    "summarize_nation_edges",
-    "chunk_documents",
-    "boilerplate_flags",
-    "vertex_metrics_cs",
-    "count_min_tokens",
-    "collocations_pmi",
-    "dedup_keep_set",
-    "incremental_sssp_golden",
-    "source_quota_sample",
-    "knn_label_vote",
-    "semantic_dedup_clusters",
-    "semantic_dedup_lsh",
-    "community_detection_uu",
-    # round-3a additions (never driver-signed)
-    "pagerank_bucketed_cs",
-    "quality_filters",
-    "passage_dedup",
-    "skipgram_pairs",
-    "zipf_slope",
-    "bigram_nll",
-    "gsa_sssp_golden",
-    "mixture_weights",
-    "token_budget_select",
-    "corpus_report",
-    "embedding_outliers",
-    "edge_support_uu",
-    "histogram_quantiles",
-    "closeness_sample_uu",
-    "ktruss_uu",
-    "ppr_cs",
-    "neighborhood_function_uu",
-    "streaming_quality_by_source",
-    "rmat_degree_histogram",
-    "winnow_dup_pairs",
-    "pretrain_funnel",
-    "embedding_quantize",
-    "bipartite_projection_cs",
-    "assortativity_uu",
-    "principal_direction",
-    "kmeans_clusters",
-    "embedding_label_spread",
-    # round-3b additions — newest last: if the ~50-entry budget
-    # cuts here, these lead the line next round
-    "betweenness_grid",
-    "dag_longest_path",
-    "effective_diameter_uu",
-    "graph_coloring_grid",
-    "ngram_containment_topk",
-    "cross_source_overlap",
-    "translate_golden",
-    "vocab_coverage",
-    "bloom_blocklist",
-    "embedding_dim_stats",
-    "cosine_pair_histogram",
-    "rich_club_uu",
-    "hourly_anomaly",
-    "event_transitions",
-    "token_entropy",
-    "two_hop_ball_cs",
-    "bipartite_matching_cs",
-    "weighted_sample",
-    "pq_codes",
-    "ngram_novelty",
-    "edge_growth_cs",
-    "simhash_near_dup",
-    "bpe_merges",
-    "bpe_compression",
-    "walk_skipgram_pairs",
-    "boruvka_mst_grid",
-    "wl_colors_grid",
-    "streaming_hourly_anomaly",
-    "knn_confusion",
-    "gram_matrix",
-    "scd2_orders",
-    "attribution_last_touch",
-    "cohort_retention",
-    "copurchase_lift",
-    "minhash_calibration",
-    "entity_resolution",
-    "feature_propagation",
-    "sql_revenue_by_nation",
-    "event_type_pivot",
-    "langid_confusion",
-    "train_val_test_split",
-    "quality_calibration",
-    "spectral_radius_uu",
-    "quality_length_corr",
-    "session_duration_histogram",
-    "rmat_degree_zipf",
-    "incremental_pagerank_golden",
-    "source_top_terms",
-    "reciprocity_golden_pc",
-    "source_diversity",
+_R07_CONTRACT_CHANGED = ["semantic_dedup_lsh", "entity_resolution"]
+_R07_NEVER_SIGNED = ["ann_topk_lsh_at_rest"]
+
+_STALE_R1 = [
+    "corpus_prep", "dedup_exact", "dedup_exact_stats", "doc_fingerprint"
 ]
 
-# Signed in CORRECTNESS_r02 (round-2 driver artifact).
-_SIGNED_R2_A = [
-    "sessionize_events",
-    "json_k_stats",
-    "hourly_rollup",
-    "top_events_per_user",
-    "top_event_per_user",
-    "shared_top_event_edges",
-    "repetition_ratio",
-    "dedup_ngram_topk",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "simhash_docs",
-    "ann_topk_bruteforce",
-    "embedding_near_dup",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "multimodal_features",
-    "triangle_count_pc",
-    "triangles_per_vertex_uu",
-    "cc_pc",
-    "pagerank_pc",
-    "music_profiles_communities",
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
-    "streaming_user_totals",
-    "streaming_degrees",
+_STALE_R2 = [
+    "adamic_adar_pc", "asof_order_events", "bm25_search", "cc_pc",
+    "clustering_coeff_uu", "contamination_check", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_topk", "degree_histogram",
+    "embedding_near_dup", "event_funnel", "hits_cs", "hll_user_estimate",
+    "hourly_retention", "hourly_rollup", "json_source_rollup", "kcore_uu",
+    "length_quantiles", "mis_uu", "multimodal_features",
+    "music_profiles_communities", "pack_sequences", "pagerank_pc",
+    "pii_scrub", "random_walks_uu", "repetition_ratio",
+    "sessionize_events", "shared_top_event_edges", "simhash_docs",
+    "sliding_rollup", "stratified_sample", "streaming_dedup_keys",
+    "streaming_degrees", "streaming_hourly_rollup",
+    "streaming_nation_counts", "streaming_sessionize",
+    "streaming_user_totals", "tfidf_top_terms", "top_event_per_user",
+    "top_events_per_user", "top_shingles", "triangle_count_pc",
+    "triangles_per_vertex_uu", "unigram_nll", "weighted_pagerank_cs"
 ]
 
-
-# Also signed in CORRECTNESS_r02 (registered after the r1-unsigned
-# block, before the r2 budget ran out).
-_SIGNED_R2_B = [
-    "hits_cs",
-    "weighted_pagerank_cs",
-    "degree_histogram",
-    "asof_order_events",
-    "contamination_check",
-    "stratified_sample",
-    "pii_scrub",
-    "pack_sequences",
-    "adamic_adar_pc",
-    "kcore_uu",
-    "mis_uu",
-    "random_walks_uu",
-    "event_funnel",
-    "hourly_retention",
-    "length_quantiles",
-    "streaming_dedup_keys",
-    "streaming_nation_counts",
-    "sliding_rollup",
-    "top_shingles",
-    "json_source_rollup",
-    "tfidf_top_terms",
-    "bm25_search",
-    "unigram_nll",
-    "hll_user_estimate",
-    "clustering_coeff_uu",
-]
-
-
-# Signed by the round-3 driver artifact (CORRECTNESS_r03.json): 49
-# green + 1 no_oracle (semantic_dedup_lsh, rows-only by design).
 _SIGNED_R3 = [
-    "scc_fixture",
-    "streaming_click_purchase",
-    "summarize_nation_vertices",
-    "summarize_nation_edges",
-    "chunk_documents",
-    "boilerplate_flags",
-    "vertex_metrics_cs",
-    "count_min_tokens",
-    "collocations_pmi",
-    "dedup_keep_set",
-    "incremental_sssp_golden",
-    "source_quota_sample",
-    "knn_label_vote",
-    "semantic_dedup_clusters",
-    "semantic_dedup_lsh",
-    "community_detection_uu",
-    "pagerank_bucketed_cs",
-    "quality_filters",
-    "passage_dedup",
-    "skipgram_pairs",
-    "zipf_slope",
-    "bigram_nll",
-    "gsa_sssp_golden",
-    "mixture_weights",
-    "token_budget_select",
-    "corpus_report",
-    "embedding_outliers",
-    "edge_support_uu",
-    "histogram_quantiles",
-    "closeness_sample_uu",
-    "ktruss_uu",
-    "ppr_cs",
-    "neighborhood_function_uu",
-    "streaming_quality_by_source",
-    "rmat_degree_histogram",
-    "winnow_dup_pairs",
-    "pretrain_funnel",
-    "embedding_quantize",
-    "bipartite_projection_cs",
-    "assortativity_uu",
-    "principal_direction",
-    "kmeans_clusters",
-    "embedding_label_spread",
-    "betweenness_grid",
-    "dag_longest_path",
-    "effective_diameter_uu",
-    "graph_coloring_grid",
-    "ngram_containment_topk",
-    "cross_source_overlap",
-    "translate_golden",
+    "assortativity_uu", "betweenness_grid", "bigram_nll",
+    "bipartite_projection_cs", "boilerplate_flags", "chunk_documents",
+    "closeness_sample_uu", "collocations_pmi", "community_detection_uu",
+    "corpus_report", "count_min_tokens", "cross_source_overlap",
+    "dag_longest_path", "dedup_keep_set", "edge_support_uu",
+    "effective_diameter_uu", "embedding_label_spread",
+    "embedding_outliers", "embedding_quantize", "graph_coloring_grid",
+    "gsa_sssp_golden", "histogram_quantiles", "incremental_sssp_golden",
+    "kmeans_clusters", "knn_label_vote", "ktruss_uu", "mixture_weights",
+    "neighborhood_function_uu", "ngram_containment_topk",
+    "pagerank_bucketed_cs", "passage_dedup", "ppr_cs", "pretrain_funnel",
+    "principal_direction", "quality_filters", "rmat_degree_histogram",
+    "semantic_dedup_clusters", "skipgram_pairs", "source_quota_sample",
+    "streaming_quality_by_source", "token_budget_select",
+    "translate_golden", "vertex_metrics_cs", "winnow_dup_pairs",
+    "zipf_slope"
 ]
 
-
-# Signed in earlier artifacts but as rows-only; round 4 gave them full
-# replay oracles, so their existing signatures are stale — re-sign
-# right after the never-signed block to record the hash check.
-_ORACLE_UPGRADED = [
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "semantic_dedup_lsh",
+_SIGNED_R5 = [
+    "attribution_last_touch", "bipartite_matching_cs", "bloom_blocklist",
+    "boruvka_mst_grid", "bpe_compression", "bpe_merges",
+    "cohort_retention", "copurchase_lift", "cosine_pair_histogram",
+    "edge_growth_cs", "embedding_dim_stats", "entity_resolution",
+    "event_transitions", "event_type_pivot", "feature_propagation",
+    "gram_matrix", "hourly_anomaly", "incremental_pagerank_golden",
+    "knn_confusion", "langid_confusion", "minhash_calibration",
+    "ngram_novelty", "pq_codes", "quality_calibration",
+    "quality_length_corr", "reciprocity_golden_pc", "rich_club_uu",
+    "rmat_degree_zipf", "scc_fixture", "scd2_orders", "semantic_dedup_lsh",
+    "session_duration_histogram", "simhash_near_dup", "source_diversity",
+    "source_top_terms", "spectral_radius_uu", "sql_revenue_by_nation",
+    "streaming_click_purchase", "streaming_hourly_anomaly",
+    "summarize_nation_edges", "summarize_nation_vertices", "token_entropy",
+    "train_val_test_split", "two_hop_ball_cs", "vocab_coverage",
+    "walk_skipgram_pairs", "weighted_sample", "wl_colors_grid"
 ]
 
-
-# Round-6 rotation state. All 193 queries are driver-signed (union of
-# r1+r2+r3+r5, zero failures); freshness is now the metric (r5 verdict
-# item 5). The front of the gate order is therefore:
-#   1. the queries whose CONTRACT changed this round (the three ANN
-#      paths: 64-query batch + adaptive sketch/nlist oracles) — their
-#      old signatures describe a query that no longer exists;
-#   2. the 50 queries whose newest signature is still CORRECTNESS_r01
-#      — four rounds of shared-machinery churn ago (list computed from
-#      the artifacts: newest-round-per-query == r1);
-#   3. everything else by ascending signature freshness (r2, r3, r5).
-_R06_CONTRACT_CHANGED = [
-    "ann_topk_bruteforce",   # n_queries 5 -> 64
-    "ann_topk_lsh",          # sparse Hamming-sketch redesign
-    "ann_topk_ivf",          # adaptive nlist/nprobe
-    "json_k_stats",          # try_cast NULL contract for malformed $.k
-]
-
-_SIGNED_R1_ONLY = [
-    "degrees_out", "degrees_in", "degrees_total", "top_degree_vertices",
-    "graph_metrics", "map_vertices", "map_edges", "reverse_edges",
-    "undirected_edges", "subgraph_edges", "subgraph_vertices",
-    "filter_on_edges", "filter_on_vertices_edges", "join_with_vertices",
+_SIGNED_R6 = [
+    "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh", "cc_cs",
+    "cc_golden", "degrees_in", "degrees_out", "degrees_total",
+    "difference_graphs", "filter_on_edges", "filter_on_vertices_edges",
+    "golden_mutations", "graph_metrics", "intersect_graphs",
+    "is_weakly_connected_golden", "jaccard_part_copurchase",
     "join_with_edges", "join_with_edges_on_source",
-    "join_with_edges_on_target", "triplets", "reduce_on_edges_out",
-    "reduce_on_edges_in", "reduce_on_edges_all", "reduce_on_neighbors_out",
-    "reduce_on_edges_with_vv", "reduce_on_neighbors_with_vv",
-    "reduce_on_neighbors_all", "reduce_on_neighbors_in", "union_graphs",
-    "golden_mutations", "intersect_graphs", "difference_graphs",
-    "validate_vertex_ids", "sssp_golden", "cc_golden",
-    "is_weakly_connected_golden", "pagerank_golden", "lpa_golden",
-    "pagerank_cs", "sssp_cs", "cc_cs", "lpa_cs", "jaccard_part_copurchase",
-    "uu_graph_edges", "text_stats", "token_counts", "quality_score",
-    "lang_id", "doc_fingerprint", "corpus_prep", "dedup_exact_stats",
-    "dedup_exact",
+    "join_with_edges_on_target", "join_with_vertices", "json_k_stats",
+    "lang_id", "lpa_cs", "lpa_golden", "map_edges", "map_vertices",
+    "pagerank_cs", "pagerank_golden", "quality_score",
+    "reduce_on_edges_all", "reduce_on_edges_in", "reduce_on_edges_out",
+    "reduce_on_edges_with_vv", "reduce_on_neighbors_all",
+    "reduce_on_neighbors_in", "reduce_on_neighbors_out",
+    "reduce_on_neighbors_with_vv", "reverse_edges", "sssp_cs",
+    "sssp_golden", "subgraph_edges", "subgraph_vertices", "text_stats",
+    "token_counts", "top_degree_vertices", "triplets", "undirected_edges",
+    "union_graphs", "uu_graph_edges", "validate_vertex_ids"
 ]
 
 
 def _apply_priority_order() -> None:
-    # The driver signs ~50 entries per round, front of this order
-    # first. With 3 contract-changed + 50 r1-stale queries the last
-    # few r1 entries may spill past a 50-slot budget — they stay at
-    # the head of the line for round 7.
-    front = _R06_CONTRACT_CHANGED + [
-        q for q in _SIGNED_R1_ONLY if q not in _R06_CONTRACT_CHANGED
+    front = _R07_CONTRACT_CHANGED + _R07_NEVER_SIGNED + _STALE_R1 + _STALE_R2
+    rest = _SIGNED_R3 + _SIGNED_R5 + [
+        q for q in _SIGNED_R6 if q not in set(front)
     ]
-    rest = (
-        _SIGNED_R2_B
-        + [q for q in _SIGNED_R2_A if q not in set(front)]
-        + [q for q in _SIGNED_R3 if q not in set(front)]
-    )
-    front += [q for q in rest if q not in set(front)]
-    assert set(front) <= set(SPARK_QUERIES), set(front) - set(SPARK_QUERIES)
-    order = front + [n for n in SPARK_QUERIES if n not in front]
+    order = front + [q for q in rest if q not in set(front)]
+    assert set(order) <= set(SPARK_QUERIES), set(order) - set(SPARK_QUERIES)
+    order += [n for n in SPARK_QUERIES if n not in set(order)]
     for d in (SPARK_QUERIES, ORACLE_SQL):
         snapshot = dict(d)
         d.clear()

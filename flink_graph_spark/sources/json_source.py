@@ -41,10 +41,22 @@ def stage_events_json(sf_dir: str) -> str:
     return d
 
 
+def parse_events_ts(raw: DataFrame) -> DataFrame:
+    """ts string → timestamp_ntz, NULL-tolerant. Under ANSI mode (the
+    engine default) ``to_timestamp_ntz`` throws CANNOT_PARSE_TIMESTAMP,
+    so ONE malformed log line would kill the whole read — the same
+    failure class as the round-6 ``$.k`` ANSI-cast bug; same contract:
+    malformed → NULL. There is no try_to_timestamp_ntz, so parse with
+    ``try_to_timestamp`` and cast ltz → ntz — an exact identity under
+    the engine's pinned UTC session timezone (no DST gaps)."""
+    ts = F.expr(
+        "try_to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\")"
+    ).cast("timestamp_ntz")
+    return raw.withColumn("ts", ts)
+
+
 def read_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events from the JSON-lines staging with the SAME schema/semantics
     as ``tables.load_table(..., 'events')`` (ts → timestamp_ntz)."""
     raw = spark.read.schema(EVENTS_JSON_SCHEMA).json(stage_events_json(sf_dir))
-    return raw.withColumn(
-        "ts", F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-    )
+    return parse_events_ts(raw)

@@ -488,6 +488,31 @@ def test_bucketed_edges_join_without_exchange(spark, golden):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_json_source_tolerates_malformed_ts(spark, tmp_path):
+    """One malformed log line must not kill the JSON-lines read: under
+    ANSI, to_timestamp_ntz throws CANNOT_PARSE_TIMESTAMP — the same
+    failure class as the round-6 $.k ANSI-cast bug. Contract: malformed
+    ts → NULL, well-formed rows parse to the exact ntz values."""
+    from flink_graph_spark.sources.json_source import (
+        EVENTS_JSON_SCHEMA,
+        parse_events_ts,
+    )
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id":1,"ts":"2024-01-02T03:04:05.000006","user_id":1,'
+        '"event_type":"click","value":1.0,"props":"{}"}\n'
+        '{"event_id":2,"ts":"garbage \\u2603","user_id":2,'
+        '"event_type":"click","value":1.0,"props":"{}"}\n'
+        '{"event_id":3,"ts":"2024-13-45T99:99:99.000000","user_id":3,'
+        '"event_type":"click","value":1.0,"props":"{}"}\n'
+    )
+    raw = spark.read.schema(EVENTS_JSON_SCHEMA).json(str(tmp_path))
+    got = {r["event_id"]: r["ts"] for r in parse_events_ts(raw).collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and got[1].isoformat() == "2024-01-02T03:04:05.000006"
+
+
 def test_orc_graph_round_trip(spark, tmp_path, golden):
     from flink_graph_spark.sources.sinks import (
         read_graph_orc,
