@@ -494,10 +494,12 @@ def write_ann_at_rest(
     path_prefix: str | None = None,
 ) -> None:
     """One-time index build: materialize the sparse-SimHash sketch and
-    the norm-filtered vectors as two vec_id-bucketed tables (same
-    column, same bucket count — the zero-exchange join contract of
-    ``write_edges_bucketed``). One kernel pass for the signatures; the
-    vector table is a re-bucketed cast of the raw column (no kernel).
+    the vectors as two vec_id-bucketed tables (same column, same bucket
+    count — the zero-exchange join contract of ``write_edges_bucketed``).
+    One kernel pass for the signatures; the vector table is a
+    re-bucketed copy of the RAW float column (half the at-rest bytes of
+    the double view; the probe's float → double cast is exact, and the
+    sig table's norm filter governs membership through the inner join).
     ``path_prefix`` writes external tables (callers that must not touch
     a cwd-relative warehouse dir pass a scratch path)."""
 
@@ -513,7 +515,7 @@ def write_ann_at_rest(
         w.saveAsTable(table)
 
     _w(with_sig(emb).select("vec_id", "sig0", "sig1", "nrm"), sig_table)
-    _w(with_norm(emb).select("vec_id", "e"), vec_table)
+    _w(emb.select("vec_id", "embedding"), vec_table)
 
 
 def ann_topk_lsh_at_rest(
@@ -538,7 +540,13 @@ def ann_topk_lsh_at_rest(
     if cut is None:
         cut = ann_cut_for(n_rows)
     sigs = spark.table(sig_table)
-    vecs = spark.table(vec_table)
+    # float → double element cast at probe time (exact widening, same
+    # doubles as with_norm); the projection preserves the bucketed
+    # partitioning, so the survivor join below stays exchange-free
+    vecs = spark.table(vec_table).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
     key = F.pmod(F.col("vec_id"), F.lit(1)).alias("__k")
     q = (
         sigs.filter(F.col("vec_id") < n_queries)

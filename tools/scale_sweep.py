@@ -63,8 +63,12 @@ SWEEP = [
     "dedup_exact_stats", "dedup_minhash_lsh", "simhash_near_dup",
     "passage_dedup", "winnow_dup_pairs", "ngram_containment_topk",
     "minhash_calibration",
-    # similarity / embeddings
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    # similarity / embeddings. ann_topk_lsh_at_rest is memoized per
+    # (session, sf): pass 0 prices build+probe, pass 1 probes the
+    # already-materialized bucketed tables — min-of-passes is therefore
+    # the WARM at-rest probe, the number a serving batch pays.
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_lsh_at_rest",
+    "ann_topk_ivf",
     "semantic_dedup_lsh", "kmeans_clusters", "pq_codes",
     "embedding_outliers",
     # text / corpus
