@@ -19,6 +19,7 @@ the result is stable across partitionings.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -245,6 +246,26 @@ def dedup_bits_for(n_rows: int) -> int:
         if (1 << b) * DEDUP_TARGET_CELL >= n_rows:
             return b
     return DEDUP_MAX_BITS
+
+
+def dedup_sketch_cut(threshold: float) -> int:
+    """Hamming prefilter cut for the dedup candidate stage, derived
+    from the COSINE THRESHOLD (not from n — unlike the ANN query cut,
+    which tightens with corpus size because the kth-neighbor cosine
+    rises; the dedup contract is a fixed threshold, so the cut is a
+    fixed function of it): a pair at exactly ``threshold`` has expected
+    sketch Hamming distance B·θ/π with std √(B·p(1-p)); cut at +3σ
+    keeps ≥99.8% of exactly-at-threshold pairs (pairs above threshold
+    are closer and safer) while discarding the bulk of random
+    candidates, whose distances concentrate at B/2. Measured on the
+    testdata (whose pairs sit at cosine 0.40–0.51, the adversarial
+    regime for a sketch filter): cut 62 keeps 66/66 and 59/59 real
+    pairs at sf0.001/sf0.01 while dropping 47% of random candidates.
+    Integer-exact and embedded as a literal in the SQL twin."""
+    p0 = math.acos(threshold) / math.pi
+    return math.ceil(
+        ANN_SIG_BITS * p0 + 3.0 * math.sqrt(ANN_SIG_BITS * p0 * (1.0 - p0))
+    )
 
 
 # ---- ANN via a sparse SimHash sketch + adaptive Hamming prefilter ----
@@ -972,12 +993,30 @@ def semantic_near_dup_pairs_lsh(
     multi_probe: bool = False,
 ) -> DataFrame:
     """(va, vb, cosine) — the SCALE path for semantic near-dup pair
-    generation: candidates are pairs sharing a band cell in ≥1 of the
-    8 banded hyperplane signatures, deduped, then cosine-confirmed >
-    threshold. A strict subset of ``embedding_near_dup``'s exact output
-    (banding can miss pairs — recall measured in tests); candidate
-    generation is one equi-join on narrow (vec_id, table, bucket) rows,
-    never a cross join of vectors.
+    generation, a three-stage funnel of this module's two proven
+    primitives:
+
+      1. BANDING (coarse): candidates are pairs sharing a band cell in
+         ≥1 of the 8 banded sign-plane signatures — one equi-join on
+         narrow (vec_id, table, bucket) rows, never a cross join of
+         vectors.
+      2. SKETCH REFINE (cheap): each candidate's 124-bit ANN sketch
+         Hamming distance must clear :func:`dedup_sketch_cut` — two
+         xor+bit_count intrinsics per pair, attached via broadcast
+         (3 MB of sigs at a 200k corpus), evaluated in the SAME codegen
+         stage as the candidate join, BEFORE anything is shuffled or
+         any 64-term fold runs. Measured at the 200k sweep point: drops
+         47% of candidates for zero real-pair loss (cut 62).
+      3. EXACT COSINE (final): the survivors attach vectors via
+         broadcast hash joins and confirm cosine > threshold; the
+         distinct dedupes the CONFIRMED pairs (tiny — measured 1.8%
+         band-duplication on the raw stream, so deduping early would
+         shuffle ~400M rows at the 200k point to remove 2%; deduping
+         after the threshold shuffles thousands).
+
+    A strict subset of ``embedding_near_dup``'s exact output (banding
+    and the sketch cut can miss pairs — recall measured in tests and
+    bench).
 
     ``bits`` is the per-band signature width and the SCALING knob. A
     band cell with m members contributes m²/2 candidate pairs, and the
@@ -1005,7 +1044,7 @@ def semantic_near_dup_pairs_lsh(
     ``bits`` extra cells per band). The multiplicative cost knob to
     turn when the banding knob alone can't reach the recall target.
     """
-    n = with_norm(emb)
+    n = with_sig(emb)
     if bits is None:
         bits = dedup_bits_for(n.count())
     b = _banded_bucket_frame(n, bits)
@@ -1024,15 +1063,35 @@ def semantic_near_dup_pairs_lsh(
             ).alias("bucket"),
             F.col("vec_id").alias("va"),
         )
-    cand = (
-        left.join(
-            b.select("table", "bucket", F.col("vec_id").alias("vb")),
-            ["table", "bucket"],
-        )
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
+    cand = left.join(
+        b.select("table", "bucket", F.col("vec_id").alias("vb")),
+        ["table", "bucket"],
+    ).filter(F.col("va") < F.col("vb"))
+    # stage-2 sketch refine: broadcast sig attach + Hamming cut in the
+    # candidate join's own codegen stage — nothing big ever shuffles
+    cut = dedup_sketch_cut(threshold)
+    sga = n.select(
+        F.col("vec_id").alias("va"),
+        F.col("sig0").alias("sa0"),
+        F.col("sig1").alias("sa1"),
     )
+    sgb = n.select(
+        F.col("vec_id").alias("vb"),
+        F.col("sig0").alias("sb0"),
+        F.col("sig1").alias("sb1"),
+    )
+    hamdist = F.bit_count(
+        F.col("sa0").bitwiseXOR(F.col("sb0"))
+    ) + F.bit_count(F.col("sa1").bitwiseXOR(F.col("sb1")))
+    cand = (
+        cand.join(F.broadcast(sga), "va")
+        .join(F.broadcast(sgb), "vb")
+        .filter(hamdist <= F.lit(cut))
+        .select("va", "vb")
+    )
+    # stage-3 exact confirm: vectors attach via broadcast hash joins
+    # (like embedding_near_dup; at true 100 TB shard this join by the
+    # at-rest vec_id bucketing instead), then dedupe the CONFIRMED set
     a = n.select(
         F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
@@ -1041,11 +1100,12 @@ def semantic_near_dup_pairs_lsh(
     )
     cos = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
-        cand.join(a, "va")
-        .join(bb, "vb")
+        cand.join(F.broadcast(a), "va")
+        .join(F.broadcast(bb), "vb")
         .withColumn("__cos", cos)
         .filter(F.col("__cos") > F.lit(threshold))
         .select("va", "vb", F.round("__cos", 6).alias("cosine"))
+        .distinct()
     )
 
 
@@ -1327,9 +1387,17 @@ def semantic_dedup_lsh_sql(
     frame), the 8×40 SPARSE plane bank is embedded as literals (each
     band bit = sign of the same left-associated 4-term sparse sum the
     Arrow kernel computes), and every stage filters plane/probe indexes
-    to ``p < bits``."""
+    to ``p < bits``. The stage-2 sketch refine (see
+    :func:`semantic_near_dup_pairs_lsh`) is replayed too: the same
+    124-bit ann_sigs CTEs the ANN twin uses, the same xor/bit_count
+    Hamming test at the same threshold-derived
+    :func:`dedup_sketch_cut` literal, applied before the cosine; the
+    DISTINCT dedupes the confirmed pair set, mirroring the Spark
+    plan's dedupe-after-threshold placement."""
     from ..library.connected_components import oracle_ctes
 
+    cut = dedup_sketch_cut(threshold)
+    sigs = ANN_SIGS_SQL.format(values=_sig_planes_values_sql())
     dot = (
         "(((n.e[pl.i1] * pl.s1) + (n.e[pl.i2] * pl.s2))"
         " + (n.e[pl.i3] * pl.s3)) + (n.e[pl.i4] * pl.s4)"
@@ -1372,17 +1440,22 @@ lsh_buckets AS MATERIALIZED (
                     ELSE 0 END) AS BIGINT) AS bucket
     FROM lsh_bits GROUP BY 1, 2
 ),{probe_cte}
+{sigs},
 lsh_cand AS MATERIALIZED (
-    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    SELECT a.vec_id AS va, b.vec_id AS vb
     FROM {cand_left} a JOIN lsh_buckets b
       ON a.g = b.g AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 sdl_pairs AS MATERIALIZED (
-    SELECT c.va AS src, c.vb AS dst
+    SELECT DISTINCT c.va AS src, c.vb AS dst
     FROM lsh_cand c
+    JOIN ann_sigs sa ON c.va = sa.vec_id
+    JOIN ann_sigs sb ON c.vb = sb.vec_id
     JOIN emb_norm a ON c.va = a.vec_id
     JOIN emb_norm b ON c.vb = b.vec_id
-    WHERE {COS_SQL} > {threshold!r}
+    WHERE bit_count(xor(sa.sig0, sb.sig0))
+          + bit_count(xor(sa.sig1, sb.sig1)) <= {cut}
+      AND {COS_SQL} > {threshold!r}
 ),
 sdl_ids AS MATERIALIZED (
     SELECT DISTINCT id FROM (
