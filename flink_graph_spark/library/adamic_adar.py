@@ -3,14 +3,47 @@ neighbors w of the edge endpoints (Gelly-successor
 library/similarity/AdamicAdar; the prototype reference stops at
 Jaccard, so this is a §2.10 extension sharing its machinery).
 
-Plan mirrors ``library.jaccard``: adjacency arrays joined to each
-edge's endpoints, common neighbors via ``array_intersect`` — but
-Adamic–Adar needs the common neighbors' IDENTITIES (to weight by their
-degree), so the intersection array is exploded and joined to the
-degree table. The explode emits only |common| rows per edge (bounded
-by min endpoint degree), far below the |E|·avg-degree wedge
-intermediate of a count-style plan. Common neighbors always have
-degree ≥ 2, so ln(deg) > 0 — no division guard needed.
+Plan (r7, third design — the two predecessors are below): every
+common neighbor w of an edge (u, v) closes the triangle {u, v, w}, so
+AA is a TRIANGLE-CREDIT sum — reuse ``library.triangles``' degree-
+oriented enumeration (tournament orientation x→y→z; out-fan ≤
+O(sqrt m)) and have each triangle credit its three edges with the
+opposite corner's weight: edge (x, y) ← wgt(z), (x, z) ← wgt(y),
+(y, z) ← wgt(x). The out-adjacency arrays pack (deg(nbr) << 40) | nbr
+into ONE LONG, so wgt(z) is recovered from the intersection element
+by bit-shift — no lookup — while wgt(x)/wgt(y) were attached to the
+m-row oriented-edge frame before enumeration. All credits are emitted
+in a single pass over the enumeration: the (x, y) edge's own credit
+folds IN-STAGE to one row (F.aggregate over the intersection), and
+only the redistributing (x, z)/(y, z) credits — 2·#triangles rows —
+flow to the grouped sum. Nothing wide ever joins: the big structures
+are the Σ out² oriented attach the triangle count itself survives at
+the 100x sweep point, and the 2T credit shuffle (the in-stage fold
+cut it from 3T — at 100x that third was the difference between disk
+exhaustion and completing).
+
+Two rejected designs, both measured this round (SWEEP_r07):
+
+- explode-the-intersection-and-join-degrees (pre-r7): the 3·#triangle
+  row stream SHUFFLES for the degree join — "No space left on device"
+  at the 100x point (>60 GB scratch) even from a clean disk.
+- FULL-neighborhood packed/struct arrays joined to each edge
+  (jaccard's shape): the attach is Σ deg² elements (~230 GB at the
+  100x co-purchase graph, avg degree ~120) which must sort for the
+  second endpoint join — jaccard survives it only by spilling ~40 GB;
+  adamic died on the same box twice. (The struct variant is also
+  CPU-wrong: ``array_intersect`` hash-accelerates only ATOMIC element
+  types; structs take the pairwise-scan fallback — measured 14x
+  slower at the 1x point.) Degree orientation shrinks the attach from
+  Σ deg² to Σ out² — the same step that took triangle counting from
+  disk-fatal to 416s.
+
+Packing domain (guarded with a loud raise_error, same convention as
+random_walks/MIS id bit-packing): vertex ids must be non-negative
+longs < 2^40 (~1.1e12 — covers TPC-H keys past SF100k; the guard
+fires before any wrong result), distinct degrees < 2^23 (~8.4M).
+Common neighbors always have full degree ≥ 2, so the fold only ever
+evaluates ln(deg) > 0.
 """
 
 from __future__ import annotations
@@ -26,45 +59,154 @@ def adamic_adar(
 ) -> DataFrame:
     """Returns (src, dst, aa) for every edge; neighborhoods over the
     undirected view, 0.0 when the endpoints share no neighbor."""
+    from ..plans.checkpoints import release_local_checkpoint
+    from .triangles import _distinct_edges, _oriented_edges
+
     e = graph.edges.select("src", "dst")
+    pairs = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+        e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+    )
+    # full distinct-neighbor degree (count_distinct ≡ the old
+    # size(collect_set)) — AA weights use the UNDIRECTED degree, not
+    # the tournament out-degree
+    deg = pairs.groupBy("id").agg(F.count_distinct("nbr").alias("deg"))
+    wgt = deg.select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            F.lit(1.0) / F.log(F.col("deg").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("wgt"),
+    )
+
+    # canonicalize before enumerating: the API (unlike the triangles
+    # module's declared src<dst contract) accepts edges in either
+    # orientation — (4, 1) and (1, 4) are the same undirected edge and
+    # must not enumerate twice. Builder graphs are already canonical,
+    # so their distinct_edges guarantee survives the projection.
+    ec = e.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    de = _distinct_edges(ec, graph.distinct_edges)
+    oe = _oriented_edges(de).select("a", "b").localCheckpoint(eager=True)
+    if de is not ec:
+        release_local_checkpoint(de)
+
+    packed = F.when(
+        (F.col("b") < 0)
+        | (F.col("b") >= F.lit(1 << 40))
+        | (F.col("deg") >= F.lit(1 << 23)),
+        F.raise_error(
+            "adamic_adar packed-long domain exceeded: vertex ids must be in"
+            " [0, 2^40) and distinct degrees < 2^23"
+        ).cast("long"),
+    ).otherwise(F.shiftleft(F.col("deg"), 40) + F.col("b"))
+    op = oe.join(deg.select(F.col("id").alias("b"), "deg"), "b").select(
+        "a", packed.alias("p")
+    )
     if salt_buckets:
-        from ..functions.skew import salted_adjacency
+        # hub-safe two-phase collect (out-fan is already O(sqrt m)
+        # under the orientation, so this is rarely needed — kept for
+        # API parity with jaccard)
+        from ..functions.skew import salted_agg
 
-        adj = salted_adjacency(e, buckets=salt_buckets)
+        outadj = salted_agg(
+            op,
+            keys=["a"],
+            salt_on=F.col("p"),
+            partial_aggs=[F.collect_set("p").alias("part")],
+            final_aggs=[
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("part")))
+                ).alias("ns")
+            ],
+            buckets=salt_buckets,
+        )
     else:
-        adj = (
-            e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
-            .unionByName(
-                e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
-            )
-            .groupBy("id")
-            .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
-        )
-    deg = adj.select("id", F.size("ns").cast("bigint").alias("deg"))
+        outadj = op.groupBy("a").agg(F.sort_array(F.collect_set("p")).alias("ns"))
 
-    a = adj.select(F.col("id").alias("src"), F.col("ns").alias("na"))
-    b = adj.select(F.col("id").alias("dst"), F.col("ns").alias("nb"))
-    # score per DISTINCT edge — a duplicated edge row would explode its
-    # intersection twice and the groupBy sum would double `s` (same
-    # multigraph hazard as jaccard_similarity_counts); the final join
-    # still emits one output row per ORIGINAL edge row. Builders that
-    # guarantee distinctness (Graph.distinct_edges) skip the extra
-    # edge-table shuffle.
-    ed = e if graph.distinct_edges else e.distinct()
-    commons = (
-        ed.join(a, "src")
-        .join(b, "dst")
+    # oriented edges with endpoint weights on the row + both packed
+    # out-arrays; a always has out-edges, b may be a DAG sink (left
+    # join, empty intersection)
+    enriched = (
+        oe.join(wgt.select(F.col("id").alias("a"), F.col("wgt").alias("wa")), "a")
+        .join(wgt.select(F.col("id").alias("b"), F.col("wgt").alias("wb")), "b")
+        .join(outadj.select(F.col("a"), F.col("ns").alias("na")), "a")
+        .join(outadj.select(F.col("a").alias("b"), F.col("ns").alias("nb")),
+              "b", "left")
         .select(
-            "src", "dst", F.explode(F.array_intersect("na", "nb")).alias("w")
+            "a", "b", "wa", "wb",
+            F.array_intersect(
+                "na", F.coalesce("nb", F.array().cast("array<long>"))
+            ).alias("cs"),
         )
+        .filter(F.size("cs") > 0)
+    )
+    # every triangle credits its three edges with the opposite corner's
+    # weight in ONE map-side pass over the enumeration (a multi-branch
+    # union would re-run it per branch): the (a, b) edge's whole credit
+    # Σ wgt(c) COLLAPSES IN-STAGE to one row via an F.aggregate fold
+    # (shiftright recovers the exact integer degree, so each term is
+    # the same double the oracle's 1/ln(deg) produces), while the
+    # (a, c) / (b, c) credits — which genuinely redistribute to other
+    # edges — carry wgt(b) / wgt(a) from the pre-attached row columns.
+    # Folding (a, b) instead of exploding it cuts the credit stream
+    # from 3T to 2T rows; at the 100x point that third was the margin
+    # between "No space left on device" and completing (the stream's
+    # shuffle coexists on disk with the enumeration's Σ out² shuffle
+    # files, and partial aggregation can't shrink it — credit keys
+    # within a task are mostly unique).
+    mask = F.lit((1 << 40) - 1)
+    unpack_wgt = lambda p: F.lit(1.0) / F.log(  # noqa: E731
+        F.shiftright(p, 40).cast("double")
+    )
+    credit = lambda x, y, s: F.struct(  # noqa: E731 — canonical row
+        F.least(x, y).alias("src"), F.greatest(x, y).alias("dst"),
+        s.alias("s"),
+    )
+    fold_ab = F.aggregate(
+        "cs", F.lit(0.0), lambda acc, p: acc + unpack_wgt(p)
     )
     scores = (
-        commons.join(deg.select(F.col("id").alias("w"), "deg"), "w")
+        enriched.select(
+            F.explode(
+                F.concat(
+                    F.array(credit(F.col("a"), F.col("b"), fold_ab)),
+                    F.transform(
+                        "cs",
+                        lambda p: credit(
+                            F.col("a"), p.bitwiseAND(mask), F.col("wb")
+                        ),
+                    ),
+                    F.transform(
+                        "cs",
+                        lambda p: credit(
+                            F.col("b"), p.bitwiseAND(mask), F.col("wa")
+                        ),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.src", "t.dst", "t.s")
         .groupBy("src", "dst")
-        .agg(F.sum(F.lit(1.0) / F.log("deg")).alias("s"))
+        .agg(F.sum("s").alias("s"))
     )
+    # one output row per ORIGINAL edge row in its ORIGINAL orientation
+    # (dup rows in a multigraph re-read the same deduped score; the
+    # enumeration itself ran on the canonicalized deduped edge set, so
+    # nothing double-counts). Summation order is the groupBy's — 6-dp
+    # rounding absorbs the float-order gap vs the oracle's unordered
+    # SUM, as it did for every prior plan.
     return (
-        e.join(scores, ["src", "dst"], "left")
+        e.join(
+            scores.select(
+                F.col("src").alias("_cs"), F.col("dst").alias("_cd"), "s"
+            ),
+            (F.least("src", "dst") == F.col("_cs"))
+            & (F.greatest("src", "dst") == F.col("_cd")),
+            "left",
+        )
         .select(
             "src",
             "dst",

@@ -2,17 +2,31 @@
 (src < dst on every edge).
 
 Not in the reference prototype (Gelly grew TriangleEnumerator later);
-included for graph-metric coverage. Plan: degree-ordered path join —
-every edge is re-oriented so its lower-(degree, id) endpoint comes
-first (an acyclic tournament), directed 2-paths a→b→c are enumerated by
-joining on the middle vertex, and each path is closed by a semi-join
-against the (a, c) edge. Orienting by degree instead of raw id bounds
-the per-vertex out-fan by O(sqrt(m)), so total paths are O(m^1.5) even
-on hub-skewed graphs — the property that keeps this plan alive on
-power-law inputs where id-ordering is quadratic at hubs. The triangle
-count is orientation-invariant, so the DuckDB oracle keeps the simple
-src<dst form. All equi-joins on stable longs → AQE handles skew; no adjacency
-arrays, so hub vertices never hit executor memory.
+included for graph-metric coverage. Plan: degree-oriented adjacency
+INTERSECTION — every edge is re-oriented so its lower-(degree, id)
+endpoint comes first (an acyclic tournament; per-vertex out-fan then
+bounded by O(sqrt m) even on hub-skewed graphs), out-neighbor arrays
+are collected per vertex, and for each oriented edge (a, b) the
+triangles through it are exactly N⁺(a) ∩ N⁺(b) — one
+``array_intersect`` evaluated inside the join's own codegen stage.
+
+Why arrays and not the classic wedge join (enumerate paths a→b→c on
+the middle vertex, close with a semi-join on (a, c))? Both do the same
+O(m^1.5) element-compares, but the wedge plan MATERIALIZES AND
+SHUFFLES the Σ in(b)·out(b) path table for the closing semi-join —
+measured fatal at the 100x sweep point (>45 GB of shuffle scratch on
+one box before "No space left on device"; SWEEP_r06/r07 error rows).
+The array plan's big payload is the out-arrays riding the second join
+(Σ out(a)² elements, ≤ Σ deg² — strictly below the full-adjacency
+jaccard plan that survives the same point — and 8 B/element packed vs
+~24 B+overhead per wedge row); the intersection then collapses it to
+#triangle rows before anything else moves. Out-fan ≤ O(sqrt m) bounds
+any single array at ~25 KB per million edges, so hub vertices never
+threaten executor memory the way full-neighborhood arrays can.
+
+The triangle count is orientation-invariant, so the DuckDB oracle
+keeps the simple src<dst wedge form. All equi-joins on stable longs →
+AQE handles skew.
 """
 
 from __future__ import annotations
@@ -68,43 +82,65 @@ def _distinct_edges(e: DataFrame, assume_distinct: bool) -> DataFrame:
     return e.distinct().localCheckpoint(eager=True)
 
 
-def _closed_wedges(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
-    """(a, b, c) triangle corners, each triangle exactly once.
+def _edge_commons(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
+    """(a, b, cs) for every oriented edge: cs = N⁺(a) ∩ N⁺(b), the
+    array of third corners of the triangles whose lowest-(degree, id)
+    edge is (a, b). Each triangle x→y→z (tournament order) appears in
+    exactly one row — the (x, y) edge with z in cs; the (x, z) and
+    (y, z) edges cannot re-emit it (y ∉ N⁺(z), x ∉ N⁺(y)'s source).
 
-    Paths a→b→c through the oriented DAG (each triangle has exactly one
-    such path — its middle vertex is unique), closed by a semi-join on
-    the (a, c) edge. The middle-vertex join enumerates Σ in(b)·out(b)
-    pairs directly — no ordered-pair self-join that generates 2x rows
-    and filters half away — and stays O(m^1.5) under the degree
-    orientation (out-fan capped at O(sqrt m) everywhere).
+    Shuffle budget (the reason this replaced the wedge join — see the
+    module docstring): oe by a (m rows), out-adjacency by id (n compact
+    array rows), then oe-with-na by b (Σ out(a)² array elements, the
+    plan's one big payload, bounded by min(Σ deg², m·sqrt(2m))). The
+    Σ in·out wedge table never exists; downstream consumers see only
+    #triangle corner rows (or just array sizes).
     """
     de = _distinct_edges(e, assume_distinct)
-    # materialize the oriented edge list once — it feeds all three legs
-    # (xy, yz, and the closing semi-join); without this the degree joins
-    # re-run per leg (3x the work, measured 2x slower at sf0.1)
+    # materialize the oriented edge list once — it feeds the adjacency
+    # groupBy AND the probe side; without this the degree joins re-run
+    # per leg (measured 2x slower at sf0.1 on the old plan's 3 legs)
     oe = _oriented_edges(de).select("a", "b").localCheckpoint(eager=True)
     if de is not e:
         # the deduped scratch blocks fed the (now-materialized) oriented
         # list and nothing else — release them immediately
         release_local_checkpoint(de)
-    xy = oe.select(F.col("a").alias("a"), F.col("b").alias("b"))
-    yz = oe.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    paths = xy.join(yz, "b")
-    return paths.join(
-        oe.select(F.col("a").alias("a"), F.col("b").alias("c")),
-        ["a", "c"],
-        "left_semi",
-    ).select("a", "b", "c")
+    outadj = oe.groupBy(F.col("a").alias("id")).agg(
+        F.sort_array(F.collect_set("b")).alias("ns")
+    )
+    # inner joins are sound: every a has an out-edge by construction,
+    # and an edge whose b is a DAG sink has empty N⁺(b) — no triangle
+    return (
+        oe.join(outadj.select(F.col("id").alias("a"), F.col("ns").alias("na")),
+                "a")
+        .join(outadj.select(F.col("id").alias("b"), F.col("ns").alias("nb")),
+              "b")
+        .select("a", "b", F.array_intersect("na", "nb").alias("cs"))
+    )
+
+
+def _closed_wedges(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
+    """(a, b, c) triangle corners, each triangle exactly once — the
+    exploded view of :func:`_edge_commons` (same rows the old wedge
+    enumeration produced: a the lowest-(degree, id) corner, b the
+    middle, c the top)."""
+    return _edge_commons(e, assume_distinct).select(
+        "a", "b", F.explode("cs").alias("c")
+    )
 
 
 def triangle_count(graph: Graph) -> DataFrame:
     """1-row frame (n_triangles BIGINT). Edges must be canonical
     (src < dst); symmetrize + filter first if not.
     """
-    closed = _closed_wedges(
+    commons = _edge_commons(
         graph.edges.select("src", "dst"), graph.distinct_edges
     )
-    return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    # sum of intersection sizes — no explode, the per-edge count
+    # aggregates partially inside the join stage
+    return commons.agg(
+        F.coalesce(F.sum(F.size("cs")), F.lit(0)).cast("long").alias("n_triangles")
+    )
 
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:

@@ -896,3 +896,30 @@ def test_incremental_pagerank_converges_to_full_recompute(spark):
     assert set(warm) == set(full)
     for k in warm:
         assert abs(warm[k] - full[k]) < 1e-3
+
+
+def test_adamic_adar_salted_matches_unsalted_and_guard_fires(spark):
+    """The r7 packed-long plan: the salted two-phase collect must score
+    identically to the default path, and the id-domain guard must fail
+    LOUDLY (not silently corrupt) on an id outside [0, 2^40)."""
+    import pytest as _pt
+
+    from flink_graph_spark.library.adamic_adar import adamic_adar
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 4)]
+    g = Graph.from_collection(
+        spark, [(i, i) for i in range(1, 5)], [(s, d, 0) for s, d in edges]
+    )
+    plain = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar(g).collect()}
+    salted = {
+        (r["src"], r["dst"]): r["aa"]
+        for r in adamic_adar(g, salt_buckets=4).collect()
+    }
+    assert plain == salted and len(plain) == len(edges)
+
+    big = 1 << 41
+    bad = Graph.from_collection(
+        spark, [(1, 1), (big, 1)], [(1, big, 0)]
+    )
+    with _pt.raises(Exception, match="packed-long domain"):
+        adamic_adar(bad).collect()

@@ -107,3 +107,50 @@ def test_jaccard_salted_matches_default(spark):
         for r in jaccard_similarity(g, salt_buckets=4).collect()
     }
     assert got == want
+
+
+def test_closed_wedges_match_bruteforce_on_skewed_random_graph(spark):
+    """The r7 array-intersect enumeration must emit exactly the same
+    (a, b, c) corner rows the wedge join did: one row per triangle,
+    a the lowest-(degree, id) corner under the tournament orientation.
+    Pinned against an itertools brute force on a hub-skewed random
+    graph (one vertex joined to everything + random noise edges), the
+    shape that distinguishes degree- from id-orientation."""
+    import itertools
+    import random
+
+    from flink_graph_spark.library.triangles import (
+        _closed_wedges,
+        _edge_commons,
+        triangle_count,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(0, v) for v in range(1, n)}  # hub 0
+    while len(edges) < 160:
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_tris = {
+        tuple(sorted(t))
+        for t in itertools.combinations(range(n), 3)
+        if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]
+    }
+
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = [(r["a"], r["b"], r["c"]) for r in _closed_wedges(e).collect()]
+    assert len(got) == len(expect_tris)  # exactly once each
+    assert {tuple(sorted(t)) for t in got} == expect_tris
+    # count path (sum of intersection sizes, no explode) agrees
+    from flink_graph_spark.graph import Graph
+
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g = Graph(v, e.withColumn("value", F.lit(1)))
+    assert triangle_count(g).collect()[0]["n_triangles"] == len(expect_tris)
+    # corner roles: a->b, a->c, b->c all oriented edges of the DAG
+    commons = _edge_commons(e).collect()
+    assert sum(len(r["cs"]) for r in commons) == len(expect_tris)

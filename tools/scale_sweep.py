@@ -143,6 +143,39 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
         import gc
         gc.collect()
         registry.jvm_gc(spark)
+        _drain_scratch()
+
+    def _drain_scratch(min_free_gb: float = 40.0, timeout_s: int = 240) -> None:
+        """Block until shuffle scratch has actually drained. Shuffle-file
+        deletion is ASYNC (ContextCleaner processes its queue one entry
+        at a time), so after a spill-heavy query the next one can start
+        against a nearly-full disk and die on scratch the cleaner was
+        about to free — measured in the r7 p100 run: jaccard finished
+        leaving 12 GB free, adamic_adar started immediately and hit
+        "No space left on device" while ~80 GB of jaccard's shuffle
+        files were still queued for deletion (they freed moments after
+        the abort). Only engages below ``min_free_gb``, so the quiet
+        majority of queries pay nothing."""
+        import shutil
+
+        free = shutil.disk_usage("/tmp").free
+        floor = min_free_gb * 2**30
+        if free >= floor:
+            return
+        t0 = time.time()
+        stalled = 0
+        while time.time() - t0 < timeout_s:
+            time.sleep(5)
+            registry.jvm_gc(spark)
+            now = shutil.disk_usage("/tmp").free
+            if now >= floor:
+                break
+            stalled = stalled + 1 if now - free < 2**30 else 0
+            if stalled >= 6:  # 30s with no progress: nothing left to drain
+                break
+            free = now
+        print(f"drained scratch to {shutil.disk_usage('/tmp').free/2**30:.0f}"
+              f" GiB free in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     with open(out_path, "a") as fh:
         fh.write(json.dumps({"point": pname, "probe_ms_per_job": probe_ms,

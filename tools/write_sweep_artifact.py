@@ -9,7 +9,16 @@ carries error rows (a query that FAILED at a point is a finding, not a
 hole) and the per-point scheduler probes.
 
 Usage: python tools/write_sweep_artifact.py IN.jsonl OUT.json [run_id]
+           [--overlay RUN_ID:q1,q2,...]
 (run_id defaults to the newest one present in the file)
+
+--overlay replaces the named queries' timing/pass/error rows with the
+rows a LATER run recorded — the round-7 use case: a query's plan was
+redesigned mid-round after the main sweep measured (or failed) it, and
+the committed artifact must describe the COMMITTED code. The main
+run's rows for overlaid queries are kept verbatim under
+"superseded_by_overlay" so the pre-redesign failures stay on the
+record instead of silently vanishing.
 """
 
 from __future__ import annotations
@@ -22,13 +31,36 @@ POINT_K = {"p1": 1, "p10": 10, "p100": 100}
 
 
 def main() -> int:
-    src, dst = sys.argv[1], sys.argv[2]
-    want = sys.argv[3] if len(sys.argv) > 3 else None
-    rows = [json.loads(l) for l in open(src)]
+    args = [a for a in sys.argv[1:]]
+    overlay_run, overlay_qs = None, set()
+    if "--overlay" in args:
+        i = args.index("--overlay")
+        overlay_run, qs = args[i + 1].split(":", 1)
+        overlay_qs = set(qs.split(","))
+        del args[i:i + 2]
+    src, dst = args[0], args[1]
+    want = args[2] if len(args) > 2 else None
+    all_rows = [json.loads(l) for l in open(src)]
     if want is None:
-        ids = [r["run_id"] for r in rows if r.get("run_id")]
+        ids = [r["run_id"] for r in all_rows if r.get("run_id")]
         want = ids[-1]
-    rows = [r for r in rows if r.get("run_id") == want]
+    rows = [
+        r
+        for r in all_rows
+        if r.get("run_id") == want and r.get("query") not in overlay_qs
+    ]
+    superseded = [
+        r
+        for r in all_rows
+        if r.get("run_id") == want and r.get("query") in overlay_qs
+    ]
+    rows += [
+        r
+        for r in all_rows
+        if overlay_run
+        and r.get("run_id") == overlay_run
+        and r.get("query") in overlay_qs
+    ]
 
     mins: dict[str, dict[str, float]] = {}
     passes: dict[str, dict[str, list]] = {}
@@ -73,6 +105,14 @@ def main() -> int:
         and all(p < 100.0 for p in probes.values()),
         "errors": errors,
     }
+    if overlay_run:
+        out["overlay"] = {
+            "run_id": overlay_run,
+            "queries": sorted(overlay_qs),
+        }
+        out["superseded_by_overlay"] = [
+            {k: v for k, v in r.items() if k != "run_id"} for r in superseded
+        ]
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
