@@ -70,6 +70,7 @@ class Graph:
         edges: DataFrame,
         src_partitioned: bool = False,
         distinct_edges: bool = False,
+        canonical_edges: bool = False,
     ):
         vcols = vertices.columns
         ecols = edges.columns
@@ -90,6 +91,19 @@ class Graph:
         #: edge-table shuffle, recomputed per plan leg. False means
         #: "unknown", not "has duplicates": consumers must dedup.
         self.distinct_edges = distinct_edges
+        #: STRICTLY STRONGER guarantee than ``distinct_edges``: every
+        #: edge row additionally satisfies src < dst (undirected-
+        #: canonical form), so a least/greatest projection is the
+        #: identity and stays duplicate-free. ``distinct_edges`` alone
+        #: does NOT imply this — a symmetrized graph carries both
+        #: orientations as distinct directed rows, and canonicalizing
+        #: them produces exact duplicates (the r7 Adamic–Adar 2x bug).
+        #: Consumers that canonicalize internally must gate their dedup
+        #: skip on THIS flag, never on ``distinct_edges``.
+        self.canonical_edges = canonical_edges
+        if canonical_edges and not distinct_edges:
+            # canonical implies distinct by definition
+            self.distinct_edges = True
         # Memoized scalar vertex count, held in a one-slot list so
         # vertex-preserving derivations (reverse, edge maps/joins,
         # partition_by_src, the symmetrized view) SHARE the memo with

@@ -83,12 +83,16 @@ def adamic_adar(
     # canonicalize before enumerating: the API (unlike the triangles
     # module's declared src<dst contract) accepts edges in either
     # orientation — (4, 1) and (1, 4) are the same undirected edge and
-    # must not enumerate twice. Builder graphs are already canonical,
-    # so their distinct_edges guarantee survives the projection.
+    # must not enumerate twice. The dedup skip is gated on
+    # ``canonical_edges`` (src<dst already holds, projection is the
+    # identity), NOT on ``distinct_edges``: a symmetrized graph carries
+    # both orientations as distinct directed rows, and canonicalizing
+    # them yields exact duplicates that would double every AA score
+    # (r7 bug on customer_supplier_undirected_graph).
     ec = e.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     )
-    de = _distinct_edges(ec, graph.distinct_edges)
+    de = _distinct_edges(ec, graph.canonical_edges)
     oe = _oriented_edges(de).select("a", "b").localCheckpoint(eager=True)
     if de is not ec:
         release_local_checkpoint(de)

@@ -238,8 +238,8 @@ def user_cooccurrence_graph(
     # init, degree joins) otherwise re-runs the union+distinct shuffle
     return Graph(
         g.vertices.persist(), g.edges, src_partitioned=True,
-        # groupBy output: one row per (src, dst) by construction
-        distinct_edges=True,
+        # groupBy output over src < dst pairs: canonical undirected form
+        distinct_edges=True, canonical_edges=True,
     )
 
 
@@ -280,8 +280,8 @@ def part_copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
     # init, degree joins) otherwise re-runs the union+distinct shuffle
     return Graph(
         g.vertices.persist(), g.edges, src_partitioned=True,
-        # groupBy output: one row per (src, dst) by construction
-        distinct_edges=True,
+        # groupBy output over l_partkey < l_partkey pairs: canonical form
+        distinct_edges=True, canonical_edges=True,
     )
 
 

@@ -263,6 +263,36 @@ def test_adamic_adar_hand_computed(spark):
     assert all(v > 0 for v in got.values())
 
 
+def test_adamic_adar_symmetrized_distinct_edges_not_doubled(spark):
+    """r7 regression (ADVICE high): a symmetrized graph carries both
+    orientations as DISTINCT directed rows, so distinct_edges=True holds
+    — but after the least/greatest canonical projection those rows are
+    exact duplicates. Skipping dedup on distinct_edges doubled every AA
+    score 2x; the skip must gate on canonical_edges instead."""
+    import math
+
+    from flink_graph_spark.library.adamic_adar import adamic_adar as adamic_adar_fn
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    sym = edges + [(d, s) for s, d in edges]
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame(sym, "src long, dst long")
+    g = Graph(v, e, distinct_edges=True)  # true for DIRECTED rows only
+    got = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar_fn(g).collect()}
+    # same scores as the canonical graph — NOT doubled
+    assert got[(1, 3)] == pytest.approx(2 / math.log(2), abs=1e-6)
+    assert got[(3, 1)] == pytest.approx(2 / math.log(2), abs=1e-6)
+    assert got[(1, 2)] == pytest.approx(1 / math.log(3), abs=1e-6)
+    # a genuinely canonical graph still takes the dedup-free fast path
+    gc = Graph(
+        v,
+        spark.createDataFrame(edges, "src long, dst long"),
+        canonical_edges=True,
+    )
+    fast = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar_fn(gc).collect()}
+    assert fast[(1, 3)] == pytest.approx(2 / math.log(2), abs=1e-6)
+
+
 def test_k_core_peels_tail(spark):
     from flink_graph_spark.library.kcore import k_core
 

@@ -72,8 +72,28 @@ def main() -> int:
         .agg(F.count("*").alias("rows"), F.sum("elems").alias("elems"))
         .collect()
     )
-    rows = sorted((int(p["elems"]) * 8 for p in parts))
+    rows = sorted(int(p["elems"]) * 8 for p in parts)
     total = sum(rows)
+
+    # ceil-based quantile (ADVICE r7: int(len*0.95)-1 picks the p80
+    # element at len=10, and rows[-1] raises on an empty frame)
+    def _q(sorted_rows: list[int], q: float) -> int:
+        import math as _m
+
+        return sorted_rows[min(len(sorted_rows) - 1,
+                               _m.ceil(q * len(sorted_rows)) - 1)]
+
+    wide_stats = (
+        {
+            "partitions": len(rows),
+            "total_gb": round(total / 1e9, 2),
+            "max_partition_mb": round(rows[-1] / 1e6, 1),
+            "p95_partition_mb": round(_q(rows, 0.95) / 1e6, 1),
+            "median_partition_mb": round(_q(rows, 0.50) / 1e6, 1),
+        }
+        if rows
+        else {"partitions": 0, "total_gb": 0.0}
+    )
     result = {
         "sf_dir": sf_dir,
         "n_edges": e.count(),
@@ -81,13 +101,7 @@ def main() -> int:
         "max_degree": int(hub["max_degree"]),
         "p99_degree": int(hub["p99_degree"]),
         "adjacency_total_mb": round(int(hub["total_adj_elements"]) * 8 / 1e6, 1),
-        "wide_intermediate": {
-            "partitions": len(rows),
-            "total_gb": round(total / 1e9, 2),
-            "max_partition_mb": round(rows[-1] / 1e6, 1),
-            "p95_partition_mb": round(rows[int(len(rows) * 0.95) - 1] / 1e6, 1),
-            "median_partition_mb": round(rows[len(rows) // 2] / 1e6, 1),
-        },
+        "wide_intermediate": wide_stats,
     }
     spark.stop()
     line = json.dumps(result)

@@ -42,7 +42,17 @@ def main() -> int:
     want = args[2] if len(args) > 2 else None
     all_rows = [json.loads(l) for l in open(src)]
     if want is None:
-        ids = [r["run_id"] for r in all_rows if r.get("run_id")]
+        # exclude the overlay run when defaulting: the overlay is
+        # appended AFTER the main sweep, so ids[-1] would otherwise
+        # resolve to the overlay itself and drop every main-run row
+        ids = [
+            r["run_id"]
+            for r in all_rows
+            if r.get("run_id") and r["run_id"] != overlay_run
+        ]
+        if not ids:
+            print("no non-overlay run ids found in", src, file=sys.stderr)
+            return 1
         want = ids[-1]
     rows = [
         r
@@ -54,13 +64,35 @@ def main() -> int:
         for r in all_rows
         if r.get("run_id") == want and r.get("query") in overlay_qs
     ]
-    rows += [
+    overlay_rows = [
         r
         for r in all_rows
         if overlay_run
         and r.get("run_id") == overlay_run
         and r.get("query") in overlay_qs
     ]
+    rows += overlay_rows
+    if overlay_run:
+        # an overlaid query with no overlay rows — or missing a scale
+        # point the superseded run had — would silently read as "not
+        # measured"; fail loudly instead (ADVICE r7)
+        cover = {}
+        for r in overlay_rows:
+            cover.setdefault(r["query"], set()).add(r.get("point"))
+        old_cover = {}
+        for r in superseded:
+            old_cover.setdefault(r["query"], set()).add(r.get("point"))
+        problems = []
+        for q in sorted(overlay_qs):
+            if q not in cover:
+                problems.append(f"{q}: no rows under overlay run {overlay_run}")
+            elif q in old_cover and not old_cover[q] <= cover[q]:
+                missing = sorted(p for p in old_cover[q] - cover[q] if p)
+                problems.append(f"{q}: overlay missing points {missing}")
+        if problems:
+            for p in problems:
+                print("overlay coverage:", p, file=sys.stderr)
+            return 1
 
     mins: dict[str, dict[str, float]] = {}
     passes: dict[str, dict[str, list]] = {}
