@@ -192,7 +192,13 @@ HEADLINE = [
 # round 4+ go in NEW_SET and are reported per-query plus as a separate
 # ``new_set_subtotal`` — the 2x-vs-baseline gate keeps evaluating the
 # same-composition set.
-NEW_SET: list[str] = []
+# r8: the at-rest sketch probe joins two bucketed tables with zero
+# Exchange — a plan-test catches a broken bucket contract, but its COST
+# drift was previously visible only in manual sweep artifacts. Pass 0
+# pays the one-time index build (memoized per session/sf); pass 1 is
+# the warm probe — min-of-passes therefore reports the warm number a
+# serving batch pays, same convention as the sweep row.
+NEW_SET: list[str] = ["ann_topk_lsh_at_rest"]
 
 # Recall gates for the three approximate queries. All three have full
 # replay oracles (hash-checked determinism); recall measures the

@@ -986,11 +986,25 @@ def _banded_bucket_frame(n: DataFrame, bits: int) -> DataFrame:
     )
 
 
+#: Broadcast-attach row caps for the inline dedup funnel (stage 2 sigs,
+#: stage 3 vectors). ~24 B/row of signature payload and dim x 8 B/row of
+#: vector payload put the broadcast at ~200 MB at these caps for the
+#: 64-dim testdata; past them the attach switches to plain shuffled
+#: joins (AQE still auto-broadcasts a genuinely small side at runtime).
+#: At true corpus scale (1e9+ rows) pass the at-rest bucketed tables
+#: instead — zero Exchange on the table sides, only the narrow
+#: candidate rows ever shuffle.
+DEDUP_BCAST_MAX_SIG_ROWS = 8_000_000
+DEDUP_BCAST_MAX_VEC_ROWS = 400_000
+
+
 def semantic_near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
     bits: int | None = None,
     multi_probe: bool = False,
+    sig_table: str | None = None,
+    vec_table: str | None = None,
 ) -> DataFrame:
     """(va, vb, cosine) — the SCALE path for semantic near-dup pair
     generation, a three-stage funnel of this module's two proven
@@ -1002,17 +1016,30 @@ def semantic_near_dup_pairs_lsh(
          vectors.
       2. SKETCH REFINE (cheap): each candidate's 124-bit ANN sketch
          Hamming distance must clear :func:`dedup_sketch_cut` — two
-         xor+bit_count intrinsics per pair, attached via broadcast
-         (3 MB of sigs at a 200k corpus), evaluated in the SAME codegen
-         stage as the candidate join, BEFORE anything is shuffled or
-         any 64-term fold runs. Measured at the 200k sweep point: drops
-         47% of candidates for zero real-pair loss (cut 62).
-      3. EXACT COSINE (final): the survivors attach vectors via
-         broadcast hash joins and confirm cosine > threshold; the
-         distinct dedupes the CONFIRMED pairs (tiny — measured 1.8%
-         band-duplication on the raw stream, so deduping early would
-         shuffle ~400M rows at the 200k point to remove 2%; deduping
-         after the threshold shuffles thousands).
+         xor+bit_count intrinsics per pair, evaluated in the SAME
+         codegen stage as the candidate join, BEFORE anything is
+         shuffled or any 64-term fold runs. Measured at the 200k sweep
+         point: drops 47% of candidates for zero real-pair loss
+         (cut 62). The sig attach broadcasts only under
+         DEDUP_BCAST_MAX_SIG_ROWS (3 MB of sigs at a 200k corpus);
+         past the cap it is a plain join, and in at-rest mode it joins
+         the vec_id-bucketed sig table with zero Exchange on the
+         table side.
+      3. EXACT COSINE (final): the survivors attach vectors —
+         broadcast under DEDUP_BCAST_MAX_VEC_ROWS, plain join past it,
+         bucketed-table join at rest — and confirm cosine > threshold;
+         the distinct dedupes the CONFIRMED pairs (tiny — measured
+         1.8% band-duplication on the raw stream, so deduping early
+         would shuffle ~400M rows at the 200k point to remove 2%;
+         deduping after the threshold shuffles thousands).
+
+    ``sig_table``/``vec_table`` (passed together) select AT-REST mode:
+    the stage-2/3 attaches read the vec_id-bucketed tables written by
+    :func:`write_ann_at_rest` instead of recomputing signatures and
+    broadcasting corpus-sized frames — the join strategy changes, the
+    results and the DuckDB twin do not (the tables hold the exact
+    kernel output). This is the only mode whose attach cost stays
+    bounded at 1e9+ vectors.
 
     A strict subset of ``embedding_near_dup``'s exact output (banding
     and the sketch cut can miss pairs — recall measured in tests and
@@ -1044,10 +1071,44 @@ def semantic_near_dup_pairs_lsh(
     ``bits`` extra cells per band). The multiplicative cost knob to
     turn when the banding knob alone can't reach the recall target.
     """
-    n = with_sig(emb)
-    if bits is None:
-        bits = dedup_bits_for(n.count())
-    b = _banded_bucket_frame(n, bits)
+    if (sig_table is None) != (vec_table is None):
+        raise ValueError("sig_table and vec_table must be passed together")
+    if sig_table is not None:
+        # AT-REST mode (the 100 TB posture): sigs and vectors come from
+        # the vec_id-bucketed tables `write_ann_at_rest` maintains, so
+        # the stage-2/3 attaches are bucket-side-exchange-free joins —
+        # nothing corpus-sized is ever broadcast, only the narrow
+        # (va, vb) candidate rows shuffle. The vec table is the RAW
+        # copy (zero-norm rows included); membership is governed by the
+        # stage-2 INNER join against the norm-filtered sig table, the
+        # same contract as ann_topk_lsh_at_rest. Bit-for-bit the same
+        # signatures/norms as with_sig, so the DuckDB twin is unchanged.
+        spark = emb.sparkSession
+        sigs = spark.table(sig_table)
+        vecs = spark.table(vec_table).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        band_src = vecs
+        if bits is None:
+            bits = dedup_bits_for(sigs.count())
+        bcast_sig = bcast_vec = False
+    else:
+        n = with_sig(emb)
+        sigs = n.select("vec_id", "sig0", "sig1", "nrm")
+        vecs = n.select("vec_id", "e")
+        band_src = n
+        count = None
+        if bits is None:
+            count = n.count()
+            bits = dedup_bits_for(count)
+        # broadcast only while the attach payload is genuinely small
+        # (caps documented above); with an explicit `bits` (fully lazy,
+        # no count job) the caller asserts the corpus fits broadcast —
+        # at real scale pass the at-rest tables instead
+        bcast_sig = count is None or count <= DEDUP_BCAST_MAX_SIG_ROWS
+        bcast_vec = count is None or count <= DEDUP_BCAST_MAX_VEC_ROWS
+    b = _banded_bucket_frame(band_src, bits)
     left = b.select("table", "bucket", F.col("vec_id").alias("va"))
     if multi_probe:
         # original cell + every 1-bit flip; asymmetric probing is
@@ -1067,41 +1128,45 @@ def semantic_near_dup_pairs_lsh(
         b.select("table", "bucket", F.col("vec_id").alias("vb")),
         ["table", "bucket"],
     ).filter(F.col("va") < F.col("vb"))
-    # stage-2 sketch refine: broadcast sig attach + Hamming cut in the
-    # candidate join's own codegen stage — nothing big ever shuffles
+    # stage-2 sketch refine: sig attach + Hamming cut in the candidate
+    # join's own codegen stage. Norms ride along here (2 doubles per
+    # SURVIVOR row) so stage 3 attaches only the vectors.
     cut = dedup_sketch_cut(threshold)
-    sga = n.select(
-        F.col("vec_id").alias("va"),
-        F.col("sig0").alias("sa0"),
-        F.col("sig1").alias("sa1"),
+    _s = F.broadcast if bcast_sig else (lambda df: df)
+    sga = _s(
+        sigs.select(
+            F.col("vec_id").alias("va"),
+            F.col("sig0").alias("sa0"),
+            F.col("sig1").alias("sa1"),
+            F.col("nrm").alias("__na"),
+        )
     )
-    sgb = n.select(
-        F.col("vec_id").alias("vb"),
-        F.col("sig0").alias("sb0"),
-        F.col("sig1").alias("sb1"),
+    sgb = _s(
+        sigs.select(
+            F.col("vec_id").alias("vb"),
+            F.col("sig0").alias("sb0"),
+            F.col("sig1").alias("sb1"),
+            F.col("nrm").alias("__nb"),
+        )
     )
     hamdist = F.bit_count(
         F.col("sa0").bitwiseXOR(F.col("sb0"))
     ) + F.bit_count(F.col("sa1").bitwiseXOR(F.col("sb1")))
     cand = (
-        cand.join(F.broadcast(sga), "va")
-        .join(F.broadcast(sgb), "vb")
+        cand.join(sga, "va")
+        .join(sgb, "vb")
         .filter(hamdist <= F.lit(cut))
-        .select("va", "vb")
+        .select("va", "vb", "__na", "__nb")
     )
-    # stage-3 exact confirm: vectors attach via broadcast hash joins
-    # (like embedding_near_dup; at true 100 TB shard this join by the
-    # at-rest vec_id bucketing instead), then dedupe the CONFIRMED set
-    a = n.select(
-        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na")
-    )
-    bb = n.select(
-        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
-    )
-    cos = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
+    # stage-3 exact confirm: vector attach (broadcast under the cap,
+    # bucketed-table join at rest), then dedupe the CONFIRMED set
+    _v = F.broadcast if bcast_vec else (lambda df: df)
+    a = _v(vecs.select(F.col("vec_id").alias("va"), F.col("e").alias("ea")))
+    bb = _v(vecs.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb")))
+    cos = dot_expr("ea", "eb") / (F.col("__na") * F.col("__nb"))
     return (
-        cand.join(F.broadcast(a), "va")
-        .join(F.broadcast(bb), "vb")
+        cand.join(a, "va")
+        .join(bb, "vb")
         .withColumn("__cos", cos)
         .filter(F.col("__cos") > F.lit(threshold))
         .select("va", "vb", F.round("__cos", 6).alias("cosine"))
@@ -1116,6 +1181,8 @@ def semantic_dedup_clusters(
     bucketed: bool = False,
     multi_probe: bool = False,
     bits: int | None = None,
+    sig_table: str | None = None,
+    vec_table: str | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id) for every vector in ≥1 near-dup pair —
     semantic dedup, the embedding-space twin of the text-side
@@ -1134,7 +1201,8 @@ def semantic_dedup_clusters(
 
     pairs = (
         semantic_near_dup_pairs_lsh(
-            emb, threshold, bits=bits, multi_probe=multi_probe
+            emb, threshold, bits=bits, multi_probe=multi_probe,
+            sig_table=sig_table, vec_table=vec_table,
         )
         if bucketed
         else embedding_near_dup(emb, threshold)

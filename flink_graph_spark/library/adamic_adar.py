@@ -22,7 +22,10 @@ the 100x sweep point, and the 2T credit shuffle (the in-stage fold
 cut it from 3T — at 100x that third was the difference between disk
 exhaustion and completing).
 
-Two rejected designs, both measured this round (SWEEP_r07):
+Two rejected designs, both measured at the sweep points (the round-7
+sweep ran them but its artifact was never committed — the r7 verdict's
+contract breach; the committed record for this plan is the round-8
+sweep artifact):
 
 - explode-the-intersection-and-join-degrees (pre-r7): the 3·#triangle
   row stream SHUFFLES for the degree join — "No space left on device"
@@ -133,20 +136,64 @@ def adamic_adar(
     # oriented edges with endpoint weights on the row + both packed
     # out-arrays; a always has out-edges, b may be a DAG sink (left
     # join, empty intersection)
-    enriched = (
-        oe.join(wgt.select(F.col("id").alias("a"), F.col("wgt").alias("wa")), "a")
-        .join(wgt.select(F.col("id").alias("b"), F.col("wgt").alias("wb")), "b")
-        .join(outadj.select(F.col("a"), F.col("ns").alias("na")), "a")
-        .join(outadj.select(F.col("a").alias("b"), F.col("ns").alias("nb")),
-              "b", "left")
-        .select(
-            "a", "b", "wa", "wb",
-            F.array_intersect(
-                "na", F.coalesce("nb", F.array().cast("array<long>"))
-            ).alias("cs"),
+    def _attach(edges):
+        return (
+            edges
+            .join(wgt.select(F.col("id").alias("a"), F.col("wgt").alias("wa")),
+                  "a")
+            .join(wgt.select(F.col("id").alias("b"), F.col("wgt").alias("wb")),
+                  "b")
+            .join(outadj.select(F.col("a"), F.col("ns").alias("na")), "a")
+            .join(outadj.select(F.col("a").alias("b"), F.col("ns").alias("nb")),
+                  "b", "left")
+            .select(
+                "a", "b", "wa", "wb",
+                F.array_intersect(
+                    "na", F.coalesce("nb", F.array().cast("array<long>"))
+                ).alias("cs"),
+            )
+            .filter(F.size("cs") > 0)
         )
-        .filter(F.size("cs") > 0)
-    )
+
+    # DISK-BOUNDED ENUMERATION (r8 — the fix for the p100 disk death
+    # every r7 sweep attempt recorded): the enumeration's by-b shuffle
+    # carries the packed na arrays — 8 B x Σ out² of payload, measured
+    # 6.7 GB at the 10x point and therefore ~67 GB at 100x under
+    # disjoint replication, which exceeds a single box's free scratch
+    # once sort spill doubles it. triangles._wave_count slices the
+    # stream by hash(b) into waves of ~WAVE_TARGET_BYTES each; every
+    # wave's narrow output (triangle-carrying edges + their cs arrays —
+    # 8.1M rows / 18.8M elements at 10x) is checkpointed and the
+    # wave's scratch drained before the next begins. One wave below
+    # the threshold: the plan is byte-identical to the r7 design.
+    from ..plans.checkpoints import drain_shuffle_scratch
+
+    from .triangles import _wave_count, _wave_filter
+
+    spark = e.sparkSession
+    n_waves = _wave_count(oe)
+    if n_waves == 1:
+        enriched = _attach(oe).localCheckpoint(eager=True)
+        release_local_checkpoint(oe)
+        drain_shuffle_scratch(spark)
+    else:
+        # checkpoint the shared compact frames once so waves do not
+        # re-run the degree union / packing / adjacency work (_attach
+        # is a closure over these names — rebinding rewires it)
+        wgt = wgt.localCheckpoint(eager=True)
+        outadj = outadj.localCheckpoint(eager=True)
+        parts = []
+        for k in range(n_waves):
+            w = _attach(_wave_filter(oe, k, n_waves)).localCheckpoint(
+                eager=True
+            )
+            drain_shuffle_scratch(spark)
+            parts.append(w)
+        for ck in (oe, outadj, wgt):
+            release_local_checkpoint(ck)
+        enriched = parts[0]
+        for p in parts[1:]:
+            enriched = enriched.unionByName(p)
     # every triangle credits its three edges with the opposite corner's
     # weight in ONE map-side pass over the enumeration (a multi-branch
     # union would re-run it per branch): the (a, b) edge's whole credit

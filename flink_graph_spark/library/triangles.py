@@ -15,7 +15,8 @@ the middle vertex, close with a semi-join on (a, c))? Both do the same
 O(m^1.5) element-compares, but the wedge plan MATERIALIZES AND
 SHUFFLES the Σ in(b)·out(b) path table for the closing semi-join —
 measured fatal at the 100x sweep point (>45 GB of shuffle scratch on
-one box before "No space left on device"; SWEEP_r06/r07 error rows).
+one box before "No space left on device"; SWEEP_r06 error rows, and
+the uncommitted round-7 sweep data reproduced them).
 The array plan's big payload is the out-arrays riding the second join
 (Σ out(a)² elements, ≤ Σ deg² — strictly below the full-adjacency
 jaccard plan that survives the same point — and 8 B/element packed vs
@@ -31,11 +32,55 @@ AQE handles skew.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpoints import release_local_checkpoint
+from ..plans.checkpoints import (
+    drain_shuffle_scratch,
+    release_local_checkpoint,
+)
+
+#: Disk-bounded wave sizing for the enumeration's one big shuffle (the
+#: by-b redistribution of the na-carrying stream, 8 B x sum(out^2)
+#: payload). Measured at the 10x sweep point: sum(out^2) = 834M
+#: elements (6.7 GB) on the 12M-edge co-purchase graph; under disjoint
+#: replication that is ~67 GB at 100x — more than a single box's free
+#: scratch once sort spill doubles it, and exactly the "No space left
+#: on device" every r7 p100 adamic-adar attempt recorded. Slicing the
+#: oriented edges by hash(b) % K caps each wave's stream at
+#: ~WAVE_TARGET_BYTES and the drain between waves returns the scratch;
+#: total work is unchanged (each edge is enumerated exactly once — the
+#: slice predicate pushes below the array attach). On a cluster the
+#: same K bounds PER-EXECUTOR scratch, so this is the 100 TB posture,
+#: not a single-box hack. Below WAVE_EDGE_THRESHOLD edges the sizing
+#: job is skipped entirely and the plan is the unchanged single-stage
+#: pipeline (the 10x point runs one wave, matching its r7 timings).
+WAVE_EDGE_THRESHOLD = 16_000_000
+WAVE_TARGET_BYTES = 8 << 30
+
+
+def _wave_count(oe: DataFrame) -> int:
+    """K such that each wave's array-carrying shuffle stays near
+    WAVE_TARGET_BYTES. One cheap agg over the (checkpointed) oriented
+    edge list; skipped below WAVE_EDGE_THRESHOLD (guaranteed fine)."""
+    if oe.count() <= WAVE_EDGE_THRESHOLD:
+        return 1
+    s = (
+        oe.groupBy("a")
+        .agg(F.count("*").alias("o"))
+        .agg(F.sum(F.col("o") * F.col("o")).alias("s"))
+        .collect()[0]["s"]
+    )
+    return max(1, math.ceil(int(s) * 8 / WAVE_TARGET_BYTES))
+
+
+def _wave_filter(df: DataFrame, k: int, n_waves: int) -> DataFrame:
+    """Edges of wave k: hash(b) % K == k — keyed on b so each wave's
+    by-b shuffle holds 1/K of the stream; pushed below the attach."""
+    return df.filter(F.pmod(F.xxhash64("b"), F.lit(n_waves)) == F.lit(k))
 
 
 def _oriented_edges(e: DataFrame) -> DataFrame:
@@ -108,15 +153,44 @@ def _edge_commons(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
     outadj = oe.groupBy(F.col("a").alias("id")).agg(
         F.sort_array(F.collect_set("b")).alias("ns")
     )
+
     # inner joins are sound: every a has an out-edge by construction,
     # and an edge whose b is a DAG sink has empty N⁺(b) — no triangle
-    return (
-        oe.join(outadj.select(F.col("id").alias("a"), F.col("ns").alias("na")),
-                "a")
-        .join(outadj.select(F.col("id").alias("b"), F.col("ns").alias("nb")),
-              "b")
-        .select("a", "b", F.array_intersect("na", "nb").alias("cs"))
-    )
+    def _attach(edges: DataFrame) -> DataFrame:
+        return (
+            edges.join(
+                outadj.select(F.col("id").alias("a"), F.col("ns").alias("na")),
+                "a",
+            )
+            .join(
+                outadj.select(F.col("id").alias("b"), F.col("ns").alias("nb")),
+                "b",
+            )
+            .select("a", "b", F.array_intersect("na", "nb").alias("cs"))
+        )
+
+    n_waves = _wave_count(oe)
+    if n_waves == 1:
+        return _attach(oe)
+    # disk-bounded waves (see WAVE_TARGET_BYTES): each wave enumerates
+    # the hash(b)-slice of the edges, its narrow (a, b, cs) output is
+    # checkpointed (#triangle elements — tiny next to the sum(out^2)
+    # stream), and the wave's shuffle scratch is drained before the
+    # next begins. The compact out-adjacency is checkpointed once and
+    # reshuffled per wave (m packed longs, ~1 GB at 100x — noise).
+    spark = oe.sparkSession
+    outadj = outadj.localCheckpoint(eager=True)
+    parts = []
+    for k in range(n_waves):
+        w = _attach(_wave_filter(oe, k, n_waves)).localCheckpoint(eager=True)
+        drain_shuffle_scratch(spark)
+        parts.append(w)
+    release_local_checkpoint(outadj)
+    release_local_checkpoint(oe)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _closed_wedges(e: DataFrame, assume_distinct: bool = False) -> DataFrame:

@@ -28,6 +28,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def drain_shuffle_scratch(
+    spark, min_free_gb: float = 40.0, timeout_s: int = 180
+) -> None:
+    """Disk-gated shuffle-scratch drain for MULTI-JOB operators that
+    materialize a narrow waist mid-plan (e.g. adamic_adar's enriched
+    checkpoint): after the waist is materialized the enumeration's
+    shuffle files are dead weight, but their deletion is ASYNC — the
+    ContextCleaner only queues them once a JVM GC notices the
+    ShuffleDependency objects are unreachable, and processes the queue
+    one entry at a time. On a scratch-tight box the operator's SECOND
+    phase then starts against a nearly-full disk and dies on space the
+    cleaner was about to free (the exact failure mode
+    tools/scale_sweep.py's between-queries ``_drain_scratch`` fixes —
+    this is the same loop, callable BETWEEN a single operator's
+    phases). Only engages below ``min_free_gb`` free on /tmp, so every
+    normally-sized run pays one statvfs call and nothing else."""
+    import gc
+    import shutil
+    import time
+
+    floor = min_free_gb * 2**30
+    if shutil.disk_usage("/tmp").free >= floor:
+        return
+    gc.collect()  # drop py4j refs so the JVM can see dead dependencies
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        return  # non-py4j session stub (unit tests)
+    free = shutil.disk_usage("/tmp").free
+    t0, stalled = time.time(), 0
+    while time.time() - t0 < timeout_s:
+        time.sleep(5)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            return
+        now = shutil.disk_usage("/tmp").free
+        if now >= floor:
+            return
+        stalled = stalled + 1 if now - free < 2**30 else 0
+        if stalled >= 6:  # 30s without progress: nothing left to drain
+            return
+        free = now
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Unpersist the RDD behind a localCheckpoint()ed DataFrame.
 

@@ -1477,17 +1477,10 @@ def ann_topk_ivf(spark, sf_dir):
 _ANN_AT_REST_MEMO: dict[tuple, tuple] = {}
 
 
-@_register("ann_topk_lsh_at_rest", sim_mod.ann_topk_lsh_sql(64, 10))
-def ann_topk_lsh_at_rest(spark, sf_dir):
-    """The sketch index AT REST (new in r7): signatures + vectors
-    materialized once as vec_id-bucketed tables, probe scans only the
-    24 B/row sig table and joins survivors back to vectors with ZERO
-    Exchange (plan-asserted in tests/test_sinks_ann.py). Result- and
-    oracle-identical to ann_topk_lsh — same kernel signatures, same
-    adaptive cut from the same raw COUNT(*), same cosine fold — so it
-    shares that query's full-replay DuckDB twin verbatim. This is the
-    100 TB I/O story: the inline path re-reads ~260 B/row of vectors
-    per batch; this one reads 24 B/row plus survivors only."""
+def _ann_at_rest_tables(spark, sf_dir):
+    """(sig_table, vec_table, raw_count) — build the vec_id-bucketed
+    at-rest sketch index once per (session, sf); shared by the at-rest
+    ANN probe AND the semantic-dedup funnel (same sig/vec contract)."""
     import re as _re
 
     emb = _emb(spark, sf_dir)
@@ -1500,7 +1493,21 @@ def ann_topk_lsh_at_rest(spark, sf_dir):
             path_prefix=f"/tmp/spark_graft_bucketed/ann_{tag}",
         )
         _ANN_AT_REST_MEMO[key] = (sig_t, vec_t, emb.count())
-    sig_t, vec_t, n_rows = _ANN_AT_REST_MEMO[key]
+    return _ANN_AT_REST_MEMO[key]
+
+
+@_register("ann_topk_lsh_at_rest", sim_mod.ann_topk_lsh_sql(64, 10))
+def ann_topk_lsh_at_rest(spark, sf_dir):
+    """The sketch index AT REST (new in r7): signatures + vectors
+    materialized once as vec_id-bucketed tables, probe scans only the
+    24 B/row sig table and joins survivors back to vectors with ZERO
+    Exchange (plan-asserted in tests/test_sinks_ann.py). Result- and
+    oracle-identical to ann_topk_lsh — same kernel signatures, same
+    adaptive cut from the same raw COUNT(*), same cosine fold — so it
+    shares that query's full-replay DuckDB twin verbatim. This is the
+    100 TB I/O story: the inline path re-reads ~260 B/row of vectors
+    per batch; this one reads 24 B/row plus survivors only."""
+    sig_t, vec_t, n_rows = _ann_at_rest_tables(spark, sf_dir)
     return sim_mod.ann_topk_lsh_at_rest(spark, sig_t, vec_t, n_rows, 64, 10)
 
 
@@ -1718,9 +1725,17 @@ def semantic_dedup_lsh(spark, sf_dir):
     the seeded sparse bank, the adaptive width, AND the probe
     expansion are replayed literally by the DuckDB twin (kernel-vs-SQL
     bit-equality tested at widths 4/13/40), so the driver hash-checks
-    the entire pipeline."""
+    the entire pipeline. Round-8 contract KEPT, join strategy changed:
+    the stage-2/3 attaches now go through the vec_id-bucketed at-rest
+    sig/vec tables shared with ann_topk_lsh_at_rest (zero Exchange on
+    the table sides; only narrow candidate rows shuffle) instead of
+    broadcasting corpus-sized sig/vector frames — the r7 verdict's
+    scale-killer watch item. Same signatures bit-for-bit, so the twin
+    and the hash-checked contract are unchanged."""
+    sig_t, vec_t, _ = _ann_at_rest_tables(spark, sf_dir)
     return sim_mod.semantic_dedup_clusters(
-        _emb(spark, sf_dir), 0.4, 4, bucketed=True, multi_probe=True
+        _emb(spark, sf_dir), 0.4, 4, bucketed=True, multi_probe=True,
+        sig_table=sig_t, vec_table=vec_t,
     )
 
 
@@ -3483,50 +3498,31 @@ def source_diversity(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
-# Registry ordering (driver contract) — round-7 rotation
+# Registry ordering (driver contract) — round-8 rotation
 # ----------------------------------------------------------------------
 # The driver walks queries() in dict order under a ~50-query budget per
-# round. All 193 pre-r7 queries are driver-signed (union r1+r2+r3+r5+r6,
-# zero failures ever recorded); freshness is the rotation metric. The
-# lists below are REGENERATED each round from the committed
-# CORRECTNESS_r*.json artifacts (newest-round-per-query) — they are
-# rotation state, not history; stale copies must not survive a round.
+# round. All 194 queries are driver-signed (union r1-r7, zero failures
+# ever recorded); freshness is the rotation metric. The lists below are
+# REGENERATED each round from the committed CORRECTNESS_r*.json
+# artifacts (newest-round-per-query) — they are rotation state, not
+# history; stale copies must not survive a round.
 #
-# Front of the r7 gate order:
-#   1. contract-changed this round — their old signatures describe
-#      queries that no longer exist: semantic_dedup_lsh (sparse-plane
-#      band bank, width cap 16 -> 40) and entity_resolution
-#      (sorted-neighborhood window);
-#   2. never-signed (new this round): ann_topk_lsh_at_rest;
-#   3. the 4 queries whose newest signature is still CORRECTNESS_r01
-#      (they fell off the end of r6's 50-slot window);
-#   4. the 46 whose newest signature is CORRECTNESS_r02.
-# That is 53 entries — the last ~3 spill past a 50-slot budget and
-# lead the line in round 8. The rest follows by ascending freshness
-# (r3, r5, r6) so any budget overrun keeps retiring the stalest.
+# Front of the r8 gate order:
+#   1. plan-changed this round (results and twins unchanged, but the
+#      physical plan is new and deserves a fresh signature):
+#      semantic_dedup_lsh (stage-2/3 attaches now join the at-rest
+#      bucketed sig/vec tables) and adamic_adar_pc (dedup skip re-gated
+#      on the new canonical_edges flag);
+#   2. the 3 queries whose newest signature is still CORRECTNESS_r02
+#      (they spilled past r7's 50-slot window exactly as predicted);
+#   3. the 45 whose newest signature is CORRECTNESS_r03.
+# That is exactly 50 — one full window retires every pre-r5 signature.
+# The rest follows by ascending freshness (r5, r6, r7) so any budget
+# overrun keeps retiring the stalest.
 
-_R07_CONTRACT_CHANGED = ["semantic_dedup_lsh", "entity_resolution"]
-_R07_NEVER_SIGNED = ["ann_topk_lsh_at_rest"]
-
-_STALE_R1 = [
-    "corpus_prep", "dedup_exact", "dedup_exact_stats", "doc_fingerprint"
-]
+_R08_PLAN_CHANGED = ["semantic_dedup_lsh", "adamic_adar_pc"]
 
 _STALE_R2 = [
-    "adamic_adar_pc", "asof_order_events", "bm25_search", "cc_pc",
-    "clustering_coeff_uu", "contamination_check", "dedup_clusters",
-    "dedup_minhash_lsh", "dedup_ngram_topk", "degree_histogram",
-    "embedding_near_dup", "event_funnel", "hits_cs", "hll_user_estimate",
-    "hourly_retention", "hourly_rollup", "json_source_rollup", "kcore_uu",
-    "length_quantiles", "mis_uu", "multimodal_features",
-    "music_profiles_communities", "pack_sequences", "pagerank_pc",
-    "pii_scrub", "random_walks_uu", "repetition_ratio",
-    "sessionize_events", "shared_top_event_edges", "simhash_docs",
-    "sliding_rollup", "stratified_sample", "streaming_dedup_keys",
-    "streaming_degrees", "streaming_hourly_rollup",
-    "streaming_nation_counts", "streaming_sessionize",
-    "streaming_user_totals", "tfidf_top_terms", "top_event_per_user",
-    "top_events_per_user", "top_shingles", "triangle_count_pc",
     "triangles_per_vertex_uu", "unigram_nll", "weighted_pagerank_cs"
 ]
 
@@ -3541,29 +3537,31 @@ _SIGNED_R3 = [
     "gsa_sssp_golden", "histogram_quantiles", "incremental_sssp_golden",
     "kmeans_clusters", "knn_label_vote", "ktruss_uu", "mixture_weights",
     "neighborhood_function_uu", "ngram_containment_topk",
-    "pagerank_bucketed_cs", "passage_dedup", "ppr_cs", "pretrain_funnel",
-    "principal_direction", "quality_filters", "rmat_degree_histogram",
-    "semantic_dedup_clusters", "skipgram_pairs", "source_quota_sample",
+    "pagerank_bucketed_cs", "passage_dedup", "ppr_cs",
+    "pretrain_funnel", "principal_direction", "quality_filters",
+    "rmat_degree_histogram", "semantic_dedup_clusters",
+    "skipgram_pairs", "source_quota_sample",
     "streaming_quality_by_source", "token_budget_select",
     "translate_golden", "vertex_metrics_cs", "winnow_dup_pairs",
     "zipf_slope"
 ]
 
 _SIGNED_R5 = [
-    "attribution_last_touch", "bipartite_matching_cs", "bloom_blocklist",
-    "boruvka_mst_grid", "bpe_compression", "bpe_merges",
-    "cohort_retention", "copurchase_lift", "cosine_pair_histogram",
-    "edge_growth_cs", "embedding_dim_stats", "entity_resolution",
+    "attribution_last_touch", "bipartite_matching_cs",
+    "bloom_blocklist", "boruvka_mst_grid", "bpe_compression",
+    "bpe_merges", "cohort_retention", "copurchase_lift",
+    "cosine_pair_histogram", "edge_growth_cs", "embedding_dim_stats",
     "event_transitions", "event_type_pivot", "feature_propagation",
     "gram_matrix", "hourly_anomaly", "incremental_pagerank_golden",
     "knn_confusion", "langid_confusion", "minhash_calibration",
     "ngram_novelty", "pq_codes", "quality_calibration",
     "quality_length_corr", "reciprocity_golden_pc", "rich_club_uu",
-    "rmat_degree_zipf", "scc_fixture", "scd2_orders", "semantic_dedup_lsh",
-    "session_duration_histogram", "simhash_near_dup", "source_diversity",
-    "source_top_terms", "spectral_radius_uu", "sql_revenue_by_nation",
-    "streaming_click_purchase", "streaming_hourly_anomaly",
-    "summarize_nation_edges", "summarize_nation_vertices", "token_entropy",
+    "rmat_degree_zipf", "scc_fixture", "scd2_orders",
+    "session_duration_histogram", "simhash_near_dup",
+    "source_diversity", "source_top_terms", "spectral_radius_uu",
+    "sql_revenue_by_nation", "streaming_click_purchase",
+    "streaming_hourly_anomaly", "summarize_nation_edges",
+    "summarize_nation_vertices", "token_entropy",
     "train_val_test_split", "two_hop_ball_cs", "vocab_coverage",
     "walk_skipgram_pairs", "weighted_sample", "wl_colors_grid"
 ]
@@ -3583,16 +3581,37 @@ _SIGNED_R6 = [
     "reduce_on_neighbors_in", "reduce_on_neighbors_out",
     "reduce_on_neighbors_with_vv", "reverse_edges", "sssp_cs",
     "sssp_golden", "subgraph_edges", "subgraph_vertices", "text_stats",
-    "token_counts", "top_degree_vertices", "triplets", "undirected_edges",
-    "union_graphs", "uu_graph_edges", "validate_vertex_ids"
+    "token_counts", "top_degree_vertices", "triplets",
+    "undirected_edges", "union_graphs", "uu_graph_edges",
+    "validate_vertex_ids"
+]
+
+_SIGNED_R7 = [
+    "adamic_adar_pc", "ann_topk_lsh_at_rest", "asof_order_events",
+    "bm25_search", "cc_pc", "clustering_coeff_uu",
+    "contamination_check", "corpus_prep", "dedup_clusters",
+    "dedup_exact", "dedup_exact_stats", "dedup_minhash_lsh",
+    "dedup_ngram_topk", "degree_histogram", "doc_fingerprint",
+    "embedding_near_dup", "entity_resolution", "event_funnel",
+    "hits_cs", "hll_user_estimate", "hourly_retention", "hourly_rollup",
+    "json_source_rollup", "kcore_uu", "length_quantiles", "mis_uu",
+    "multimodal_features", "music_profiles_communities",
+    "pack_sequences", "pagerank_pc", "pii_scrub", "random_walks_uu",
+    "repetition_ratio", "semantic_dedup_lsh", "sessionize_events",
+    "shared_top_event_edges", "simhash_docs", "sliding_rollup",
+    "stratified_sample", "streaming_dedup_keys", "streaming_degrees",
+    "streaming_hourly_rollup", "streaming_nation_counts",
+    "streaming_sessionize", "streaming_user_totals", "tfidf_top_terms",
+    "top_event_per_user", "top_events_per_user", "top_shingles",
+    "triangle_count_pc"
 ]
 
 
 def _apply_priority_order() -> None:
-    front = _R07_CONTRACT_CHANGED + _R07_NEVER_SIGNED + _STALE_R1 + _STALE_R2
-    rest = _SIGNED_R3 + _SIGNED_R5 + [
-        q for q in _SIGNED_R6 if q not in set(front)
+    front = _R08_PLAN_CHANGED + [
+        q for q in _STALE_R2 + _SIGNED_R3 if q not in set(_R08_PLAN_CHANGED)
     ]
+    rest = _SIGNED_R5 + _SIGNED_R6 + _SIGNED_R7
     order = front + [q for q in rest if q not in set(front)]
     assert set(order) <= set(SPARK_QUERIES), set(order) - set(SPARK_QUERIES)
     order += [n for n in SPARK_QUERIES if n not in set(order)]

@@ -1,0 +1,54 @@
+"""Doc-lint: every measurement-artifact citation must resolve to a
+committed file.
+
+Round 7's one contract breach (VERDICT r7) was prose citing SWEEP_r07
+measurements while no SWEEP_r07.json existed in the tree — the sweep
+ran but its artifact was never written/committed, so three headline
+scale claims were unverifiable. This test makes that class of error
+structurally impossible: any token shaped like SWEEP_rN / BENCH_rN /
+CORRECTNESS_rN in SCALING.md, COVERAGE.md, BASELINE.md, README.md or a
+flink_graph_spark/tools/bench docstring must have the matching .json
+at the repo root. Slash shorthand ("SWEEP_r06/r07") expands to every
+member.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_TOKEN = re.compile(r"\b(SWEEP|BENCH|CORRECTNESS)_r(\d+)((?:/r\d+)+)?\b")
+
+_DOC_FILES = ["SCALING.md", "COVERAGE.md", "BASELINE.md", "README.md"]
+
+
+def _cited(text):
+    for kind, first, extra in _TOKEN.findall(text):
+        rounds = [first] + re.findall(r"r(\d+)", extra or "")
+        for r in rounds:
+            yield f"{kind}_r{int(r):02d}.json"
+
+
+def test_every_cited_artifact_is_committed():
+    paths = [os.path.join(REPO, f) for f in _DOC_FILES]
+    paths += glob.glob(os.path.join(REPO, "flink_graph_spark/**/*.py"),
+                       recursive=True)
+    paths += glob.glob(os.path.join(REPO, "tools/*.py"))
+    paths += [os.path.join(REPO, "bench.py"),
+              os.path.join(REPO, "__spark_entry__.py")]
+    missing = {}
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
+            text = fh.read()
+        for artifact in _cited(text):
+            if not os.path.exists(os.path.join(REPO, artifact)):
+                missing.setdefault(artifact, []).append(os.path.relpath(p, REPO))
+    assert not missing, (
+        "prose cites measurement artifacts absent from the tree "
+        f"(commit the artifact or amend the claim): {missing}"
+    )

@@ -154,3 +154,45 @@ def test_closed_wedges_match_bruteforce_on_skewed_random_graph(spark):
     # corner roles: a->b, a->c, b->c all oriented edges of the DAG
     commons = _edge_commons(e).collect()
     assert sum(len(r["cs"]) for r in commons) == len(expect_tris)
+
+
+def test_waved_enumeration_matches_single_wave(spark, monkeypatch):
+    """r8 disk-bounded waves: forcing the enumeration into multiple
+    hash(b)-slices must change NOTHING about the results — triangle
+    count, per-vertex counts, and Adamic-Adar scores all equal the
+    single-wave plan on a hub-skewed random graph. (At real scale the
+    waves bound the by-b shuffle's scratch to WAVE_TARGET_BYTES each —
+    the r7 p100 disk-death fix.)"""
+    import random
+
+    from flink_graph_spark.library import triangles as tri_mod
+    from flink_graph_spark.library.adamic_adar import adamic_adar
+
+    rng = random.Random(11)
+    n = 40
+    edges = {(0, v) for v in range(1, n)}
+    while len(edges) < 160:
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g = Graph(v, e.withColumn("value", F.lit(1)), canonical_edges=True)
+
+    base_count = triangle_count(g).collect()[0]["n_triangles"]
+    base_tpv = rows_as_dict(triangles_per_vertex(g), "id", "n_triangles")
+    base_aa = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar(g).collect()}
+
+    # force every enumeration through >= 3 waves
+    monkeypatch.setattr(tri_mod, "WAVE_EDGE_THRESHOLD", 0)
+    monkeypatch.setattr(tri_mod, "WAVE_TARGET_BYTES", 1)
+    orig = tri_mod._wave_count
+
+    def capped(oe):
+        return min(3, orig(oe))
+
+    monkeypatch.setattr(tri_mod, "_wave_count", capped)
+
+    assert triangle_count(g).collect()[0]["n_triangles"] == base_count
+    assert rows_as_dict(triangles_per_vertex(g), "id", "n_triangles") == base_tpv
+    waved_aa = {(r["src"], r["dst"]): r["aa"] for r in adamic_adar(g).collect()}
+    assert waved_aa == base_aa
