@@ -22,10 +22,11 @@ the 100x sweep point, and the 2T credit shuffle (the in-stage fold
 cut it from 3T — at 100x that third was the difference between disk
 exhaustion and completing).
 
-Two rejected designs, both measured at the sweep points (the round-7
-sweep ran them but its artifact was never committed — the r7 verdict's
-contract breach; the committed record for this plan is the round-8
-sweep artifact):
+The committed record for this plan is SWEEP_r08: p100 completes at
+930.0s in-sweep / 903.4s solo (every earlier 100x attempt died on
+disk), exp 1.35 in-sweep, via the disk-bounded wave enumeration
+(``triangles._wave_count`` — see SCALING.md §26). Two rejected
+designs, both measured at the sweep points before this one landed:
 
 - explode-the-intersection-and-join-degrees (pre-r7): the 3·#triangle
   row stream SHUFFLES for the degree join — "No space left on device"

@@ -16,7 +16,9 @@ O(m^1.5) element-compares, but the wedge plan MATERIALIZES AND
 SHUFFLES the Σ in(b)·out(b) path table for the closing semi-join —
 measured fatal at the 100x sweep point (>45 GB of shuffle scratch on
 one box before "No space left on device"; SWEEP_r06 error rows, and
-the uncommitted round-7 sweep data reproduced them).
+the uncommitted round-7 sweep data reproduced them). With the r8
+disk-bounded waves the committed record is SWEEP_r08: p100 492.5s
+in-sweep / 200.4s solo, zero error rows (SCALING.md §26).
 The array plan's big payload is the out-arrays riding the second join
 (Σ out(a)² elements, ≤ Σ deg² — strictly below the full-adjacency
 jaccard plan that survives the same point — and 8 B/element packed vs
