@@ -110,6 +110,12 @@ class Graph:
         # their parent: whichever graph counts first, the whole family
         # is filled — one count job per distinct vertex set per session.
         self._n_cell: list[int | None] = [None]
+        # Memoized scalar edge count (same one-slot-list contract as
+        # _n_cell, but NOT shared by _count_preserved — several of its
+        # users rewrite the edge set). Fills on first edge_count();
+        # used by the triangle family's wave sizing as a cheap upper
+        # bound that skips the sizing action entirely at small scale.
+        self._m_cell: list[int | None] = [None]
         self._schema = GraphSchema(
             vertex_value_cols=tuple(c for c in vcols if c != "id"),
             edge_value_cols=tuple(c for c in ecols if c not in ("src", "dst")),
@@ -187,6 +193,23 @@ class Graph:
 
     def num_edges(self) -> DataFrame:
         return self._edges.agg(F.count("*").alias("n_edges"))
+
+    def edge_count(self) -> int:
+        """Scalar numberOfEdges(), memoized per Graph object (same
+        contract as :meth:`vertex_count`). The raw row count is an
+        UPPER bound on any deduped/canonicalized derivation, which is
+        exactly what the triangle family's wave sizing needs — below
+        the wave threshold it can skip its own sizing action."""
+        if self._m_cell[0] is None:
+            self._m_cell[0] = self._edges.count()
+        return self._m_cell[0]
+
+    def edge_count_hint(self) -> int | None:
+        """The memoized edge count if some caller already paid the
+        count job, else None — for consumers that can exploit a bound
+        opportunistically but must never pay an extra action for it
+        (the triangle family's wave sizing)."""
+        return self._m_cell[0]
 
     # ------------------------------------------------------------------
     # §2.2 per-element transforms

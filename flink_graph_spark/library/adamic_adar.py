@@ -172,7 +172,7 @@ def adamic_adar(
     from .triangles import _wave_count, _wave_filter
 
     spark = e.sparkSession
-    n_waves = _wave_count(oe)
+    n_waves = _wave_count(oe, graph.edge_count_hint())
     if n_waves == 1:
         enriched = _attach(oe).localCheckpoint(eager=True)
         release_local_checkpoint(oe)

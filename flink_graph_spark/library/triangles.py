@@ -52,7 +52,7 @@ from ..plans.checkpoints import (
 #: replication that is ~67 GB at 100x — more than a single box's free
 #: scratch once sort spill doubles it, and exactly the "No space left
 #: on device" every r7 p100 adamic-adar attempt recorded. Slicing the
-#: oriented edges by hash(b) % K caps each wave's stream at
+#: oriented edges by hash(a, b) % K caps each wave's stream at
 #: ~WAVE_TARGET_BYTES and the drain between waves returns the scratch;
 #: total work is unchanged (each edge is enumerated exactly once — the
 #: slice predicate pushes below the array attach). On a cluster the
@@ -64,25 +64,45 @@ WAVE_EDGE_THRESHOLD = 16_000_000
 WAVE_TARGET_BYTES = 8 << 30
 
 
-def _wave_count(oe: DataFrame) -> int:
+def _wave_count(oe: DataFrame, n_edges_hint: int | None = None) -> int:
     """K such that each wave's array-carrying shuffle stays near
-    WAVE_TARGET_BYTES. One cheap agg over the (checkpointed) oriented
-    edge list; skipped below WAVE_EDGE_THRESHOLD (guaranteed fine)."""
-    if oe.count() <= WAVE_EDGE_THRESHOLD:
+    WAVE_TARGET_BYTES. Sized in AT MOST one action: when the caller
+    supplies ``n_edges_hint`` (an upper bound on the oriented edge
+    count — e.g. the graph's memoized raw-edge count) at or below
+    WAVE_EDGE_THRESHOLD, no job runs at all; otherwise ONE two-level
+    agg over the (checkpointed) oriented edge list returns the edge
+    count and Σ out² together (the r8 design paid a count action AND a
+    sizing action above the threshold, and a count action even far
+    below it — one driver round-trip per triangle/AA query for
+    nothing)."""
+    if n_edges_hint is not None and n_edges_hint <= WAVE_EDGE_THRESHOLD:
         return 1
-    s = (
+    row = (
         oe.groupBy("a")
         .agg(F.count("*").alias("o"))
-        .agg(F.sum(F.col("o") * F.col("o")).alias("s"))
-        .collect()[0]["s"]
+        .agg(
+            F.sum("o").alias("m"),
+            F.sum(F.col("o") * F.col("o")).alias("s"),
+        )
+        .collect()[0]
     )
-    return max(1, math.ceil(int(s) * 8 / WAVE_TARGET_BYTES))
+    if int(row["m"] or 0) <= WAVE_EDGE_THRESHOLD:
+        return 1
+    return max(1, math.ceil(int(row["s"]) * 8 / WAVE_TARGET_BYTES))
 
 
 def _wave_filter(df: DataFrame, k: int, n_waves: int) -> DataFrame:
-    """Edges of wave k: hash(b) % K == k — keyed on b so each wave's
-    by-b shuffle holds 1/K of the stream; pushed below the attach."""
-    return df.filter(F.pmod(F.xxhash64("b"), F.lit(n_waves)) == F.lit(k))
+    """Edges of wave k: hash(a, b) % K == k. Hashing the PAIR assigns
+    every edge independently, so each wave carries ~1/K of the array
+    payload with tight concentration (each edge's na is ≤ O(sqrt m)
+    elements under the orientation) — hashing b alone (the r8 scheme)
+    sent a hub's ENTIRE in-edge set to one wave, silently degrading
+    the per-wave disk bound on skewed graphs (ADVICE r8). No plan leg
+    groups by b across waves, so the slice key is free to change; the
+    predicate still pushes below the attach."""
+    return df.filter(
+        F.pmod(F.xxhash64("a", "b"), F.lit(n_waves)) == F.lit(k)
+    )
 
 
 def _oriented_edges(e: DataFrame) -> DataFrame:
@@ -129,7 +149,11 @@ def _distinct_edges(e: DataFrame, assume_distinct: bool) -> DataFrame:
     return e.distinct().localCheckpoint(eager=True)
 
 
-def _edge_commons(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
+def _edge_commons(
+    e: DataFrame,
+    assume_distinct: bool = False,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
     """(a, b, cs) for every oriented edge: cs = N⁺(a) ∩ N⁺(b), the
     array of third corners of the triangles whose lowest-(degree, id)
     edge is (a, b). Each triangle x→y→z (tournament order) appears in
@@ -171,7 +195,7 @@ def _edge_commons(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
             .select("a", "b", F.array_intersect("na", "nb").alias("cs"))
         )
 
-    n_waves = _wave_count(oe)
+    n_waves = _wave_count(oe, n_edges_hint)
     if n_waves == 1:
         return _attach(oe)
     # disk-bounded waves (see WAVE_TARGET_BYTES): each wave enumerates
@@ -195,12 +219,16 @@ def _edge_commons(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
     return out
 
 
-def _closed_wedges(e: DataFrame, assume_distinct: bool = False) -> DataFrame:
+def _closed_wedges(
+    e: DataFrame,
+    assume_distinct: bool = False,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
     """(a, b, c) triangle corners, each triangle exactly once — the
     exploded view of :func:`_edge_commons` (same rows the old wedge
     enumeration produced: a the lowest-(degree, id) corner, b the
     middle, c the top)."""
-    return _edge_commons(e, assume_distinct).select(
+    return _edge_commons(e, assume_distinct, n_edges_hint).select(
         "a", "b", F.explode("cs").alias("c")
     )
 
@@ -210,7 +238,9 @@ def triangle_count(graph: Graph) -> DataFrame:
     (src < dst); symmetrize + filter first if not.
     """
     commons = _edge_commons(
-        graph.edges.select("src", "dst"), graph.distinct_edges
+        graph.edges.select("src", "dst"),
+        graph.distinct_edges,
+        graph.edge_count_hint(),
     )
     # sum of intersection sizes — no explode, the per-edge count
     # aggregates partially inside the join stage
@@ -221,7 +251,11 @@ def triangle_count(graph: Graph) -> DataFrame:
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:
     """(id, n_triangles) for every vertex participating in ≥1 triangle."""
-    tri = _closed_wedges(graph.edges.select("src", "dst"), graph.distinct_edges)
+    tri = _closed_wedges(
+        graph.edges.select("src", "dst"),
+        graph.distinct_edges,
+        graph.edge_count_hint(),
+    )
     corners = (
         tri.select(F.col("a").alias("id"))
         .unionByName(tri.select(F.col("b").alias("id")))
@@ -248,7 +282,9 @@ def clustering_coefficient(graph: Graph, round_to: int = 6) -> DataFrame:
     # reuse the (possibly checkpoint-materialized) deduped edge set for
     # the wedge leg too — the degree union above still reads it lazily,
     # so its checkpoint (if any) stays live with the returned plan
-    tri_src = _closed_wedges(e, assume_distinct=True)
+    tri_src = _closed_wedges(
+        e, assume_distinct=True, n_edges_hint=graph.edge_count_hint()
+    )
     corners = (
         tri_src.select(F.col("a").alias("id"))
         .unionByName(tri_src.select(F.col("b").alias("id")))
@@ -325,7 +361,7 @@ def edge_support(graph: Graph) -> DataFrame:
     join back to the edge list (edges in no triangle report 0).
     """
     e = graph.edges.select("src", "dst")
-    tri = _closed_wedges(e, graph.distinct_edges)
+    tri = _closed_wedges(e, graph.distinct_edges, graph.edge_count_hint())
     mm = lambda x, y: F.struct(  # noqa: E731 — canonical (min,max) pair
         F.least(x, y).alias("src"), F.greatest(x, y).alias("dst")
     )

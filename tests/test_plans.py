@@ -293,6 +293,95 @@ def test_release_local_checkpoint_contract(spark):
     assert census() == base
 
 
+def test_drain_engage_predicate():
+    """plans/checkpoints.py drain_shuffle_scratch: the r9 engage
+    contract. SWEEP_r08 measured the old engage-on-free-space-alone
+    predicate burning 180s+ inside a timed window (adamic_adar_pc p10
+    pass 1: 233.0s vs 41.4s) when a PRIOR query left the disk low with
+    nothing drainable — the drain must now prove drainability (first
+    GC pass frees >= 1 GiB within the 15s probe) before committing to
+    the wait loop. Exercised entirely through the test seams: no real
+    disk, clock, or py4j session."""
+    from flink_graph_spark.plans import checkpoints as cp
+
+    gb = 1 << 30
+    floor_gb = 40.0
+
+    class _Spy:
+        def __init__(self, frees):
+            self.frees = list(frees)
+            self.slept = 0.0
+            self.gc_calls = 0
+
+        def free(self):
+            # hold the last value once the script runs out
+            return self.frees.pop(0) if len(self.frees) > 1 else self.frees[0]
+
+        def sleep(self, s):
+            self.slept += s
+
+        def jvm_gc(self):
+            self.gc_calls += 1
+            return True
+
+    def run(frees):
+        spy = _Spy([f * gb for f in frees])
+        ok = cp.drain_shuffle_scratch(
+            spark=None, min_free_gb=floor_gb, timeout_s=180,
+            _free=spy.free, _sleep=spy.sleep, _jvm_gc=spy.jvm_gc,
+        )
+        return ok, spy
+
+    # above the floor: no engage, no GC, no sleep
+    ok, spy = run([50])
+    assert ok is True and spy.gc_calls == 0 and spy.slept == 0
+
+    # below the floor but NOTHING drains (pre-existing deficit): bail
+    # within the evidence-probe window — a false engage costs ~15s, not
+    # the 180s timeout
+    ok, spy = run([10, 10, 10, 10, 10, 10, 10])
+    assert ok is False
+    assert spy.slept <= cp.DRAIN_PROBE_S
+
+    # drainable: first GC pass frees 2 GiB inside the probe, then the
+    # wait loop rides the drain up past the floor
+    ok, spy = run([10, 12, 20, 30, 41])
+    assert ok is True
+
+    # evidence then stall: drains 2 GiB, never reaches the floor, and
+    # progress stops — bail after 3 stalled ticks, far below timeout_s
+    ok, spy = run([10, 12, 12.1, 12.2, 12.3, 12.3])
+    assert ok is False
+    assert spy.slept < 60
+
+
+def test_spark_scratch_dir_sources(monkeypatch):
+    """spark_scratch_dir reads SPARK_LOCAL_DIRS first, then
+    spark.local.dir, then falls back to /tmp — the disk gates must
+    watch the mount Spark actually spills to (ADVICE r8)."""
+    from flink_graph_spark.plans.checkpoints import spark_scratch_dir
+
+    class _Conf:
+        def __init__(self, val):
+            self.val = val
+
+        def get(self, key, default=None):
+            return self.val if self.val is not None else default
+
+    class _Spark:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    assert spark_scratch_dir(_Spark(None)) == "/tmp"
+    # conf pointing at a real dir wins over the default; a first entry
+    # of a comma list is taken; a nonexistent dir falls back to /tmp
+    assert spark_scratch_dir(_Spark("/var/tmp,/tmp")) == "/var/tmp"
+    assert spark_scratch_dir(_Spark("/nonexistent_scratch_xyz")) == "/tmp"
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/var/tmp")
+    assert spark_scratch_dir(_Spark("/tmp")) == "/var/tmp"
+
+
 def test_triangle_family_skips_dedup_on_guaranteed_graphs(spark):
     """Builder graphs carry distinct_edges=True, so the wedge machinery
     must NOT pay the defensive dedup (a full edge shuffle recomputed per

@@ -154,28 +154,27 @@ def run_point(pname: str, sweep: list[str], out_path: str, passes: int,
         leaving 12 GB free, adamic_adar started immediately and hit
         "No space left on device" while ~80 GB of jaccard's shuffle
         files were still queued for deletion (they freed moments after
-        the abort). Only engages below ``min_free_gb``, so the quiet
-        majority of queries pay nothing."""
+        the abort). Shares the library drain (r9): engages only below
+        ``min_free_gb`` on the session's ACTUAL scratch mount, and
+        bails in ~15s when nothing drains (pre-existing deficit),
+        instead of burning the timeout."""
         import shutil
 
-        free = shutil.disk_usage("/tmp").free
-        floor = min_free_gb * 2**30
-        if free >= floor:
-            return
+        from flink_graph_spark.plans.checkpoints import (
+            drain_shuffle_scratch,
+            spark_scratch_dir,
+        )
+
         t0 = time.time()
-        stalled = 0
-        while time.time() - t0 < timeout_s:
-            time.sleep(5)
-            registry.jvm_gc(spark)
-            now = shutil.disk_usage("/tmp").free
-            if now >= floor:
-                break
-            stalled = stalled + 1 if now - free < 2**30 else 0
-            if stalled >= 6:  # 30s with no progress: nothing left to drain
-                break
-            free = now
-        print(f"drained scratch to {shutil.disk_usage('/tmp').free/2**30:.0f}"
-              f" GiB free in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+        ok = drain_shuffle_scratch(
+            spark, min_free_gb=min_free_gb, timeout_s=timeout_s
+        )
+        waited = time.time() - t0
+        if waited > 1:
+            free = shutil.disk_usage(spark_scratch_dir(spark)).free
+            print(f"drained scratch to {free/2**30:.0f} GiB free in"
+                  f" {waited:.0f}s (floor_reached={ok})",
+                  file=sys.stderr, flush=True)
 
     with open(out_path, "a") as fh:
         fh.write(json.dumps({"point": pname, "probe_ms_per_job": probe_ms,
