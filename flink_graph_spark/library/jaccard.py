@@ -17,9 +17,52 @@ from pyspark.sql import functions as F
 
 from ..graph import Graph
 
+#: Sizing itself must not add driver actions to small queries: the
+#: payload agg only runs when the edge count is known (the graph's
+#: memoized count, a caller hint, or a persisted edge frame whose
+#: count just pre-fills the cache the plan reads anyway) AND above
+#: this floor. Reuses the triangle family's empirical threshold.
+from .triangles import WAVE_EDGE_THRESHOLD as _WAVE_EDGE_THRESHOLD
+
+#: Disk-bounded waves for the full-adjacency attach (r9 — same
+#: mechanism as ``triangles.WAVE_TARGET_BYTES``, sized for THIS plan's
+#: payload). The attach carries both endpoints' neighbor arrays on
+#: every edge row — Σ deg² elements ≈ 8 B × Σ deg² of shuffle payload,
+#: measured 238 GB at the 100x sweep point (SWEEP_r08: 405.7s, the
+#: time being spill throughput, and a ~42 GB concurrent on-disk
+#: footprint that is a single-box capacity cliff at the next decade).
+#: Above MIN_PAYLOAD the edges are sliced by hash(src, dst) % K into
+#: waves of ~TARGET bytes each; every wave's narrow (src, dst,
+#: jaccard) output is checkpointed and the wave's scratch drained
+#: before the next begins — fixed scratch budget at any corpus size,
+#: the same 100 TB posture as the triangle family (on a cluster K
+#: bounds PER-EXECUTOR scratch). Below MIN_PAYLOAD the plan is the
+#: unchanged single-stage attach: the 10x point (23 GB payload,
+#: 13.1s in SWEEP_r08) measured fine without waves, so the floor sits
+#: above it. The compact adjacency reshuffles per wave (Σ deg packed
+#: longs — 1.9 GB at 100x, ~2 GB × 2 sides × K ≈ 60 GB of extra
+#: sequential shuffle at K=15, cheap next to the 238 GB spill-through
+#: it replaces).
+JACCARD_WAVE_MIN_PAYLOAD_BYTES = 32 << 30
+JACCARD_WAVE_TARGET_BYTES = 16 << 30
+
+
+def _adjacency_payload_bytes(adj: DataFrame) -> int:
+    """8 B × Σ deg² — the attach's array payload, in ONE action over
+    the (checkpointed) adjacency."""
+    row = (
+        adj.select(F.size("ns").cast("long").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).alias("s"))
+        .collect()[0]
+    )
+    return int(row["s"] or 0) * 8
+
 
 def jaccard_similarity(
-    graph: Graph, round_to: int = 6, salt_buckets: int | None = None
+    graph: Graph,
+    round_to: int = 6,
+    salt_buckets: int | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Returns (src, dst, jaccard) for every edge. Neighborhoods are over
     the undirected view, neighbor sets are distinct ids.
@@ -31,6 +74,14 @@ def jaccard_similarity(
     than the count-based wedge join because the ~140M-row intermediate
     never exists.
 
+    Scale path: above JACCARD_WAVE_MIN_PAYLOAD_BYTES of array payload
+    the attach runs in disk-bounded hash(src, dst) waves (constants
+    above) — results identical (pytest-forced multi-wave equality),
+    scratch bounded at any corpus size. Sizing is action-free for
+    small graphs: it engages only when the edge count is already known
+    (memo/hint) or free to learn (persisted edges), and that count
+    exceeds the triangle family's wave threshold.
+
     Hub handling: ``collect_set`` is a holistic agg — one reduce task
     owns a hub's entire raw inbox. ``salt_buckets`` builds the arrays
     via the two-phase salted agg (``functions.skew.salted_adjacency``)
@@ -38,6 +89,11 @@ def jaccard_similarity(
     still materializes (fine to ~1e6 degree). Beyond that, use
     ``jaccard_similarity_counts`` — no arrays at all.
     """
+    from ..plans.checkpoints import (
+        drain_shuffle_scratch,
+        release_local_checkpoint,
+    )
+
     e = graph.edges.select("src", "dst")
     if salt_buckets:
         from ..functions.skew import salted_adjacency
@@ -52,22 +108,67 @@ def jaccard_similarity(
             .groupBy("id")
             .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
         )
-    a = adj.select(F.col("id").alias("src"), F.col("ns").alias("na"))
-    b = adj.select(F.col("id").alias("dst"), F.col("ns").alias("nb"))
-    return (
-        e.join(a, "src")
-        .join(b, "dst")
-        .withColumn("common", F.size(F.array_intersect("na", "nb")).cast("double"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                F.col("common")
-                / (F.size("na") + F.size("nb") - F.col("common")),
-                round_to,
-            ).alias("jaccard"),
+
+    def _attach(edges: DataFrame, adj_df: DataFrame) -> DataFrame:
+        a = adj_df.select(F.col("id").alias("src"), F.col("ns").alias("na"))
+        b = adj_df.select(F.col("id").alias("dst"), F.col("ns").alias("nb"))
+        return (
+            edges.join(a, "src")
+            .join(b, "dst")
+            .withColumn(
+                "common", F.size(F.array_intersect("na", "nb")).cast("double")
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    F.col("common")
+                    / (F.size("na") + F.size("nb") - F.col("common")),
+                    round_to,
+                ).alias("jaccard"),
+            )
         )
-    )
+
+    hint = n_edges_hint
+    if hint is None:
+        hint = graph.edge_count_hint()
+    if hint is None:
+        lvl = graph.edges.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            # persisted edges (the builder posture for every big
+            # derived graph): counting just materializes the cache the
+            # plan reads anyway — no extra derivation pass
+            hint = graph.edge_count()
+    if hint is None or hint <= _WAVE_EDGE_THRESHOLD:
+        return _attach(e, adj)
+
+    # big graph: pay one sizing action over the materialized adjacency
+    # (the plan reuses the checkpoint, so the groupBy is not recomputed)
+    adj = adj.localCheckpoint(eager=True)
+    payload = _adjacency_payload_bytes(adj)
+    if payload <= JACCARD_WAVE_MIN_PAYLOAD_BYTES:
+        return _attach(e, adj)
+    n_waves = max(2, -(-payload // JACCARD_WAVE_TARGET_BYTES))
+    spark = e.sparkSession
+    lvl = graph.edges.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        # each wave re-reads the edge frame — materialize once so a
+        # derived (non-persisted) edge pipeline is not recomputed K×
+        e = e.localCheckpoint(eager=True)
+    parts = []
+    for k in range(n_waves):
+        wave_edges = e.filter(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(n_waves)) == F.lit(k)
+        )
+        w = _attach(wave_edges, adj).localCheckpoint(eager=True)
+        drain_shuffle_scratch(spark)
+        parts.append(w)
+    release_local_checkpoint(adj)
+    release_local_checkpoint(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def jaccard_similarity_counts(graph: Graph, round_to: int = 6) -> DataFrame:

@@ -156,6 +156,68 @@ def test_closed_wedges_match_bruteforce_on_skewed_random_graph(spark):
     assert sum(len(r["cs"]) for r in commons) == len(expect_tris)
 
 
+def test_jaccard_waved_attach_matches_single_wave(spark, monkeypatch):
+    """r9 disk-bounded waves for the full-adjacency attach: forcing the
+    edge stream into multiple hash(src, dst) slices must change NOTHING
+    about the jaccard scores on a hub-skewed random graph — same
+    contract as test_waved_enumeration_matches_single_wave. Also pins
+    the action-free default: with no hint, no memo, and non-persisted
+    edges, the sizing path must not run (plan stays single-stage)."""
+    import random
+
+    from flink_graph_spark.library import jaccard as jc_mod
+
+    rng = random.Random(23)
+    n = 40
+    edges = {(0, v) for v in range(1, n)}
+    while len(edges) < 160:
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g = Graph(v, e, canonical_edges=True)
+
+    base = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in jc_mod.jaccard_similarity(g).collect()
+    }
+
+    # force the wave branch: hint above a zeroed threshold, payload
+    # floor zeroed, target sized for ~3 waves
+    adj = (
+        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ns"))
+    )
+    payload = jc_mod._adjacency_payload_bytes(adj)
+    assert payload > 0
+    monkeypatch.setattr(jc_mod, "_WAVE_EDGE_THRESHOLD", 0)
+    monkeypatch.setattr(jc_mod, "JACCARD_WAVE_MIN_PAYLOAD_BYTES", 0)
+    monkeypatch.setattr(
+        jc_mod, "JACCARD_WAVE_TARGET_BYTES", max(1, payload // 3)
+    )
+
+    waved = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in jc_mod.jaccard_similarity(
+            g, n_edges_hint=len(edges)
+        ).collect()
+    }
+    assert waved == base
+
+    # action-free default: unknown size + non-persisted edges must not
+    # size (and therefore not wave), even with the thresholds zeroed
+    def _poison(adj_df):
+        raise AssertionError("sizing action ran without a size source")
+
+    monkeypatch.setattr(jc_mod, "_adjacency_payload_bytes", _poison)
+    plain = jc_mod.jaccard_similarity(Graph(v, e, canonical_edges=True))
+    assert {
+        (r["src"], r["dst"]): r["jaccard"] for r in plain.collect()
+    } == base
+
+
 def test_wave_sizing_skips_action_below_threshold(spark):
     """VERDICT r8 nit: _wave_count paid a count action on every
     triangle/AA call even far below the wave threshold. With a hint at
