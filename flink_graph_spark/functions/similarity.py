@@ -1102,12 +1102,17 @@ def semantic_near_dup_pairs_lsh(
         if bits is None:
             count = n.count()
             bits = dedup_bits_for(count)
-        # broadcast only while the attach payload is genuinely small
-        # (caps documented above); with an explicit `bits` (fully lazy,
-        # no count job) the caller asserts the corpus fits broadcast —
-        # at real scale pass the at-rest tables instead
-        bcast_sig = count is None or count <= DEDUP_BCAST_MAX_SIG_ROWS
-        bcast_vec = count is None or count <= DEDUP_BCAST_MAX_VEC_ROWS
+        # broadcast only while the attach payload is MEASURED small
+        # (caps documented above). An explicit `bits` keeps the plan
+        # fully lazy, but laziness must not imply corpus-fits-broadcast
+        # (ADVICE r8: a caller pinning bits on a large corpus would
+        # force corpus-sized broadcasts with only a comment as
+        # protection): without a count the attach stays a plain join,
+        # and AQE still auto-broadcasts a genuinely small side at
+        # runtime from its ACTUAL size. At real scale pass the at-rest
+        # tables instead.
+        bcast_sig = count is not None and count <= DEDUP_BCAST_MAX_SIG_ROWS
+        bcast_vec = count is not None and count <= DEDUP_BCAST_MAX_VEC_ROWS
     b = _banded_bucket_frame(band_src, bits)
     left = b.select("table", "bucket", F.col("vec_id").alias("va"))
     if multi_probe:

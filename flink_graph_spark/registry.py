@@ -3498,120 +3498,127 @@ def source_diversity(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
-# Registry ordering (driver contract) — round-8 rotation
+# Registry ordering (driver contract) — round-9 rotation
 # ----------------------------------------------------------------------
 # The driver walks queries() in dict order under a ~50-query budget per
-# round. All 194 queries are driver-signed (union r1-r7, zero failures
+# round. All 194 queries are driver-signed (union r1-r8, zero failures
 # ever recorded); freshness is the rotation metric. The lists below are
 # REGENERATED each round from the committed CORRECTNESS_r*.json
 # artifacts (newest-round-per-query) — they are rotation state, not
 # history; stale copies must not survive a round.
 #
-# Front of the r8 gate order:
+# Front of the r9 gate order:
 #   1. plan-changed this round (results and twins unchanged, but the
-#      physical plan is new and deserves a fresh signature):
-#      semantic_dedup_lsh (stage-2/3 attaches now join the at-rest
-#      bucketed sig/vec tables) and adamic_adar_pc (dedup skip re-gated
-#      on the new canonical_edges flag);
-#   2. the 3 queries whose newest signature is still CORRECTNESS_r02
-#      (they spilled past r7's 50-slot window exactly as predicted);
-#   3. the 45 whose newest signature is CORRECTNESS_r03.
-# That is exactly 50 — one full window retires every pre-r5 signature.
-# The rest follows by ascending freshness (r5, r6, r7) so any budget
+#      executed code path is new and deserves a fresh signature): the
+#      whole triangle family (one-action wave sizing via the memoized
+#      edge-count hint + pair-hashed wave slices) and
+#      jaccard_part_copurchase (disk-bounded waves for the
+#      full-adjacency attach, persisted-edge count at query start);
+#   2. the 46 whose newest signature is CORRECTNESS_r05 — the stalest
+#      block engine-wide (r8 retired every pre-r5 signature).
+# That is 53 front entries for a ~50 window: the last few r5 names
+# spill to the r10 front exactly as the r2 stragglers did in r8. The
+# rest follows by ascending freshness (r6, r7, r8) so any budget
 # overrun keeps retiring the stalest.
 
-_R08_PLAN_CHANGED = ["semantic_dedup_lsh", "adamic_adar_pc"]
-
-_STALE_R2 = [
-    "triangles_per_vertex_uu", "unigram_nll", "weighted_pagerank_cs"
-]
-
-_SIGNED_R3 = [
-    "assortativity_uu", "betweenness_grid", "bigram_nll",
-    "bipartite_projection_cs", "boilerplate_flags", "chunk_documents",
-    "closeness_sample_uu", "collocations_pmi", "community_detection_uu",
-    "corpus_report", "count_min_tokens", "cross_source_overlap",
-    "dag_longest_path", "dedup_keep_set", "edge_support_uu",
-    "effective_diameter_uu", "embedding_label_spread",
-    "embedding_outliers", "embedding_quantize", "graph_coloring_grid",
-    "gsa_sssp_golden", "histogram_quantiles", "incremental_sssp_golden",
-    "kmeans_clusters", "knn_label_vote", "ktruss_uu", "mixture_weights",
-    "neighborhood_function_uu", "ngram_containment_topk",
-    "pagerank_bucketed_cs", "passage_dedup", "ppr_cs",
-    "pretrain_funnel", "principal_direction", "quality_filters",
-    "rmat_degree_histogram", "semantic_dedup_clusters",
-    "skipgram_pairs", "source_quota_sample",
-    "streaming_quality_by_source", "token_budget_select",
-    "translate_golden", "vertex_metrics_cs", "winnow_dup_pairs",
-    "zipf_slope"
+_R09_PLAN_CHANGED = [
+    "jaccard_part_copurchase", "triangle_count_pc", "adamic_adar_pc",
+    "triangles_per_vertex_uu", "clustering_coeff_uu", "edge_support_uu",
+    "ktruss_uu"
 ]
 
 _SIGNED_R5 = [
     "attribution_last_touch", "bipartite_matching_cs",
     "bloom_blocklist", "boruvka_mst_grid", "bpe_compression",
     "bpe_merges", "cohort_retention", "copurchase_lift",
-    "cosine_pair_histogram", "edge_growth_cs", "embedding_dim_stats",
-    "event_transitions", "event_type_pivot", "feature_propagation",
-    "gram_matrix", "hourly_anomaly", "incremental_pagerank_golden",
-    "knn_confusion", "langid_confusion", "minhash_calibration",
-    "ngram_novelty", "pq_codes", "quality_calibration",
-    "quality_length_corr", "reciprocity_golden_pc", "rich_club_uu",
-    "rmat_degree_zipf", "scc_fixture", "scd2_orders",
-    "session_duration_histogram", "simhash_near_dup",
-    "source_diversity", "source_top_terms", "spectral_radius_uu",
-    "sql_revenue_by_nation", "streaming_click_purchase",
-    "streaming_hourly_anomaly", "summarize_nation_edges",
-    "summarize_nation_vertices", "token_entropy",
-    "train_val_test_split", "two_hop_ball_cs", "vocab_coverage",
-    "walk_skipgram_pairs", "weighted_sample", "wl_colors_grid"
+    "cosine_pair_histogram", "edge_growth_cs",
+    "embedding_dim_stats", "event_transitions", "event_type_pivot",
+    "feature_propagation", "gram_matrix", "hourly_anomaly",
+    "incremental_pagerank_golden", "knn_confusion",
+    "langid_confusion", "minhash_calibration", "ngram_novelty",
+    "pq_codes", "quality_calibration", "quality_length_corr",
+    "reciprocity_golden_pc", "rich_club_uu", "rmat_degree_zipf",
+    "scc_fixture", "scd2_orders", "session_duration_histogram",
+    "simhash_near_dup", "source_diversity", "source_top_terms",
+    "spectral_radius_uu", "sql_revenue_by_nation",
+    "streaming_click_purchase", "streaming_hourly_anomaly",
+    "summarize_nation_edges", "summarize_nation_vertices",
+    "token_entropy", "train_val_test_split", "two_hop_ball_cs",
+    "vocab_coverage", "walk_skipgram_pairs", "weighted_sample",
+    "wl_colors_grid"
 ]
 
 _SIGNED_R6 = [
     "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh", "cc_cs",
     "cc_golden", "degrees_in", "degrees_out", "degrees_total",
-    "difference_graphs", "filter_on_edges", "filter_on_vertices_edges",
-    "golden_mutations", "graph_metrics", "intersect_graphs",
-    "is_weakly_connected_golden", "jaccard_part_copurchase",
-    "join_with_edges", "join_with_edges_on_source",
-    "join_with_edges_on_target", "join_with_vertices", "json_k_stats",
-    "lang_id", "lpa_cs", "lpa_golden", "map_edges", "map_vertices",
-    "pagerank_cs", "pagerank_golden", "quality_score",
-    "reduce_on_edges_all", "reduce_on_edges_in", "reduce_on_edges_out",
+    "difference_graphs", "filter_on_edges",
+    "filter_on_vertices_edges", "golden_mutations", "graph_metrics",
+    "intersect_graphs", "is_weakly_connected_golden",
+    "jaccard_part_copurchase", "join_with_edges",
+    "join_with_edges_on_source", "join_with_edges_on_target",
+    "join_with_vertices", "json_k_stats", "lang_id", "lpa_cs",
+    "lpa_golden", "map_edges", "map_vertices", "pagerank_cs",
+    "pagerank_golden", "quality_score", "reduce_on_edges_all",
+    "reduce_on_edges_in", "reduce_on_edges_out",
     "reduce_on_edges_with_vv", "reduce_on_neighbors_all",
     "reduce_on_neighbors_in", "reduce_on_neighbors_out",
     "reduce_on_neighbors_with_vv", "reverse_edges", "sssp_cs",
-    "sssp_golden", "subgraph_edges", "subgraph_vertices", "text_stats",
-    "token_counts", "top_degree_vertices", "triplets",
+    "sssp_golden", "subgraph_edges", "subgraph_vertices",
+    "text_stats", "token_counts", "top_degree_vertices", "triplets",
     "undirected_edges", "union_graphs", "uu_graph_edges",
     "validate_vertex_ids"
 ]
 
 _SIGNED_R7 = [
-    "adamic_adar_pc", "ann_topk_lsh_at_rest", "asof_order_events",
-    "bm25_search", "cc_pc", "clustering_coeff_uu",
-    "contamination_check", "corpus_prep", "dedup_clusters",
-    "dedup_exact", "dedup_exact_stats", "dedup_minhash_lsh",
-    "dedup_ngram_topk", "degree_histogram", "doc_fingerprint",
-    "embedding_near_dup", "entity_resolution", "event_funnel",
-    "hits_cs", "hll_user_estimate", "hourly_retention", "hourly_rollup",
+    "ann_topk_lsh_at_rest", "asof_order_events", "bm25_search",
+    "cc_pc", "clustering_coeff_uu", "contamination_check",
+    "corpus_prep", "dedup_clusters", "dedup_exact",
+    "dedup_exact_stats", "dedup_minhash_lsh", "dedup_ngram_topk",
+    "degree_histogram", "doc_fingerprint", "embedding_near_dup",
+    "entity_resolution", "event_funnel", "hits_cs",
+    "hll_user_estimate", "hourly_retention", "hourly_rollup",
     "json_source_rollup", "kcore_uu", "length_quantiles", "mis_uu",
     "multimodal_features", "music_profiles_communities",
     "pack_sequences", "pagerank_pc", "pii_scrub", "random_walks_uu",
-    "repetition_ratio", "semantic_dedup_lsh", "sessionize_events",
+    "repetition_ratio", "sessionize_events",
     "shared_top_event_edges", "simhash_docs", "sliding_rollup",
-    "stratified_sample", "streaming_dedup_keys", "streaming_degrees",
-    "streaming_hourly_rollup", "streaming_nation_counts",
-    "streaming_sessionize", "streaming_user_totals", "tfidf_top_terms",
+    "stratified_sample", "streaming_dedup_keys",
+    "streaming_degrees", "streaming_hourly_rollup",
+    "streaming_nation_counts", "streaming_sessionize",
+    "streaming_user_totals", "tfidf_top_terms",
     "top_event_per_user", "top_events_per_user", "top_shingles",
     "triangle_count_pc"
 ]
 
+_SIGNED_R8 = [
+    "adamic_adar_pc", "assortativity_uu", "betweenness_grid",
+    "bigram_nll", "bipartite_projection_cs", "boilerplate_flags",
+    "chunk_documents", "closeness_sample_uu", "collocations_pmi",
+    "community_detection_uu", "corpus_report", "count_min_tokens",
+    "cross_source_overlap", "dag_longest_path", "dedup_keep_set",
+    "edge_support_uu", "effective_diameter_uu",
+    "embedding_label_spread", "embedding_outliers",
+    "embedding_quantize", "graph_coloring_grid", "gsa_sssp_golden",
+    "histogram_quantiles", "incremental_sssp_golden",
+    "kmeans_clusters", "knn_label_vote", "ktruss_uu",
+    "mixture_weights", "neighborhood_function_uu",
+    "ngram_containment_topk", "pagerank_bucketed_cs",
+    "passage_dedup", "ppr_cs", "pretrain_funnel",
+    "principal_direction", "quality_filters",
+    "rmat_degree_histogram", "semantic_dedup_clusters",
+    "semantic_dedup_lsh", "skipgram_pairs", "source_quota_sample",
+    "streaming_quality_by_source", "token_budget_select",
+    "translate_golden", "triangles_per_vertex_uu", "unigram_nll",
+    "vertex_metrics_cs", "weighted_pagerank_cs", "winnow_dup_pairs",
+    "zipf_slope"
+]
+
 
 def _apply_priority_order() -> None:
-    front = _R08_PLAN_CHANGED + [
-        q for q in _STALE_R2 + _SIGNED_R3 if q not in set(_R08_PLAN_CHANGED)
+    front = _R09_PLAN_CHANGED + [
+        q for q in _SIGNED_R5 if q not in set(_R09_PLAN_CHANGED)
     ]
-    rest = _SIGNED_R5 + _SIGNED_R6 + _SIGNED_R7
+    rest = _SIGNED_R6 + _SIGNED_R7 + _SIGNED_R8
     order = front + [q for q in rest if q not in set(front)]
     assert set(order) <= set(SPARK_QUERIES), set(order) - set(SPARK_QUERIES)
     order += [n for n in SPARK_QUERIES if n not in set(order)]

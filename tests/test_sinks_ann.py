@@ -434,6 +434,31 @@ def _assert_no_exchange_between_attach_scans_and_joins(plan, table):
     assert checked, f"no attach-side scans of {table} found:\n{plan}"
 
 
+def test_explicit_bits_does_not_force_corpus_broadcast(spark):
+    """ADVICE r8: pinning `bits` keeps the inline funnel fully lazy,
+    but laziness must not force corpus-sized F.broadcast attaches —
+    with no measured count the sig/vec attaches stay plain joins
+    (AQE may still auto-broadcast from ACTUAL runtime size), while the
+    counted path under the row caps keeps its explicit hint. Asserted
+    on the analyzed plan's ResolvedHint nodes, which only F.broadcast
+    plants (AQE decisions never appear there)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def hints(df) -> int:
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    lazy = sim_mod.semantic_near_dup_pairs_lsh(emb, 0.4, bits=4)
+    assert hints(lazy) == 0, "explicit bits must not plant broadcast hints"
+    counted = sim_mod.semantic_near_dup_pairs_lsh(emb, 0.4)
+    assert hints(counted) > 0, "measured-small corpus keeps its hints"
+    # results are identical either way at this sf (adaptive bits == 4)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, counted.collect())
+    )
+
+
 def test_semantic_lsh_at_rest_matches_inline_with_zero_table_exchange(spark):
     """The funnel's at-rest mode (r8, the r7 verdict's scale-killer
     watch item): stage-2/3 attaches join the vec_id-bucketed sig/vec
