@@ -55,6 +55,67 @@ def _cited(text):
             yield f"{kind}_r{int(r):02d}.json"
 
 
+def _registry_names() -> set[str]:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from __spark_entry__ import queries
+
+    return set(queries().keys())
+
+
+def test_cited_sweep_rows_exist():
+    """Raw-row coverage (VERDICT r8 item 8): when prose names a registry
+    query on the same line as a SWEEP_rN citation, the cited artifact
+    must actually contain that query's row — closing the last gap
+    between a quoted number and a committed measurement. Lines
+    containing the token 'solo' are exempt: solo confirmation runs are
+    the one legitimate case of quoting a number measured OUTSIDE the
+    sweep next to the sweep row it contextualizes (e.g. COVERAGE.md's
+    semantic_dedup_clusters 302.6s solo vs SWEEP_r06's lsh row)."""
+    import json
+
+    qnames = _registry_names()
+    sweep_tok = re.compile(r"\bSWEEP_r(\d+)\b")
+    backtick = re.compile(r"`([a-z0-9_]+)`")
+    art_cache: dict[str, set[str]] = {}
+
+    def rows_of(artifact: str) -> set[str] | None:
+        if artifact not in art_cache:
+            p = os.path.join(REPO, artifact)
+            if not os.path.exists(p):
+                return None  # committedness is the other test's job
+            with open(p, encoding="utf-8") as fh:
+                data = json.load(fh)
+            # top-level sections (recall_at_scale, wedge_census_p100,
+            # ann_recall...) count as rows too: prose cites them by key
+            art_cache[artifact] = set(data.get("queries", {})) | set(data)
+        return art_cache[artifact]
+
+    bad = []
+    for doc in _DOC_FILES:
+        p = os.path.join(REPO, doc)
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
+            for lineno, line in enumerate(fh, 1):
+                arts = sweep_tok.findall(line)
+                if not arts or "solo" in line:
+                    continue
+                qs = [q for q in backtick.findall(line) if q in qnames]
+                for r in arts:
+                    artifact = f"SWEEP_r{int(r):02d}.json"
+                    rows = rows_of(artifact)
+                    if rows is None:
+                        continue
+                    for q in qs:
+                        if q not in rows:
+                            bad.append(f"{doc}:{lineno} cites {artifact} "
+                                       f"next to `{q}` but the artifact "
+                                       "has no such row")
+    assert not bad, "\n".join(bad)
+
+
 def test_every_cited_artifact_is_committed():
     paths = [os.path.join(REPO, f) for f in _DOC_FILES]
     paths += glob.glob(os.path.join(REPO, "flink_graph_spark/**/*.py"),
