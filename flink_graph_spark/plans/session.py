@@ -44,6 +44,35 @@ def get_spark(
             str(max(256, shuffle_partitions)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r9 (guide §2.4/§2.2): AQE may re-plan the output partitioning
+        # of plans that get persist()ed. Spark's default (false) pins
+        # every cached frame at the PRE-coalesce partition count — the
+        # builders' repartition("src").persist() edge tables therefore
+        # materialized at initialPartitionNum (256) partitions at EVERY
+        # scale, and each of a query's downstream stages over the cache
+        # (every Pregel superstep's message join, every degree agg) ran
+        # 256 near-empty tasks at bench scale: pure scheduler overhead
+        # (measured: cs/uu/pc caches 256p at sf0.1; pagerank_cs 27.7s →
+        # 7.5s, ppr_cs 12.1s → 3.6s with the flag + the floor below).
+        # At 100 TB cached partitions are ≥ the advisory size, AQE
+        # leaves them alone, and the src-hash posture is unchanged —
+        # the setting is scale-adaptive by construction.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # Companion floor: AQE's parallelism-first coalescing targets
+        # max(bytes/defaultParallelism, minPartitionSize). The 1 MB
+        # default floor coalesced the sf0.1 pc-graph cache to 11
+        # partitions — fewer than the 32 cores — and compute-heavy
+        # downstream stages (array_intersect attaches, the AA credit
+        # explode whose OUTPUT is ~10-50x its input bytes) serialized
+        # on them (adamic_adar_pc 15.0s → 100.0s with the flag alone;
+        # 10.9s with this floor restoring ≥core-count parallelism
+        # whenever a stage carries ≥ cores×256 KiB). Scale-adaptive:
+        # above ~8 MB per shuffle the bytes/parallelism term dominates
+        # and the floor is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -87,4 +116,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         str(max(256, cur)),
     )
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # see get_spark: cached-plan AQE coalescing + parallelism floor (r9)
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+    )
     return spark

@@ -465,3 +465,50 @@ def test_zipf_rank_window_is_partitioned_not_global(spark):
     got = {(row.term, row.r) for row in ranked.collect()}
     want = {(row.term, row.r) for row in naive.collect()}
     assert got == want
+
+
+def test_cached_repartition_coalesces_at_small_scale(spark):
+    """r9 (guide §2.2/§2.4): the builders persist
+    ``edges.repartition("src")`` — with Spark's default
+    ``canChangeCachedPlanOutputPartitioning=false`` that cache pinned
+    the AQE initialPartitionNum (256) at EVERY scale, so each
+    downstream stage over it (every Pregel superstep's message join)
+    ran 256 near-empty tasks at bench scale. The session now enables
+    cached-plan AQE re-planning plus a 256k coalesce floor; a tiny
+    persisted repartition("src") frame must materialize at far fewer
+    partitions than initialPartitionNum (scale-adaptive: big caches
+    exceed the advisory size and keep their full hash fan-out)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+        == "256k"
+    )
+    initial = int(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    )
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 97).alias("src"),
+            (F.col("id") % 89).alias("dst"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    try:
+        df.count()  # materialize the cache
+        n = df.rdd.getNumPartitions()
+        assert n < initial / 4, (
+            f"tiny cached repartition('src') frame materialized at {n} "
+            f"partitions (initialPartitionNum={initial}) — cached-plan "
+            "AQE coalescing is not engaging"
+        )
+    finally:
+        df.unpersist()
