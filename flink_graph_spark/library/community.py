@@ -24,11 +24,23 @@ below 2^52, so products, sums, and comparisons are BIT-EXACT in IEEE
 doubles on both Spark and DuckDB — the argmax never flips on
 last-bit float noise, and the oracle needs no rounding tolerance.
 
-Plan shape per superstep: one triplet join (src-partitioned cached
-edge table — only the small state side shuffles), then TWO hash aggs
-(per-(id,label) partial-summed, then per-id argmax over a struct) and
-one left join back to state. All expressions stay in whole-stage
-codegen; lineage is truncated on the shared checkpoint cadence.
+Plan shape (r10, guide §2.4 "remove shuffles outright"): the
+symmetrized edge table (both directions of every stored row) is built
+ONCE, hash(src)-partitioned and persisted for the loop, so each
+superstep is ONE co-partitioned state join (only the small state side
+shuffles), ONE exchange of the raw message stream by ``id``
+(``repartition("id")`` — hash(id) satisfies the clustering requirement
+of BOTH downstream aggregates, groupBy(id,label) and groupBy(id), and
+of the state join, so the per-(id,label) sum, the per-id argmax and
+the update join all run exchange-free on top of it), and the left join
+back to state. The r9 shape instead joined state to BOTH endpoints of
+the canonical table (shuffling the full edge×state triplet by dst
+every superstep) and paid a second full exchange between the two aggs
+((id,label) → (id)); per superstep that was 3 edge-sized exchanges
+against this plan's 1. Regrouping is exact: every score is a dyadic
+rational (see above), so sums are order-independent bit-for-bit. All
+expressions stay in whole-stage codegen; lineage is truncated on the
+shared checkpoint cadence.
 """
 
 from __future__ import annotations
@@ -53,9 +65,26 @@ def community_detection(
     chain re-executes those legs ~2^k-fold: measured at sf0.1 uu,
     cadence 2 = 6.1s vs cadence 3 = 10.8s. Same for both LPA variants.
     """
-    if not graph.src_partitioned:
-        graph = graph.partition_by_src()
     e = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    # Symmetrize ONCE for the whole loop: every stored row {u, v}
+    # delivers u's state to v AND v's state to u each superstep (the
+    # undirected semantic; identical for self-loops, which message
+    # twice in both formulations). Persisting the doubled table
+    # hash(src)-partitioned makes the per-superstep state attach a
+    # co-partitioned join — the r9 shape instead re-shuffled the full
+    # edge×state triplet by dst every superstep (see module docstring).
+    # One 2|E| shuffle up front replaces max_iter edge-sized exchanges;
+    # at 100 TB this is the cs_und posture (a persisted symmetrized
+    # table), scoped to the loop and released before returning.
+    ue = (
+        e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .repartition("src")
+        .persist()
+    )
     v = graph.vertices.select(
         "id", F.col("id").alias("label"), F.lit(1.0).alias("score")
     ).localCheckpoint(eager=True)
@@ -66,39 +95,18 @@ def community_detection(
             F.col("id").alias("__sid"), F.col("label").alias("l"),
             F.col("score").alias("sc"),
         )
-        # one state attach on src, messages fanned to BOTH endpoints —
-        # the edge table is canonical (src < dst), so joining state to
-        # src and dst separately would scan it twice; instead each
-        # joined triplet emits its src-side message to dst and its
-        # dst-side message to src via a 2-element explode
-        tri = (
-            e.join(st, F.col("src") == F.col("__sid"))
-            .drop("__sid")
-            .withColumnRenamed("l", "src_l")
-            .withColumnRenamed("sc", "src_sc")
-            .join(
-                st.withColumnRenamed("l", "dst_l").withColumnRenamed(
-                    "sc", "dst_sc"
-                ),
-                F.col("dst") == F.col("__sid"),
+        msgs = (
+            ue.join(st, F.col("src") == F.col("__sid"))
+            .select(
+                F.col("dst").alias("id"),
+                F.col("l").alias("label"),
+                (F.col("sc") * F.col("w")).alias("msc"),
             )
+            # one exchange carries the raw message stream; hash(id)
+            # satisfies groupBy(id,label), groupBy(id) AND the update
+            # join below, so nothing downstream re-shuffles (§2.4)
+            .repartition("id")
         )
-        msgs = tri.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("dst").alias("id"),
-                        F.col("src_l").alias("label"),
-                        (F.col("src_sc") * F.col("w")).alias("msc"),
-                    ),
-                    F.struct(
-                        F.col("src").alias("id"),
-                        F.col("dst_l").alias("label"),
-                        (F.col("dst_sc") * F.col("w")).alias("msc"),
-                    ),
-                )
-            ).alias("m")
-        ).select("m.id", "m.label", "m.msc")
         per_label = msgs.groupBy("id", "label").agg(
             F.sum("msc").alias("s"), F.max("msc").alias("mx")
         )
@@ -119,6 +127,9 @@ def community_detection(
             v = v.localCheckpoint(eager=True)
             release_local_checkpoint(live_ckpt)
             live_ckpt = v
+    # the final state is always checkpoint-materialized (it == max_iter
+    # above), so the loop-scoped symmetrized cache can go immediately
+    ue.unpersist()
     return v
 
 

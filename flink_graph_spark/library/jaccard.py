@@ -82,6 +82,18 @@ def jaccard_similarity(
     (memo/hint) or free to learn (persisted edges), and that count
     exceeds the triangle family's wave threshold.
 
+    DELIBERATE CONTRACT (r10, pinned by
+    tests/test_triangles_profiles.py::test_jaccard_waved_attach_matches_single_wave):
+    a COLD caller — no ``n_edges_hint``, no memoized count, edges not
+    persisted — always takes the single-stage attach, at ANY size. The
+    alternative (a defensive sizing action on every unknown-size call)
+    would tax every small ad-hoc graph with a driver round-trip to
+    protect a path no registry query takes: every big derived graph is
+    built persisted with its count memoized, which is what fills the
+    hint. Callers wiring this into a new large non-persisted pipeline
+    must pass ``n_edges_hint`` (any upper bound works — it only gates
+    whether the one-action payload measurement runs).
+
     Hub handling: ``collect_set`` is a holistic agg — one reduce task
     owns a hub's entire raw inbox. ``salt_buckets`` builds the arrays
     via the two-phase salted agg (``functions.skew.salted_adjacency``)

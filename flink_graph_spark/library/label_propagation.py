@@ -42,8 +42,17 @@ def label_propagation(
     live_ckpt = labels
 
     for it in range(1, max_iter + 1):
-        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
+        # r10 (guide §2.4): ONE exchange per superstep carries the raw
+        # message stream hashed by id — hash(id) satisfies the
+        # clustering requirement of groupBy(id,label), of groupBy(id)
+        # AND of the update join, so the two-level mode aggregation and
+        # the join all run exchange-free on top of it. The previous
+        # shape paid two full exchanges (partial counts by (id,label),
+        # then counts again by id). Regrouping integer counts is exact.
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .repartition("id")
         )
         counts = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
         # mode with (cnt DESC, label DESC) tie-break as a single hash agg
@@ -129,8 +138,11 @@ def label_spread(
 
     for it in range(1, max_iter + 1):
         senders = labels.filter(F.col("label") != unlabeled)
-        msgs = edges.join(senders, edges["src"] == senders["id"]).select(
-            F.col("dst").alias("id"), "label"
+        # same single-exchange message spine as label_propagation (§2.4)
+        msgs = (
+            edges.join(senders, edges["src"] == senders["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .repartition("id")
         )
         counts = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
         picked = counts.groupBy("id").agg(

@@ -72,6 +72,14 @@ def get_spark(
         # whenever a stage carries ≥ cores×256 KiB). Scale-adaptive:
         # above ~8 MB per shuffle the bytes/parallelism term dominates
         # and the floor is inert.
+        # SCOPE (ADVICE r9): this is a GLOBAL AQE knob — it lowers the
+        # coalesce floor for EVERY adaptive shuffle read, not only
+        # cached plans (the full 194-query oracle gate re-ran green
+        # under it, so the blanket effect is covered empirically). The
+        # analysis above assumes coalescePartitions.parallelismFirst =
+        # true (the Spark default); a deployment flipping that to
+        # size-first coalescing makes advisoryPartitionSizeInBytes,
+        # not this floor, govern — re-measure adamic_adar_pc if so.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -100,6 +108,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     The driver hands us its own SparkSession for ``entry``/``queries``;
     these settings are required for oracle parity (UTC timestamps) and
     for sane shuffle behavior on local mode.
+
+    ORDERING CONTRACT (ADVICE r9):
+    ``canChangeCachedPlanOutputPartitioning`` is consulted when a plan
+    is CACHED, so this must run before any ``persist()``/``cache()``
+    whose partitioning AQE should be allowed to re-plan — frames
+    persisted earlier in the session keep their pinned partitioning.
+    Every registry entry point calls ``tune_session`` first, before the
+    graph builders persist anything; keep that order for new callers.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # some driver rounds ship events.parquet as TIMESTAMP(NANOS), which
