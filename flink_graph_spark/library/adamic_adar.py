@@ -67,22 +67,6 @@ def adamic_adar(
     from .triangles import _distinct_edges, _oriented_edges
 
     e = graph.edges.select("src", "dst")
-    pairs = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
-        e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
-    )
-    # full distinct-neighbor degree (count_distinct ≡ the old
-    # size(collect_set)) — AA weights use the UNDIRECTED degree, not
-    # the tournament out-degree
-    deg = pairs.groupBy("id").agg(F.count_distinct("nbr").alias("deg"))
-    wgt = deg.select(
-        "id",
-        F.when(
-            F.col("deg") >= 2,
-            F.lit(1.0) / F.log(F.col("deg").cast("double")),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("wgt"),
-    )
 
     # canonicalize before enumerating: the API (unlike the triangles
     # module's declared src<dst contract) accepts edges in either
@@ -97,7 +81,35 @@ def adamic_adar(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     )
     de = _distinct_edges(ec, graph.canonical_edges)
-    oe = _oriented_edges(de).select("a", "b").localCheckpoint(eager=True)
+    # ONE degree aggregation per query (r10): over the DEDUPED canonical
+    # set each endpoint's neighbors appear exactly once in the union, so
+    # count(*) here ≡ the old count_distinct over the raw pairs (the
+    # oracle's aa_deg over the UNION-distinct adjacency agrees the same
+    # way). Checkpointing the compact (id, deg) frame lets the
+    # orientation job, the 1/ln(deg) weights and the packed-degree
+    # attach all read the SAME materialized rows — previously the
+    # orientation recomputed its own union+agg inside the oe checkpoint
+    # job (cross-job, so exchange reuse could never deduplicate it) and
+    # the weights re-derived theirs in the main job.
+    deg = (
+        de.select(F.col("src").alias("id"))
+        .unionByName(de.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    wgt = deg.select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            F.lit(1.0) / F.log(F.col("deg").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("wgt"),
+    )
+    oe = _oriented_edges(
+        de, deg.select("id", F.col("deg").alias("d"))
+    ).select("a", "b").localCheckpoint(eager=True)
     if de is not ec:
         release_local_checkpoint(de)
 
@@ -176,6 +188,7 @@ def adamic_adar(
     if n_waves == 1:
         enriched = _attach(oe).localCheckpoint(eager=True)
         release_local_checkpoint(oe)
+        release_local_checkpoint(deg)
         drain_shuffle_scratch(spark)
     else:
         # checkpoint the shared compact frames once so waves do not
@@ -190,7 +203,7 @@ def adamic_adar(
             )
             drain_shuffle_scratch(spark)
             parts.append(w)
-        for ck in (oe, outadj, wgt):
+        for ck in (oe, outadj, wgt, deg):
             release_local_checkpoint(ck)
         enriched = parts[0]
         for p in parts[1:]:

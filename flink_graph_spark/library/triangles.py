@@ -105,7 +105,7 @@ def _wave_filter(df: DataFrame, k: int, n_waves: int) -> DataFrame:
     )
 
 
-def _oriented_edges(e: DataFrame) -> DataFrame:
+def _oriented_edges(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Re-orient canonical (src<dst) edges by (degree, id): returns
     (a, b, bkey) with a the lower-(degree,id) endpoint and bkey = b's
     (degree, id) sort key for once-per-wedge pairing.
@@ -113,13 +113,21 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
     ``e`` MUST be duplicate-free (see ``_distinct_edges``): a duplicated
     canonical edge row would re-drive every wedge it participates in AND
     skew the orientation degrees, multiplying triangle counts.
+
+    ``deg`` (r10): optional precomputed degree frame (id, d) over
+    EXACTLY ``e``'s undirected view — callers that already need the
+    degrees (Adamic–Adar's 1/ln(deg) weights) pass a checkpointed
+    frame so the union+agg is computed once per query instead of once
+    per plan leg (the orientation runs in its own checkpoint job, so
+    exchange reuse cannot deduplicate it across jobs).
     """
-    deg = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("d"))
-    )
+    if deg is None:
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("d"))
+        )
     with_deg = (
         e.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
         .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")

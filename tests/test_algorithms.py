@@ -328,6 +328,7 @@ def test_weighted_pagerank_matches_numpy_twin(golden):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_mis_independent_and_maximal(spark):
     from flink_graph_spark.library.mis import maximal_independent_set
     from flink_graph_spark.sources.graphs import user_cooccurrence_graph
@@ -362,6 +363,7 @@ def test_mis_path_graph_exact(spark):
     assert all(v in mis or (v - 1 in mis or v + 1 in mis) for v in range(1, 6))
 
 
+@pytest.mark.slow
 def test_random_walks_valid_and_deterministic(spark):
     from flink_graph_spark.library.sampling import random_walks
     from flink_graph_spark.sources.graphs import user_cooccurrence_graph
@@ -379,6 +381,7 @@ def test_random_walks_valid_and_deterministic(spark):
                 assert (a, b) in sym      # every hop is a real edge
 
 
+@pytest.mark.slow
 def test_round2_algorithm_packaging(golden):
     from flink_graph_spark.library.adamic_adar import AdamicAdar
     from flink_graph_spark.library.kcore import KCore
@@ -444,6 +447,7 @@ def test_community_detection_attenuation_localizes_labels(spark):
 
 # ---- incremental SSSP -------------------------------------------------
 
+@pytest.mark.slow
 def test_incremental_sssp_equals_full_recompute(spark):
     """Remove a TIGHT edge (one on a shortest path) from the cs graph:
     the tight-DAG invalidation + delta repair must land on exactly the
@@ -684,6 +688,7 @@ def test_dag_longest_path_cycle_saturates_level(spark):
     assert got[0] == 4 and got[1] == 4
 
 
+@pytest.mark.slow
 def test_effective_diameter_cycle(spark):
     """On an 8-cycle the ball keeps growing through r=4, so the 90%
     readout lands at the curve's tail; the readout row is well-formed
@@ -764,6 +769,7 @@ def test_bipartite_matching_is_a_matching(spark):
     assert len(m) > 0
 
 
+@pytest.mark.slow
 def test_walk_skipgram_pairs_symmetric_counts(spark):
     """Pairs are emitted in both orders, so the count matrix is
     symmetric; all pairs respect the window bound on a path walk."""
@@ -777,6 +783,7 @@ def test_walk_skipgram_pairs_symmetric_counts(spark):
         assert counts.get((x, c)) == n
 
 
+@pytest.mark.slow
 def test_boruvka_empty_and_edge_free_graphs(spark):
     """No component ever picks an edge → the forest is EMPTY with the
     (src, dst, w) schema, not a NoneType crash (isolated vertices and
@@ -797,6 +804,7 @@ def test_boruvka_empty_and_edge_free_graphs(spark):
     assert boruvka_mst(loops).count() == 0
 
 
+@pytest.mark.slow
 def test_boruvka_matches_kruskal_on_grid(spark):
     """The distributed Boruvka forest equals a driver-side Kruskal run
     over the identical hash weights — spanning, acyclic, minimal."""
@@ -899,6 +907,7 @@ def test_rmat_degree_zipf_is_negative_and_steeper_than_uniform(spark):
     assert flat == 0.0
 
 
+@pytest.mark.slow
 def test_incremental_pagerank_converges_to_full_recompute(spark):
     """The warm restart must land where a full run on the modified
     graph lands (power iteration has a unique fixed point): after

@@ -4,6 +4,8 @@ queries()/oracle_sql() key discipline, stable schemas.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -31,6 +33,7 @@ def test_every_oracle_key_has_a_query():
     assert missing == set()
 
 
+@pytest.mark.slow
 def test_every_batch_query_plan_analyzes(spark):
     """Build (not execute) EVERY batch query's plan at sf0.001: schema
     access forces Catalyst analysis, so an unresolved column / bad

@@ -27,6 +27,12 @@ import pytest
 sys.path.insert(0, "/root/repo/tools")
 import check_correctness as cc  # noqa: E402  (canonicalize / value_hash)
 
+# randomized-redundancy tier: the real driver gate (sf0.001/sf0.01 vs
+# DuckDB over every declared query) covers the same twins on the fixed
+# data every round; the fuzz sweep re-proves them on random corpora and
+# costs ~14 min — slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as entrymod  # noqa: E402
 
 TABLES = cc.TABLES

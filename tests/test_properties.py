@@ -47,6 +47,7 @@ def test_degree_sum_equals_twice_edges(spark, edges):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_reverse_involution_and_degree_swap(spark, edges):
     g = _graph(spark, edges)
     r = g.reverse()
@@ -72,6 +73,7 @@ def test_subgraph_edges_subset_and_closed(spark, edges):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_undirected_doubles_edges_and_validates(spark, edges):
     g = _graph(spark, edges)
     u = g.get_undirected()
@@ -97,6 +99,7 @@ def test_reduce_on_edges_out_matches_python(spark, edges):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_intersect_idempotent_and_difference_annihilates(spark, edges):
     g = _graph(spark, edges)
     # g ∩ g keeps exactly the distinct edge set and the full vertex set
@@ -111,6 +114,7 @@ def test_intersect_idempotent_and_difference_annihilates(spark, edges):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_intersect_with_disjoint_graph_is_empty(spark, edges):
     g = _graph(spark, edges)
     shifted = [(s + 100, d + 100, v) for (s, d, v) in edges]
@@ -152,6 +156,7 @@ def test_passage_dedup_counts_consistent(spark, docs):
 
 @given(docs=token_docs)
 @SETTINGS
+@pytest.mark.slow
 def test_token_budget_never_exceeded_and_prefix_closed(spark, docs):
     from flink_graph_spark.functions.text import token_budget_select
 
@@ -188,6 +193,7 @@ def test_quality_filters_keep_iff_no_flag(spark, docs):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_coloring_proper_on_random_graphs(spark, edges):
     """Iterated-MIS coloring: whatever subset gets colored within the
     round budget is properly colored (no monochromatic edge), and with
@@ -204,6 +210,7 @@ def test_coloring_proper_on_random_graphs(spark, edges):
 
 @given(edges=edge_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_matching_vertices_disjoint_on_random_graphs(spark, edges):
     """Propose-accept matching: every vertex appears in at most one
     matched pair (src side and dst side disjoint within themselves)."""
@@ -220,6 +227,7 @@ def test_matching_vertices_disjoint_on_random_graphs(spark, edges):
 @given(docs=st.lists(st.text(alphabet="ab ", min_size=6, max_size=30),
                      min_size=2, max_size=5))
 @SETTINGS
+@pytest.mark.slow
 def test_containment_at_least_jaccard(spark, docs):
     """For every pair: containment (inter/min) >= jaccard (inter/union)
     over the same capped shingle universe."""

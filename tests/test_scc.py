@@ -30,6 +30,7 @@ def test_scc_fixture_decomposition(spark, delta):
     assert {r.id: r.scc for r in out.collect()} == EXPECTED
 
 
+@pytest.mark.slow
 def test_scc_two_cycles_bridged(spark):
     # 20→21→20 and 1→2→1 with a bridge 21→1: two SCCs, min-id reps
     e = spark.createDataFrame(
@@ -40,6 +41,7 @@ def test_scc_two_cycles_bridged(spark):
     assert {r.id: r.scc for r in out.collect()} == {20: 20, 21: 20, 1: 1, 2: 1}
 
 
+@pytest.mark.slow
 def test_scc_algorithm_packaging(spark):
     g = StronglyConnectedComponents(max_rounds=3, max_iter=5).run(
         _fixture_graph(spark)

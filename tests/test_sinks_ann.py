@@ -115,6 +115,7 @@ def test_running_user_totals_matches_batch(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_kmeans_centroids_deterministic_and_stable(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     n = sim_mod.with_norm(emb)

@@ -9,6 +9,8 @@ config — the two claims SCALING.md §7 makes about the 100 TB posture.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_graph_spark.library.jaccard import (
@@ -92,6 +94,7 @@ def test_aqe_skew_join_fires_on_hub_key(spark):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.slow
 def test_pregel_soak_no_cache_growth(spark):
     """Lineage/driver-memory soak (r3 verdict item 6b): the three big
     Pregel consumers run back-to-back repeatedly in ONE session; the

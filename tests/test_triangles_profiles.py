@@ -156,6 +156,7 @@ def test_closed_wedges_match_bruteforce_on_skewed_random_graph(spark):
     assert sum(len(r["cs"]) for r in commons) == len(expect_tris)
 
 
+@pytest.mark.slow
 def test_jaccard_waved_attach_matches_single_wave(spark, monkeypatch):
     """r9 disk-bounded waves for the full-adjacency attach: forcing the
     edge stream into multiple hash(src, dst) slices must change NOTHING
@@ -264,6 +265,7 @@ def test_wave_sizing_skips_action_below_threshold(spark):
     assert warm_jobs < cold_jobs
 
 
+@pytest.mark.slow
 def test_waved_enumeration_matches_single_wave(spark, monkeypatch):
     """r8 disk-bounded waves: forcing the enumeration into multiple
     hash(b)-slices must change NOTHING about the results — triangle
