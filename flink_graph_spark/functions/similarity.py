@@ -1005,6 +1005,7 @@ def semantic_near_dup_pairs_lsh(
     multi_probe: bool = False,
     sig_table: str | None = None,
     vec_table: str | None = None,
+    n_sig_rows: int | None = None,
 ) -> DataFrame:
     """(va, vb, cosine) — the SCALE path for semantic near-dup pair
     generation, a three-stage funnel of this module's two proven
@@ -1091,7 +1092,13 @@ def semantic_near_dup_pairs_lsh(
         )
         band_src = vecs
         if bits is None:
-            bits = dedup_bits_for(sigs.count())
+            # ``n_sig_rows`` is the SAME number counted at index-build
+            # time (the at-rest sig table's rows, memoized by the
+            # caller) — passing it skips one count job per invocation;
+            # a cold caller without the memo still counts here
+            bits = dedup_bits_for(
+                n_sig_rows if n_sig_rows is not None else sigs.count()
+            )
         bcast_sig = bcast_vec = False
     else:
         n = with_sig(emb)
@@ -1188,6 +1195,7 @@ def semantic_dedup_clusters(
     bits: int | None = None,
     sig_table: str | None = None,
     vec_table: str | None = None,
+    n_sig_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id) for every vector in ≥1 near-dup pair —
     semantic dedup, the embedding-space twin of the text-side
@@ -1207,7 +1215,7 @@ def semantic_dedup_clusters(
     pairs = (
         semantic_near_dup_pairs_lsh(
             emb, threshold, bits=bits, multi_probe=multi_probe,
-            sig_table=sig_table, vec_table=vec_table,
+            sig_table=sig_table, vec_table=vec_table, n_sig_rows=n_sig_rows,
         )
         if bucketed
         else embedding_near_dup(emb, threshold)

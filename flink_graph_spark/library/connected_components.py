@@ -20,16 +20,35 @@ def connected_components(
     graph: Graph, max_iter: int = 10, check_convergence: bool = False
 ) -> DataFrame:
     """Returns (id, comp) = min vertex id reachable within max_iter hops
-    over the undirected view. Messages flow both directions along each
-    edge (equivalent to symmetrizing, without materializing 2x edges).
+    over the undirected view.
+
+    Plan shape (r10, guide §2.4): the symmetrized edge table (both
+    directions of every stored row) is built ONCE, hash(src)-partitioned
+    and persisted for the loop — the community.py posture — so each
+    superstep is a SINGLE frontier-to-edges join sending ``src_comp``
+    to ``dst``. The old shape instead sent messages both ways along the
+    stored rows, which cost every superstep TWO edge-table joins (and,
+    under AQE, two frontier broadcasts that cannot reuse each other's
+    exchange — the side projections differ) plus the union of the two
+    message streams. One 2|E| shuffle up front replaces max_iter of
+    that; min-propagation is multiplicity- and direction-insensitive,
+    so results are identical row-for-row (self-loops message twice in
+    both formulations). The loop-scoped persist is released before
+    returning — the returned state is a materialized checkpoint.
     """
+    e = graph.edges.select("src", "dst")
+    ue = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
     res = pregel(
-        graph,
+        Graph(graph.vertices, ue, src_partitioned=True),
         initial=F.col("id"),
         msg_to_dst=F.col("src_comp"),
-        msg_to_src=F.col("dst_comp"),
         msg_to_dst_reads=("src",),
-        msg_to_src_reads=("dst",),
         agg=F.min("__msg").alias("__agg"),
         update=F.least(F.col("comp"), F.col("__agg")),
         max_iter=max_iter,
@@ -37,6 +56,9 @@ def connected_components(
         delta=True,
         check_convergence=check_convergence,
     )
+    # delta-mode pregel materialized the final state via its count job;
+    # nothing downstream reads the loop-scoped symmetrized table
+    ue.unpersist()
     return res.vertices
 
 

@@ -55,20 +55,36 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
     und = graph.vertices.select(
         "id", priority_col("id").alias("p")
     ).localCheckpoint(eager=True)
-    mis = und.select("id").where(F.lit(False)).localCheckpoint(eager=True)
 
+    # r10 (guide §2.4 remove shuffles / §2.6 driver round-trips): the
+    # old round built ``ue`` = edges semi-joined to und on BOTH
+    # endpoints and fed it to the neighbor-min agg and the removal set.
+    # Both semi-joins are provably redundant:
+    #   * nbr_min groups by src, and winners LEFT-joins it FROM und —
+    #     groups whose src is already decided are simply never looked
+    #     up, so filtering src ∈ und changes nothing; dst ∈ und is the
+    #     inner join with the (dst, np) state itself.
+    #   * removed is anti-joined against und — neighbors that are
+    #     already decided subtract nothing, so filtering the winner
+    #     fan-out to und is a no-op.
+    # Dropping ue removes two edge-scale semi-joins (and their
+    # exchanges/broadcasts) from every round. The per-round eager
+    # checkpoint of the accumulating ``mis`` frame is gone too: winner
+    # frames stay lazy over their round's (kept-alive) und checkpoint
+    # and union into ONE materialization after the loop — same total
+    # compute (winners were always evaluated twice: once under the
+    # removal count, once under the mis materialization), max_iter-1
+    # fewer driver actions. Round walls / job counts: OPTIMIZATION_r10.md.
+    winner_frames: list[DataFrame] = []
+    und_ckpts: list[DataFrame] = [und]
     n_und: int | None = None  # carried from the round-end count below
     for i in range(max_iter):
         # first round: one cheap scan of the initial checkpoint; later
         # rounds reuse the count that materialized und (no extra job)
         if (n_und == 0) or (n_und is None and und.isEmpty()):
             break
-        ue = (
-            edges.join(und.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(und.select(F.col("id").alias("dst")), "dst", "left_semi")
-        )
         nbr_min = (
-            ue.join(
+            edges.join(
                 und.select(F.col("id").alias("dst"), F.col("p").alias("np")),
                 "dst",
             )
@@ -80,30 +96,35 @@ def maximal_independent_set(graph: Graph, max_iter: int = 6) -> DataFrame:
             .where(F.col("nmin").isNull() | (F.col("p") < F.col("nmin")))
             .select("id")
         )
-        mis_prev = mis
-        mis = mis.unionByName(winners).localCheckpoint(eager=True)
-        release_local_checkpoint(mis_prev)
+        winner_frames.append(winners)
         if i == max_iter - 1:
             # the final round's undecided-set update feeds nothing —
             # skip it (the oracle's unrolled chain stops at the same
             # point)
             break
+        # no .distinct(): the only consumer is the left_anti below, for
+        # which duplicate right-side keys are a no-op — deduping first
+        # costs one extra exchange+agg per round for nothing
         removed = winners.unionByName(
-            ue.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            edges.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
-        ).distinct()
-        und_prev = und
+        )
         # LAZY checkpoint materialized by the survivor count — the count
         # doubles as next round's emptiness check, one action instead of
         # eager-checkpoint + isEmpty (same fusion as the Pregel superstep)
         und = und.join(removed, "id", "left_anti").localCheckpoint(eager=False)
         n_und = und.count()
-        # the new checkpoint is materialized; the previous round's
-        # (which `winners`/`removed` read) is now unreferenced
-        release_local_checkpoint(und_prev)
+        und_ckpts.append(und)
 
+    mis = und.select("id").where(F.lit(False))
+    for w in winner_frames:
+        mis = mis.unionByName(w)
+    # one materialization for the whole accumulated set; every round's
+    # und checkpoint is still alive here (winner frames read them)
+    mis = mis.localCheckpoint(eager=True)
+    for ckpt in und_ckpts:
+        release_local_checkpoint(ckpt)
     release_local_checkpoint(edges)
-    release_local_checkpoint(und)
     return mis.orderBy("id")
 
 

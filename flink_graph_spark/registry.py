@@ -1478,9 +1478,13 @@ _ANN_AT_REST_MEMO: dict[tuple, tuple] = {}
 
 
 def _ann_at_rest_tables(spark, sf_dir):
-    """(sig_table, vec_table, raw_count) — build the vec_id-bucketed
-    at-rest sketch index once per (session, sf); shared by the at-rest
-    ANN probe AND the semantic-dedup funnel (same sig/vec contract)."""
+    """(sig_table, vec_table, raw_count, sig_count) — build the
+    vec_id-bucketed at-rest sketch index once per (session, sf); shared
+    by the at-rest ANN probe AND the semantic-dedup funnel (same
+    sig/vec contract). ``sig_count`` memoizes the norm-filtered sig
+    table's row count at build time (r10): the dedup funnel's adaptive
+    banding needs exactly that number, and counting it here once per
+    session replaces one count job per funnel invocation."""
     import re as _re
 
     emb = _emb(spark, sf_dir)
@@ -1492,7 +1496,9 @@ def _ann_at_rest_tables(spark, sf_dir):
             emb, sig_t, vec_t,
             path_prefix=f"/tmp/spark_graft_bucketed/ann_{tag}",
         )
-        _ANN_AT_REST_MEMO[key] = (sig_t, vec_t, emb.count())
+        _ANN_AT_REST_MEMO[key] = (
+            sig_t, vec_t, emb.count(), spark.table(sig_t).count()
+        )
     return _ANN_AT_REST_MEMO[key]
 
 
@@ -1507,7 +1513,7 @@ def ann_topk_lsh_at_rest(spark, sf_dir):
     shares that query's full-replay DuckDB twin verbatim. This is the
     100 TB I/O story: the inline path re-reads ~260 B/row of vectors
     per batch; this one reads 24 B/row plus survivors only."""
-    sig_t, vec_t, n_rows = _ann_at_rest_tables(spark, sf_dir)
+    sig_t, vec_t, n_rows, _ = _ann_at_rest_tables(spark, sf_dir)
     return sim_mod.ann_topk_lsh_at_rest(spark, sig_t, vec_t, n_rows, 64, 10)
 
 
@@ -1732,10 +1738,10 @@ def semantic_dedup_lsh(spark, sf_dir):
     broadcasting corpus-sized sig/vector frames — the r7 verdict's
     scale-killer watch item. Same signatures bit-for-bit, so the twin
     and the hash-checked contract are unchanged."""
-    sig_t, vec_t, _ = _ann_at_rest_tables(spark, sf_dir)
+    sig_t, vec_t, _, sig_rows = _ann_at_rest_tables(spark, sf_dir)
     return sim_mod.semantic_dedup_clusters(
         _emb(spark, sf_dir), 0.4, 4, bucketed=True, multi_probe=True,
-        sig_table=sig_t, vec_table=vec_t,
+        sig_table=sig_t, vec_table=vec_t, n_sig_rows=sig_rows,
     )
 
 
@@ -2087,7 +2093,13 @@ def streaming_hourly_rollup(spark, sf_dir):
     """
     tune_session(spark)
     stream = stream_mod.read_events_stream(spark, sf_dir)
-    snap = stream_mod.run_available_now(stream_mod.streaming_hourly_rollup(stream))
+    # state keyed by (event_type, hour window) — a few hundred rows at
+    # any horizon, not one state store per core (r10: matches the 8 the
+    # other streaming snapshots already size to; integer sums and HLL
+    # register-max are partitioning-insensitive, oracle unchanged)
+    snap = stream_mod.run_available_now(
+        stream_mod.streaming_hourly_rollup(stream), state_partitions=8
+    )
     return snap.select("event_type", "hour", "n_events", "sum_cents")
 
 
@@ -2978,8 +2990,9 @@ def streaming_hourly_anomaly(spark, sf_dir):
     equal the batch anomaly table exactly (the oracle)."""
     tune_session(spark)
     stream = stream_mod.read_events_stream(spark, sf_dir)
+    # same (event_type, hour)-keyed state sizing as streaming_hourly_rollup
     snap = stream_mod.run_available_now(
-        stream_mod.streaming_hourly_rollup(stream)
+        stream_mod.streaming_hourly_rollup(stream), state_partitions=8
     )
     return sess_mod.anomaly_scores(
         snap.select("event_type", "hour", "n_events")
