@@ -17,35 +17,51 @@ from ..operators.pregel import pregel
 
 
 def connected_components(
-    graph: Graph, max_iter: int = 10, check_convergence: bool = False
+    graph: Graph,
+    max_iter: int = 10,
+    check_convergence: bool = False,
+    symmetrized_edges: bool = False,
 ) -> DataFrame:
     """Returns (id, comp) = min vertex id reachable within max_iter hops
     over the undirected view.
 
-    Plan shape (r10, guide §2.4): the symmetrized edge table (both
-    directions of every stored row) is built ONCE, hash(src)-partitioned
-    and persisted for the loop — the community.py posture — so each
-    superstep is a SINGLE frontier-to-edges join sending ``src_comp``
-    to ``dst``. The old shape instead sent messages both ways along the
-    stored rows, which cost every superstep TWO edge-table joins (and,
-    under AQE, two frontier broadcasts that cannot reuse each other's
-    exchange — the side projections differ) plus the union of the two
-    message streams. One 2|E| shuffle up front replaces max_iter of
-    that; min-propagation is multiplicity- and direction-insensitive,
-    so results are identical row-for-row (self-loops message twice in
-    both formulations). The loop-scoped persist is released before
-    returning — the returned state is a materialized checkpoint.
+    Plan shape (r10, guide §2.4): the loop messages ONE way over a
+    symmetrized edge table — each superstep is a single frontier-to-
+    edges join sending ``src_comp`` to ``dst``. The old shape instead
+    sent messages both ways along the stored rows, which cost every
+    superstep TWO edge-table joins (and, once the frontier outgrows a
+    broadcast, a full edge re-exchange by dst — the cache is hash(src))
+    plus the union of the two message streams. Min-propagation is
+    multiplicity- and direction-insensitive, so results are identical
+    row-for-row (self-loops message twice in both formulations).
+
+    ``symmetrized_edges=True`` declares the caller's edge table already
+    carries both directions of every undirected pair (e.g. the shared
+    persisted cs_und/uu builder caches) — the loop then runs on it
+    as-is with ZERO per-query edge materialization, the best posture at
+    every scale. Otherwise the symmetrized table is built once per
+    loop, hash(src)-partitioned and persisted (the community.py
+    posture; one 2|E| shuffle up front replaces per-superstep doubled
+    joins) and released before returning. Alternating same-session
+    floors at sf0.1 measured the shapes within noise locally (3.15 /
+    3.35 / 3.38s two-sided / sym-once / und-cache on the cs graph) —
+    the win is the per-superstep join/exchange count at scale, see
+    OPTIMIZATION_r10.md §2.
     """
-    e = graph.edges.select("src", "dst")
-    ue = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if symmetrized_edges:
+        g, ue = graph, None
+    else:
+        e = graph.edges.select("src", "dst")
+        ue = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition("src")
+            .persist()
         )
-        .repartition("src")
-        .persist()
-    )
+        g = Graph(graph.vertices, ue, src_partitioned=True)
     res = pregel(
-        Graph(graph.vertices, ue, src_partitioned=True),
+        g,
         initial=F.col("id"),
         msg_to_dst=F.col("src_comp"),
         msg_to_dst_reads=("src",),
@@ -56,9 +72,10 @@ def connected_components(
         delta=True,
         check_convergence=check_convergence,
     )
-    # delta-mode pregel materialized the final state via its count job;
-    # nothing downstream reads the loop-scoped symmetrized table
-    ue.unpersist()
+    if ue is not None:
+        # delta-mode pregel materialized the final state via its count
+        # job; nothing downstream reads the loop-scoped symmetrized table
+        ue.unpersist()
     return res.vertices
 
 

@@ -1055,7 +1055,15 @@ def sssp_cs(spark, sf_dir):
     ),
 )
 def cc_cs(spark, sf_dir):
-    return cc_mod.connected_components(_cs(spark, sf_dir), max_iter=8)
+    # the shared persisted symmetrized table (cs_und) IS the doubled
+    # edge set CC's undirected view needs — single-sided messaging over
+    # it costs zero per-query edge materialization (r10; same vertex
+    # set and oracle as the directed graph)
+    return cc_mod.connected_components(
+        customer_supplier_undirected_graph(spark, sf_dir),
+        max_iter=8,
+        symmetrized_edges=True,
+    )
 
 
 @_register(
